@@ -1,0 +1,71 @@
+"""Curated-table IO (reference operators S2-S5, SURVEY.md §2.1).
+
+The reference scatters its data across MongoDB collections and a MySQL
+table and reads them row-at-a-time over sockets (cache.py:153,
+cache.py:164-178). Here every curated dataset is a Parquet table read
+through the DataFrame API, which gives us vectorized columnar scans,
+predicate/projection pushdown into the file format, and partition
+pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes at each scale factor (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one curated Parquet table (S2/S3 equivalent).
+
+    Plain ``spark.read.parquet`` — filters and column selections applied
+    by callers reach the scan via Catalyst pushdown, so no scan-level
+    options are needed here.
+
+    ``events`` is special-cased: its ``ts`` column is parquet
+    TIMESTAMP(NANOS), which Spark cannot represent. With
+    ``spark.sql.legacy.parquet.nanosAsLong`` the scan yields raw int64
+    nanos; we convert to microsecond TIMESTAMP_NTZ here (integer `div`,
+    no double rounding) so every downstream operator sees a real
+    timestamp. Sub-microsecond digits are truncated — queries that
+    surface event timestamps should additionally date_trunc to seconds
+    when compared against nanosecond-capable engines.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Load several tables and register each as a temp view so both the
+    DataFrame API and ``spark.sql`` can reach them by name."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """Sink a curated table (S4/S5 equivalent of the reference's
+    insert_one / INSERT loops, DataProcessing.ipynb:cell20,cell33 —
+    replaced by one distributed columnar write)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
