@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Run directly: ``python bench.py``. Environment knobs:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_QUERIES       comma-separated subset to run (default headline set)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: The scan/join/agg-heavy queries that dominate engine cost. Cheap
+#: point lookups are excluded: they measure session overhead, not the
+#: engine.
+HEADLINE = [
+    "flagship_search",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "a2_top_keywords",
+    "j1_broadcast_user_join",
+    "j3_collect_assembly",
+    "j4_semi_join",
+    "t1_topk_multisort",
+    "t6_group_topk",
+    "a4_conditional_counts",
+]
+
+
+def main() -> None:
+    from twitter_analysis_spark.session import get_spark
+    from twitter_analysis_spark import catalog
+
+    names = os.environ.get("BENCH_QUERIES")
+    names = names.split(",") if names else [n for n in HEADLINE
+                                            if n in catalog.QUERIES]
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      extra_conf={"spark.driver.memory": "16g",
+                                  "spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> None:
+        # count() forces full execution without shipping wide results
+        # to the driver; top-k queries are cheap to collect anyway.
+        df = catalog.QUERIES[name](spark, SF_DIR)
+        df.collect() if name.startswith(("t", "flagship", "q3", "a2")) else df.count()
+
+    # Untimed warmup pass: loads classes + whole-stage codegen compiles
+    # each plan shape once, so the timed pass measures the engine, not
+    # JIT/classloader cold start (first-run inflation is ~10x).
+    for name in names:
+        run(name)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        run(name)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()
