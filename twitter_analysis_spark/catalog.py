@@ -652,3 +652,275 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension suite 1: deduplication (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as _dedup          # noqa: E402
+from .operators import multimodal as _mm        # noqa: E402
+from .operators import similarity as _sim       # noqa: E402
+from .operators import textstats as _ts         # noqa: E402
+
+#: Tokenizer the oracles share with operators.dedup.tokens().
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+#: 3-word shingle list, mirroring operators.dedup.word_shingles(n=3).
+_SHINGLES_SQL = """
+    CASE WHEN len(tk) >= 3
+      THEN [array_to_string(tk[i:i+2], ' ') for i in generate_series(1, len(tk)-2)]
+      ELSE [array_to_string(tk, ' ')] END
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dedup: lowest id wins per identical content. One
+    # hash-aggregate shuffle (spills at scale; the reference used an
+    # in-memory dict, cell16:50).
+    return _dedup.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", ["text"])
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES_SQL}) AS shingle FROM toks
+    ), sizes AS (
+      SELECT doc, count(*) AS n FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS id1, b.doc AS id2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT id1, id2,
+           round(n_common::DOUBLE / (s1.n + s2.n - n_common), 6) AS jaccard
+    FROM inter JOIN sizes s1 ON s1.doc = id1 JOIN sizes s2 ON s2.doc = id2
+    WHERE n_common::DOUBLE / (s1.n + s2.n - n_common) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact 3-gram Jaccard pairs via shingle inverted-index self-join.
+    return _dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.1)
+
+
+@register("dedup_minhash_lsh")  # engine-native hashes: rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash+LSH candidates verified by exact Jaccard. xxhash64 isn't
+    # reproducible in DuckDB, so no SQL oracle; tests instead assert
+    # candidates ⊆ exact pairs + recall vs dedup_ngram_jaccard.
+    return _dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=32, bands=8, threshold=0.1)
+
+
+@register("dedup_simhash")  # engine-native hashes: rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash near-pairs (hamming <= 8) via the 4-block bucket join.
+    return _dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-dup pairs (threshold sized to the synthetic
+    # corpus where max off-diagonal cosine ~ 0.51).
+    return _dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Extension suite 2: similarity search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cosine
+    FROM e, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brute-force exact ANN baseline: one scan + TakeOrderedAndProject.
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return _sim.cosine_topk(emb, qvec, k=10)
+
+
+@register("sim_lsh_topk")  # approximate (recall<1): rows-only check
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale-path ANN: random-hyperplane LSH bucket probe (multi-probe
+    # Hamming-1), exact cosine within the probed buckets. Tests assert
+    # recall vs sim_cosine_topk.
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    planes = _sim.fixed_planes(len(qvec), num_planes=6)
+    return _sim.lsh_topk(emb, planes, qvec, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Extension suite 3: text analysis (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL})::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
+               AS n_subwords
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _ts.token_count(F.col("text")).alias("n_tokens"),
+        _ts.subword_count(F.col("text")).alias("n_subwords"),
+    )
+
+
+_MARKER_SQL = {
+    lang: "(" + ", ".join(f"'{w}'" for w in words) + ")"
+    for lang, words in _ts.LANG_MARKERS.items()
+}
+
+
+@register(
+    "text_quality_features",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents
+    )
+    SELECT doc_id,
+      len(tk)::BIGINT AS n_tokens,
+      round(list_sum(list_transform(tk, t -> length(t)))::DOUBLE
+            / greatest(len(tk), 1), 6) AS mean_token_len,
+      round(len(list_filter(tk, t -> t IN {_MARKER_SQL['en']}))::DOUBLE
+            / greatest(len(tk), 1), 6) AS stopword_ratio,
+      round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+            / greatest(length(text), 1), 6) AS punct_ratio,
+      round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+            / greatest(length(text), 1), 6) AS digit_ratio,
+      round(0.25 * least((len(list_filter(tk, t -> t IN {_MARKER_SQL['en']}))::DOUBLE
+                          / greatest(len(tk), 1)) * 5, 1.0)
+          + 0.25 * least(greatest(len(tk), 1)::DOUBLE / 100.0, 1.0)
+          + 0.25 * (1.0 - least(((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                                 / greatest(length(text), 1)) * 4, 1.0))
+          + 0.25 * (1.0 - least(((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                                 / greatest(length(text), 1)) * 4, 1.0)), 6) AS quality_score
+    FROM base
+    """,
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _ts.quality_features(docs).drop("text")
+
+
+_LANG_RATIO_SQL = {
+    lang: f"len(list_filter(tk, t -> t IN {_MARKER_SQL[lang]}))::DOUBLE / greatest(len(tk), 1)"
+    for lang in _ts.LANG_MARKERS
+}
+_MX = "greatest(" + ", ".join(f"r_{x}" for x in sorted(_ts.LANG_MARKERS)) + ")"
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH scores AS (
+      SELECT doc_id,
+             {", ".join(f"{_LANG_RATIO_SQL[x]} AS r_{x}" for x in sorted(_ts.LANG_MARKERS))}
+      FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN {_MX} > 0.05 THEN
+             CASE {" ".join(f"WHEN r_{x} = {_MX} THEN '{x}'" for x in sorted(_ts.LANG_MARKERS))}
+             END
+           ELSE 'und' END AS lang_pred
+    FROM scores
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", _ts.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents
+    )
+    SELECT doc_id,
+      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS md5_fp,
+      list_aggregate(list_transform({_SHINGLES_SQL}, s -> md5(s)), 'min')
+          AS min_shingle_fp
+    FROM toks
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5 is engine-independent (unlike xxhash64), so both fingerprints
+    # are fully oracle-checkable.
+    return _ts.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Extension suite 4: multimodal columns (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_media_metadata",
+    """
+    SELECT doc_id,
+           (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS media_type,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           (doc_id % 1920 + 1)::INT AS width
+    FROM documents
+    """,
+)
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Typed metadata over the opaque binary media column.
+    media = _mm.media_table(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id", "media_type",
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+    )
+
+
+@register("mm_decode_features")  # pandas-UDF path: rows-only check
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched mapInPandas decode plumbing (stub kernel).
+    media = _mm.media_table(_t(spark, sf_dir, "documents"))
+    return _mm.extract_features(media)

@@ -1,0 +1,286 @@
+"""Deduplication operators for large-scale document corpora.
+
+The reference deduplicates only by exact id, using an in-memory dict
+(DataProcessing.ipynb:cell16:50, cell34:24-27) — OOM-bound and
+single-threaded. This module provides the dedup family a 100 TB
+training-data pipeline needs, each expressed as distributed DataFrame
+plans:
+
+- exact:        hash group-by on a normalization key (content or id)
+- n-gram Jaccard: exact set-similarity via shingle inverted index
+                  (token self-join), the verification primitive
+- MinHash+LSH:  sub-quadratic candidate generation — shingle → k min
+                hashes → bands → bucket join; candidates verified with
+                exact Jaccard
+- SimHash:      64-bit near-dup signature, banded for candidate pairs
+- embedding:    cosine near-dup over a vector column
+
+Scale notes (why these shapes survive 100 TB):
+- Everything is shuffle-on-key; no driver-side state, no collect().
+- The Jaccard self-join carries a document-frequency cap
+  (``max_shingle_df``): a shingle appearing in d docs produces d² pair
+  rows, so ultra-common shingles (boilerplate) must be dropped — the
+  standard inverted-index pruning used by web-dedup pipelines.
+- MinHash/SimHash signatures are fixed-width (k longs), so the band
+  shuffle is O(corpus), never O(pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens(col):
+    """Lowercased whitespace tokens (engine-standard tokenizer, C4/C5)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(col, n: int):
+    """n-word shingles as strings: transform over a sequence of offsets
+    (pure Catalyst expression — no UDF, codegen-friendly)."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def exact_dedup(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+    """Exact dedup: keep the lowest id per identical key (deterministic
+    winner). One hash-aggregate shuffle; spills instead of the
+    reference's in-memory dict (cell16:50)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def doc_shingle_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int, max_shingle_df: int | None = None) -> DataFrame:
+    """Distinct (id, shingle) pairs, optionally pruning shingles whose
+    document frequency exceeds ``max_shingle_df`` (pair-explosion guard)."""
+    pairs = (
+        df.select(F.col(id_col).alias("doc"),
+                  F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_df is not None:
+        w = Window.partitionBy("shingle")
+        pairs = (pairs.withColumn("_df", F.count(F.lit(1)).over(w))
+                 .where(F.col("_df") <= max_shingle_df).drop("_df"))
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.8,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id1 < id2, jaccard >= t).
+
+    Inverted-index plan: distinct (doc, shingle) → self-join on shingle
+    → per-pair intersection count → Jaccard via per-doc set sizes.
+    Entirely relational: two shuffles (shingle join key, pair group key),
+    partial aggregation on both, AQE handles skew.
+    """
+    ds = doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df)
+    sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    left = ds.select(F.col("doc").alias("id1"), "shingle")
+    right = ds.select(F.col("doc").alias("id2"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc").alias("id1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("id2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(s1, "id1").join(s2, "id2")
+        # int/int would truncate; all inputs are exact longs, so the
+        # double division is bit-identical across engines.
+        .withColumn("jaccard",
+                    F.col("n_common").cast("double")
+                    / (F.col("n1") + F.col("n2") - F.col("n_common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_hashes: int = 32) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    h_j(shingle) = xxhash64(j, shingle) — Spark's built-in 64-bit hash
+    with the permutation index mixed in as a column, so all k minima
+    come out of ONE aggregation over the exploded shingles (no k-pass
+    scan). Output: (id, sig array<long> of length k).
+    """
+    ds = doc_shingle_pairs(df, id_col, text_col, n)
+    hashed = ds.select(
+        "doc",
+        F.array([F.xxhash64(F.lit(j), F.col("shingle"))
+                 for j in range(num_hashes)]).alias("hs"),
+    )
+    # element-wise min across rows: aggregate with zip_with(least).
+    return (
+        hashed.groupBy("doc")
+        .agg(F.reduce(
+            F.collect_list("hs"),
+            F.array([F.lit(2**63 - 1).cast("long")] * num_hashes),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+        ).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Pipeline: signatures → band keys (hash of r consecutive minhashes)
+    → explode to (band_id, band_hash, doc) → self-join per bucket →
+    distinct candidates → exact Jaccard verification (only on the
+    candidate set, which is the whole point: candidates ≪ n²).
+
+    The band self-join shuffles on (band_id, band_hash); a bucket with
+    d docs yields d² candidates, which AQE's skew-join splitting keeps
+    balanced. Verification reuses ngram_jaccard_pairs' plan restricted
+    via a semi-join on the candidate pair set.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sigs.select(
+        "doc",
+        F.explode(F.array([
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)])
+                     .alias("bh"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc", "bk.band", "bk.bh")
+
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bh"])
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("id1"), F.col("r.doc").alias("id2"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    # Keep only verified-above-threshold candidate pairs.
+    return exact.join(cand, ["id1", "id2"], "left_semi")
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of token-hash bit vectors.
+
+    For each bit position, count tokens whose xxhash64 has that bit set
+    minus those that don't; bit = 1 if the sum is positive. Expressed
+    as one aggregation over exploded tokens using a 64-long vector —
+    no UDF, all codegen.
+    """
+    tok = df.select(F.col(id_col).alias("doc"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+
+    # Bit b's mask as a Python long literal (bit 63 is the long's sign
+    # bit, hence the negative literal).
+    def mask(b: int) -> int:
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    bitvec = F.array([
+        F.when(h.bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
+        for b in range(64)
+    ])
+    summed = (
+        tok.select("doc", bitvec.alias("bits"))
+        .groupBy("doc")
+        .agg(F.reduce(
+            F.collect_list("bits"),
+            F.array([F.lit(0)] * 64).cast("array<int>"),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("sums"))
+    )
+    # Fold the sign bits back into one long. Masks are disjoint, so OR
+    # == arithmetic sum; a flat 64-term sum keeps the expression tree
+    # linear (a nested when-chain would reference its child twice per
+    # level and blow up exponentially during analysis).
+    import functools
+    import operator
+    sig = functools.reduce(operator.add, [
+        F.when(F.element_at(F.col("sums"), b + 1) > 0,
+               F.lit(mask(b)).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ])
+    return summed.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k.
+
+    Candidate generation uses the standard 4-block trick: two
+    signatures within Hamming distance 3 must agree exactly on at least
+    one of 4 16-bit blocks, so we bucket-join on (block_idx, block)
+    instead of cross-joining, then verify the true distance with
+    bit_count(xor).
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    blocks = sigs.select(
+        "doc", "simhash",
+        F.explode(F.array([
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                     .alias("bv"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("doc", "simhash", "b.blk", "b.bv")
+    cand = (
+        blocks.alias("l").join(blocks.alias("r"), ["blk", "bv"])
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("id1"), F.col("r.doc").alias("id2"),
+                F.col("l.simhash").alias("s1"), F.col("r.simhash").alias("s2"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ t).
+
+    Small/medium corpora: exact block-nested self-join. The 100 TB
+    path is LSH bucketing first (similarity.random_hyperplane_lsh) and
+    running this verification only within buckets.
+
+    Cosine is computed in double precision with a sequential fold
+    (zip_with + aggregate), deterministic across engines.
+    """
+    def norm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, x: a + x))
+
+    left = emb.select(F.col(id_col).alias("id1"),
+                      F.col(vec_col).alias("v1"))
+    right = emb.select(F.col(id_col).alias("id2"),
+                       F.col(vec_col).alias("v2"))
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    return (
+        left.crossJoin(right)
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", dot / (norm(F.col("v1")) * norm(F.col("v2"))))
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+    )

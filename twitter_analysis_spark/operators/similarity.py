@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the standard ANN playbook:
+
+- ``cosine_topk``: exact brute-force top-k — one scan, a codegen'd
+  fold for the dot product, TakeOrderedAndProject for the top-k. The
+  correctness baseline, and perfectly serviceable when the query set
+  is small (each query is one scan of the corpus).
+- ``random_hyperplane_lsh`` + ``lsh_topk``: the scale path. Sign-bit
+  LSH buckets the corpus once (a cheap narrow table, bucketable /
+  partitionable on disk); each query probes only its own bucket and
+  multi-probe neighbors (Hamming-1 flips), turning a 100 TB scan into
+  a few-partition lookup at some recall cost.
+
+No Python UDFs anywhere: dot products are Catalyst ``zip_with`` +
+``aggregate`` folds in double precision (sequential, deterministic
+across engines — this matters for the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine against a constant query vector.
+
+    The query vector is inlined as a literal array, so the plan is a
+    single projection + filter-free scan ending in
+    TakeOrderedAndProject — no shuffle, no crossJoin, trivially
+    parallel over corpus partitions.
+    """
+    q = F.array([F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def random_hyperplane_lsh(emb: DataFrame, planes: list[list[float]],
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector a sign-bit LSH bucket from fixed hyperplanes.
+
+    ``planes`` must be generated once (deterministically seeded) and
+    shared between indexing and querying. With p planes the corpus
+    splits into ≤2^p buckets; cosine-similar vectors collide with
+    probability 1 - θ/π per plane.
+    """
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        pv = F.array([F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(F.col(vec_col), pv) >= 0,
+                                 F.lit(1 << i)).otherwise(F.lit(0))
+    return emb.select(F.col(id_col), F.col(vec_col),
+                      bucket.cast("int").alias("bucket"))
+
+
+def _hamming1_buckets(bucket: int, num_planes: int) -> list[int]:
+    return [bucket] + [bucket ^ (1 << i) for i in range(num_planes)]
+
+
+def lsh_topk(emb: DataFrame, planes: list[list[float]],
+             query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (plus Hamming-1
+    neighbors when ``multiprobe``), then exact cosine within it.
+
+    At scale the bucketed table is precomputed and partitioned by
+    ``bucket``, so this is a partition-pruned read of ~(1+p)/2^p of the
+    corpus instead of a full scan.
+    """
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qb |= 1 << i
+    probe = _hamming1_buckets(qb, len(planes)) if multiprobe else [qb]
+    bucketed = random_hyperplane_lsh(emb, planes, id_col, vec_col)
+    q = F.array([F.lit(float(x)) for x in query_vec])
+    return (
+        bucketed.where(F.col("bucket").isin(probe))
+        .select(F.col(id_col),
+                F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def fixed_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (shared index/query side).
+
+    A tiny xorshift-style generator — no numpy dependency at call sites
+    that only need plan construction, and bit-reproducible everywhere.
+    """
+    planes = []
+    state = seed & 0xFFFFFFFFFFFFFFFF or 1
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
