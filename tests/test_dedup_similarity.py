@@ -1,0 +1,90 @@
+"""Dedup + similarity invariants beyond the DuckDB oracles: planted
+near-duplicates are found; LSH candidates stay subsets of exact pairs;
+ANN recall is bounded below."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_analysis_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Tiny corpus with known near-dup structure."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    rows = [
+        (0, base),
+        (1, base),                                        # exact dup
+        (2, base.replace("lazy", "sleepy")),              # near dup
+        (3, base.replace("quick", "slow").replace("dog", "cat")),
+        (4, "completely different text about spark query engines and "
+            "distributed columnar execution plans"),
+        (5, "yet another unrelated document mentioning benchmarks"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_planted(planted):
+    out = dedup.exact_dedup(planted, "doc_id", ["text"])
+    assert out.count() == 5                    # 0/1 collapse
+    dup = out.where(F.col("n_copies") == 2).first()
+    assert dup["doc_id"] == 0                  # lowest id wins
+
+
+def test_jaccard_finds_near_dups(planted):
+    pairs = {(r["id1"], r["id2"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(
+                 planted, "doc_id", "text", n=3, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0                # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
+def test_minhash_lsh_subset_and_recall(planted):
+    exact = {(r["id1"], r["id2"])
+             for r in dedup.ngram_jaccard_pairs(
+                 planted, "doc_id", "text", n=3, threshold=0.3).collect()}
+    lsh = {(r["id1"], r["id2"])
+           for r in dedup.minhash_lsh_pairs(
+               planted, "doc_id", "text", n=3, num_hashes=32, bands=8,
+               threshold=0.3).collect()}
+    assert lsh <= exact
+    assert len(lsh) >= len(exact) - 1          # high recall on dups
+
+
+def test_simhash_exact_dup_distance_zero(planted):
+    sigs = {r["doc"]: r["simhash"]
+            for r in dedup.simhash_signatures(planted, "doc_id", "text").collect()}
+    assert sigs[0] == sigs[1]
+    assert bin(sigs[0] ^ sigs[2]).count("1") < bin(sigs[0] ^ sigs[4]).count("1")
+
+
+def test_shingle_df_pruning(planted):
+    """The pair-explosion guard drops ultra-common shingles."""
+    unpruned = dedup.doc_shingle_pairs(planted, "doc_id", "text", 3)
+    pruned = dedup.doc_shingle_pairs(planted, "doc_id", "text", 3,
+                                     max_shingle_df=1)
+    assert pruned.count() < unpruned.count()
+    assert pruned.groupBy("shingle").count().agg(
+        F.max("count")).first()[0] == 1
+
+
+def test_ann_recall_floor(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    bf = [r["vec_id"] for r in similarity.cosine_topk(emb, qvec, 10).collect()]
+    planes = similarity.fixed_planes(len(qvec), 6)
+    ann = [r["vec_id"] for r in similarity.lsh_topk(emb, planes, qvec, 10).collect()]
+    recall = len(set(bf) & set(ann)) / 10
+    assert bf[0] in ann                        # top-1 always found
+    assert recall >= 0.3                       # floor on structure-free data
+
+
+def test_cosine_identity(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 7").first()["embedding"]]
+    top = similarity.cosine_topk(emb, qvec, 1).first()
+    assert top["vec_id"] == 7 and abs(top["cosine"] - 1.0) < 1e-9

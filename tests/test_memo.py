@@ -1,0 +1,69 @@
+"""Memo layer (K1-K6) behavior tests."""
+
+from __future__ import annotations
+
+import time
+
+from twitter_analysis_spark.plans.memo import QueryMemo, fingerprint
+
+
+def _builder_factory(spark, calls, n=5):
+    def build():
+        calls.append(1)
+        return spark.range(n)
+    return build
+
+
+def test_fingerprint_canonical():
+    assert fingerprint({"a": 1, "b": [2, 3]}) == fingerprint({"b": [2, 3], "a": 1})
+    assert fingerprint({"a": 1}) != fingerprint({"a": 2})
+
+
+def test_hit_skips_recompute(spark, tmp_path):
+    memo = QueryMemo(spark, str(tmp_path / "memo"))
+    calls: list = []
+    b = _builder_factory(spark, calls)
+    assert memo.get_or_compute({"q": 1}, b).count() == 5
+    assert memo.get_or_compute({"q": 1}, b).count() == 5
+    assert len(calls) == 1                       # K1 memoization
+
+
+def test_lru_eviction(spark, tmp_path):
+    memo = QueryMemo(spark, str(tmp_path / "memo"), max_entries=2)
+    calls: list = []
+    for i in range(3):
+        memo.get_or_compute({"q": i}, _builder_factory(spark, calls))
+        time.sleep(0.01)
+    assert memo.stats()["entries"] == 2          # K6 bound
+    memo.get_or_compute({"q": 0}, _builder_factory(spark, calls))
+    assert len(calls) == 4                       # q=0 was evicted (oldest)
+
+
+def test_ttl_expiry(spark, tmp_path):
+    memo = QueryMemo(spark, str(tmp_path / "memo"), ttl_seconds=0.05)
+    calls: list = []
+    memo.get_or_compute({"q": 1}, _builder_factory(spark, calls))
+    time.sleep(0.1)
+    memo.get_or_compute({"q": 1}, _builder_factory(spark, calls))
+    assert len(calls) == 2                       # K2 TTL recompute
+
+
+def test_restore_on_boot(spark, tmp_path):
+    root = str(tmp_path / "memo")
+    calls: list = []
+    QueryMemo(spark, root).get_or_compute({"q": 9}, _builder_factory(spark, calls))
+    memo2 = QueryMemo(spark, root)               # K5 restore
+    assert memo2.lookup({"q": 9}) is not None
+    assert len(calls) == 1
+
+
+def test_warm(spark, tmp_path, twitter_fixture):
+    from twitter_analysis_spark.operators import search
+    memo = QueryMemo(spark, str(tmp_path / "memo"))
+    tweets_df = twitter_fixture["tweets_df"]
+    kw_df = search.top_keywords(tweets_df, k=3)
+    kws = memo.warm(kw_df, lambda kw: search.search_tweets(
+        tweets_df, keyword=kw, limit=50), k=3)
+    assert len(kws) == 3 and memo.stats()["entries"] == 3   # K4
+    for kw in kws:
+        assert memo.lookup({"entity": "tweet", "keyword": kw}) is not None
