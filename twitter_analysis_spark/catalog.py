@@ -924,3 +924,128 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched mapInPandas decode plumbing (stub kernel).
     media = _mm.media_table(_t(spark, sf_dir, "documents"))
     return _mm.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Log-analytics shapes over the events stream table: batch event-time
+# windows, sessionization, result-set union, percentile statistics.
+# (Streaming variants live in streaming/keyword_counts.py; these are the
+# batch equivalents the driver can oracle-check.)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w1_tumbling_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def w1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch tumbling window == group by truncated event time. One
+    # shuffle, map-side partials; the streaming twin adds a watermark.
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+            .alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "s9_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def s9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Classic log sessionization: lag-gap detection + running sum to
+    # assign session ids, then per-session aggregation. Two window
+    # passes over ONE shuffle (both windows share the user_id
+    # partitioning, so Catalyst reuses the exchange).
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # TIMESTAMP_NTZ has no direct long cast; compare gaps in epoch
+    # MICROseconds (session tz is UTC, so ntz->ltz is the identity
+    # wall-clock map) — second-truncated unix_timestamp would disagree
+    # with the oracle's full-precision interval on e.g. a 1800.5s gap.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    wsum = (Window.partitionBy("user_id").orderBy(F.asc("ts"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wsum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "u2_union_results",
+    """
+    SELECT DISTINCT doc_id, lang FROM (
+        SELECT doc_id, lang FROM documents WHERE regexp_matches(text, '(?i)spark')
+        UNION ALL
+        SELECT doc_id, lang FROM documents
+        WHERE list_has_any(string_split(text, ' '), ['vector', 'stream'])
+    )
+    """,
+)
+def u2_union_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U2 (app.py:141-144): keyword-entity + hashtag-entity search
+    # results unioned, deduplicated by id.
+    kw = QUERIES["f1_keyword_regex"](spark, sf_dir)
+    ht = QUERIES["f2_array_membership"](spark, sf_dir)
+    return kw.unionByName(ht).distinct()
+
+
+@register(
+    "a7_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentiles (Spark `percentile` == DuckDB
+    # quantile_cont: sort + linear interpolation on identical doubles).
+    # The 100 TB variant is approx_percentile (t-digest) — used in
+    # monitoring paths where a 1e-3 relative error is fine; exact here
+    # so the oracle can check it.
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
+        )
+    )
