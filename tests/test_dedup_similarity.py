@@ -88,3 +88,24 @@ def test_cosine_identity(spark, sf_dir):
     qvec = [float(x) for x in emb.where("vec_id = 7").first()["embedding"]]
     top = similarity.cosine_topk(emb, qvec, 1).first()
     assert top["vec_id"] == 7 and abs(top["cosine"] - 1.0) < 1e-9
+
+
+def test_ivf_partition_and_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    cents = similarity.ivf_centroids(emb, nlist=8)
+    assigned = similarity.ivf_assign(emb, cents)
+    # every vector lands in exactly one of the 8 cells
+    assert assigned.count() == emb.count()
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+    # probing ALL cells == exact brute force (sanity: partition is lossless)
+    bf = [r["vec_id"] for r in similarity.cosine_topk(emb, qvec, 10).collect()]
+    full = [r["vec_id"] for r in
+            similarity.ivf_topk(emb, cents, qvec, 10, nprobe=8).collect()]
+    assert full == bf
+    # nprobe=2 keeps the query's own identity match and decent recall
+    ann = [r["vec_id"] for r in
+           similarity.ivf_topk(emb, cents, qvec, 10, nprobe=2).collect()]
+    assert 0 in ann
+    assert len(set(bf) & set(ann)) / 10 >= 0.3

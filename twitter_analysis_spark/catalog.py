@@ -1049,3 +1049,131 @@ def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining SURVEY §2 line items: F4 absence filter, T2/T4 sidebar
+# top-5, the C-function scalar suite, plus two scale-technique
+# demonstrations (salted skew aggregation, IVF ANN probe).
+# ---------------------------------------------------------------------------
+
+@register(
+    "f4_absence_filter",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def f4_absence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4: {"retweeted_status": {"$exists": False}} (app.py:120,170) —
+    # absence-of-related-fact as a left-anti join (the relational form
+    # of Mongo's field-absence test). No row multiplication; at scale
+    # the anti join shuffles both sides on the key once.
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "t2_top5_sidebar",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 5
+    """,
+)
+def t2_top5_sidebar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T2+T4: the sidebar "top-5 users by followers" (app.py:156, SQL
+    # LIMIT 5; sort shape cache.py:153). TakeOrderedAndProject again —
+    # each partition keeps 5, no global sort.
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(5)
+    )
+
+
+@register(
+    "c_scalar_suite",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%m/%d/%Y') AS date_fmt,
+           strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')::DATE AS date_roundtrip,
+           regexp_matches(o_orderstatus, '^[A-Za-z0-9]+$') AS status_alnum,
+           CAST(o_orderpriority = '1-URGENT' AS INT) AS is_urgent,
+           '#' || o_orderstatus AS tagged_status,
+           epoch(o_orderdate)::BIGINT AS epoch_s
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def c_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C3 (UI date parse, app.py:39-45), C6 (isalnum, cache.py:217),
+    # C9 (bool->int, cell33:10), C11 (string tagging, app.py:165,209),
+    # C12 (epoch seconds, cache.py:87,123) in one projection — all
+    # codegen'd JVM expressions, no UDFs.
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "MM/dd/yyyy").alias("date_fmt"),
+            F.to_date(F.date_format("o_orderdate", "MM/dd/yyyy"), "MM/dd/yyyy")
+            .alias("date_roundtrip"),
+            F.col("o_orderstatus").rlike("^[A-Za-z0-9]+$").alias("status_alnum"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("is_urgent"),
+            F.concat(F.lit("#"), F.col("o_orderstatus")).alias("tagged_status"),
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+        )
+    )
+
+
+@register(
+    "a8_salted_skew_agg",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a8_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Salting demo: event_type has ~single-digit cardinality, so at
+    # 100 TB a plain groupBy would hash all rows of one type onto one
+    # reducer. Stage 1 aggregates on (key, salt16) spreading each hot
+    # key over 16 reducers; stage 2 merges the 16 partials per key.
+    # DECIMAL partials keep the two-stage sum bit-identical to the
+    # oracle's one-stage sum. (Spark's own partial aggregation already
+    # mitigates this for algebraic aggs; the pattern matters for
+    # collect_list/percentile-style holistic aggs and is exercised here
+    # against an oracle to prove result-invariance.)
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = (
+        salted.groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.sum("_s").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register("sim_ivf_topk")  # approximate (recall<1): rows-only check
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantization ANN: probe the 2 nearest of 8 cells, exact
+    # cosine within. Complements sim_lsh_topk (data-adaptive cells vs
+    # fixed hyperplanes). Recall floor asserted in tests.
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cents = _sim.ivf_centroids(emb, nlist=8)
+    return _sim.ivf_topk(emb, cents, qvec, k=10, nprobe=2)
