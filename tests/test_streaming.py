@@ -56,3 +56,95 @@ def test_windows_are_aligned(spark, twitter_fixture, tmp_path):
         assert delta.total_seconds() == 600
         assert r["window_start"].minute % 10 == 0
     q.stop()
+
+
+def _events_dropdir(spark, tmp_path, n_users=20):
+    """Write a slice of the sf0.001 events table as JSON drop files."""
+    drop = tmp_path / "events_drop"
+    drop.mkdir()
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.expr(
+            "cast(timestamp_micros(ts div 1000) as timestamp)"))
+        .where(F.col("user_id") < n_users)
+        .select("event_id", F.date_format(
+            "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"), "user_id")
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+    import json
+    for name, chunk in (("a.jsonl", rows[:half]), ("b.jsonl", rows[half:])):
+        with open(drop / name, "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"event_id": r["event_id"], "ts": r["ts"],
+                                    "user_id": r["user_id"]}) + "\n")
+    return str(drop), ev.count()
+
+
+def test_streaming_sessions_builtin_matches_batch(spark, tmp_path):
+    from twitter_analysis_spark.streaming import sessionize as S
+
+    drop, n_events = _events_dropdir(spark, tmp_path)
+    out = S.streaming_sessions(S.read_event_stream(spark, drop),
+                               gap="30 minutes")
+    q = (out.writeStream.format("memory").queryName("sess_b")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM sess_b")
+
+    # batch truth: lag-gap sessionization over the same events
+    batch = (
+        spark.read.json(drop, schema=S.EVENT_SCHEMA)
+        .selectExpr("user_id", "ts", "event_id")
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    sess = (
+        batch.withColumn("prev", F.lag("ts").over(w))
+        .withColumn("new_s", F.when(
+            F.col("prev").isNull()
+            | ((F.unix_micros("ts") - F.unix_micros("prev")) > gap_us), 1)
+            .otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("event_id").alias("first_event_id"))
+    )
+    # append mode only emits watermark-finalized sessions: every emitted
+    # session must exist in the batch truth with identical composition.
+    got_rows = {(r["user_id"], r["first_event_id"]): r["n_events"]
+                for r in got.collect()}
+    truth = {(r["user_id"], r["first_event_id"]): r["n_events"]
+             for r in sess.collect()}
+    assert got_rows, "no sessions finalized by the stream"
+    for key, n in got_rows.items():
+        assert truth.get(key) == n, (key, n, truth.get(key))
+    q.stop()
+
+
+def test_streaming_sessions_custom_stateful(spark, tmp_path):
+    from twitter_analysis_spark.streaming import sessionize as S
+
+    drop, _ = _events_dropdir(spark, tmp_path)
+    out = S.streaming_sessions_custom(S.read_event_stream(spark, drop))
+    q = (out.writeStream.format("memory").queryName("sess_c")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM sess_c").collect()
+    assert got, "custom stateful sessionizer emitted nothing"
+    for r in got:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+        assert r["last_event_id"] >= 0
+    # emitted (user, first_event) pairs must agree with the builtin's
+    # finalized sessions on event counts
+    builtin = {(r["user_id"], r["first_event_id"]): r["n_events"]
+               for r in spark.sql("SELECT * FROM sess_b").collect()} \
+        if "sess_b" in [t.name for t in spark.catalog.listTables()] else {}
+    for r in got:
+        key = (r["user_id"], r["first_event_id"])
+        if key in builtin:
+            assert builtin[key] == r["n_events"]
+    q.stop()
