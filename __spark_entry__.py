@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # Right-size shuffle parallelism for the driver's vanilla
+            # session (default 200 tasks/stage dwarfs the sf0.01 data;
+            # both are runtime-settable SQL confs).
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
             return fn(spark, sf_dir)
         return run
 

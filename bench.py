@@ -35,6 +35,16 @@ HEADLINE = [
     "t1_topk_multisort",
     "t6_group_topk",
     "a4_conditional_counts",
+    # log-analytics tier
+    "w1_tumbling_window_agg",
+    "s9_sessionization",
+    "a8_salted_skew_agg",
+    # training-data pipeline tier (dedup / text / similarity)
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_fingerprint",
+    "text_quality_features",
+    "sim_cosine_topk",
 ]
 
 
@@ -55,7 +65,7 @@ def main() -> None:
         # count() forces full execution without shipping wide results
         # to the driver; top-k queries are cheap to collect anyway.
         df = catalog.QUERIES[name](spark, SF_DIR)
-        df.collect() if name.startswith(("t", "flagship", "q3", "a2")) else df.count()
+        df.collect() if name.startswith(("t1", "t6", "flagship", "q3", "a2", "sim")) else df.count()
 
     # Untimed warmup pass: loads classes + whole-stage codegen compiles
     # each plan shape once, so the timed pass measures the engine, not

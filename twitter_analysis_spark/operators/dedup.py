@@ -38,8 +38,16 @@ def tokens(col):
 
 def word_shingles(col, n: int):
     """n-word shingles as strings: transform over a sequence of offsets
-    (pure Catalyst expression — no UDF, codegen-friendly)."""
-    toks = tokens(col)
+    (pure Catalyst expression — no UDF, codegen-friendly).
+
+    PERF: ``col`` must be an already-materialized token ARRAY column
+    (a plain attribute), NOT the ``tokens(text)`` expression inline.
+    Higher-order-function lambdas re-evaluate captured subtrees per
+    element, so an inline split() makes this O(tokens²) per document —
+    measured 10× slower on the bench corpus. Callers project
+    ``tokens(text)`` into a column first (see ``_with_tokens``).
+    """
+    toks = col
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -63,9 +71,11 @@ def doc_shingle_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int, max_shingle_df: int | None = None) -> DataFrame:
     """Distinct (id, shingle) pairs, optionally pruning shingles whose
     document frequency exceeds ``max_shingle_df`` (pair-explosion guard)."""
+    toked = df.select(F.col(id_col).alias("doc"),
+                      tokens(F.col(text_col)).alias("_tk"))
     pairs = (
-        df.select(F.col(id_col).alias("doc"),
-                  F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        toked.select("doc",
+                     F.explode(word_shingles(F.col("_tk"), n)).alias("shingle"))
         .distinct()
     )
     if max_shingle_df is not None:
@@ -86,6 +96,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     partial aggregation on both, AQE handles skew.
     """
     ds = doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df)
+    return _jaccard_pairs_from(ds, threshold)
+
+
+def _jaccard_pairs_from(ds: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs from a distinct (doc, shingle) table."""
     sizes = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     left = ds.select(F.col("doc").alias("id1"), "shingle")
@@ -114,25 +129,32 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, num_hashes: int = 32) -> DataFrame:
     """k-permutation MinHash signature per document.
 
+    Output: (id, sig array<long> of length k)."""
+    return _signatures_from(doc_shingle_pairs(df, id_col, text_col, n),
+                            num_hashes)
+
+
+def _signatures_from(ds: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signatures from a distinct (doc, shingle) table.
+
     h_j(shingle) = xxhash64(j, shingle) — Spark's built-in 64-bit hash
-    with the permutation index mixed in as a column, so all k minima
-    come out of ONE aggregation over the exploded shingles (no k-pass
-    scan). Output: (id, sig array<long> of length k).
+    with the permutation index mixed in as a literal, one column per
+    permutation. k independent MIN aggregates get map-side partial
+    aggregation (each mapper emits one k-wide row per doc), so the
+    shuffle is O(docs × k), not O(shingles × k) — the collect_list
+    formulation this replaced shipped every shingle's hash array to the
+    reducer and was the dominant cost of the LSH pipeline.
     """
-    ds = doc_shingle_pairs(df, id_col, text_col, n)
     hashed = ds.select(
         "doc",
-        F.array([F.xxhash64(F.lit(j), F.col("shingle"))
-                 for j in range(num_hashes)]).alias("hs"),
+        *[F.xxhash64(F.lit(j), F.col("shingle")).alias(f"h{j}")
+          for j in range(num_hashes)],
     )
-    # element-wise min across rows: aggregate with zip_with(least).
     return (
         hashed.groupBy("doc")
-        .agg(F.reduce(
-            F.collect_list("hs"),
-            F.array([F.lit(2**63 - 1).cast("long")] * num_hashes),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
-        ).alias("sig"))
+        .agg(*[F.min(f"h{j}").alias(f"m{j}") for j in range(num_hashes)])
+        .select("doc", F.array([F.col(f"m{j}")
+                                for j in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -153,7 +175,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # One shingle inverted index feeds BOTH the signature pass and the
+    # exact verification pass; persist so tokenize+shingle+distinct
+    # runs once. (Deploy scale: a materialized table between jobs.)
+    ds = doc_shingle_pairs(df, id_col, text_col, n).persist()
+    sigs = _signatures_from(ds, num_hashes)
     banded = sigs.select(
         "doc",
         F.explode(F.array([
@@ -164,14 +190,32 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         ])).alias("bk"),
     ).select("doc", "bk.band", "bk.bh")
 
+    # The candidate set feeds three consumers (doc pruning twice, the
+    # final pair filter); persist the narrow (id1, id2) table so its
+    # band-join lineage runs once. At deploy scale this is where the
+    # candidate table would be checkpointed to storage between the
+    # bucketing and verification jobs.
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bh"])
         .where(F.col("l.doc") < F.col("r.doc"))
         .select(F.col("l.doc").alias("id1"), F.col("r.doc").alias("id2"))
         .distinct()
+        .persist()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    # Exact-Jaccard verification restricted to candidate DOCUMENTS: the
+    # shingle inverted index is pruned to docs that appear in some
+    # candidate pair before the self-join, so verification cost scales
+    # with |candidates|, not |corpus|² — the entire point of LSH at
+    # 100 TB (verifying against the full corpus would redo the
+    # quadratic join LSH exists to avoid).
+    cand_docs = (
+        cand.select(F.col("id1").alias("doc"))
+        .unionByName(cand.select(F.col("id2").alias("doc")))
+        .distinct()
+    )
+    exact = _jaccard_pairs_from(ds.join(cand_docs, "doc", "left_semi"),
+                                threshold)
     # Keep only verified-above-threshold candidate pairs.
     return exact.join(cand, ["id1", "id2"], "left_semi")
 
@@ -180,9 +224,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: sign-sum of token-hash bit vectors.
 
     For each bit position, count tokens whose xxhash64 has that bit set
-    minus those that don't; bit = 1 if the sum is positive. Expressed
-    as one aggregation over exploded tokens using a 64-long vector —
-    no UDF, all codegen.
+    minus those that don't; bit = 1 if the sum is positive. All
+    codegen'd column expressions — no UDF.
     """
     tok = df.select(F.col(id_col).alias("doc"),
                     F.explode(tokens(F.col(text_col))).alias("tok"))
@@ -193,18 +236,20 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def mask(b: int) -> int:
         return (1 << b) if b < 63 else -(1 << 63)
 
-    bitvec = F.array([
-        F.when(h.bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
-        for b in range(64)
-    ])
+    # 64 independent SUM aggregates so each mapper pre-folds its tokens
+    # into one 64-wide partial row per doc (map-side combine); the
+    # shuffle is O(docs × 64), not O(tokens × 64) as with the
+    # collect_list fold this replaced. The token hash is materialized
+    # once per row and the 64 sign tests read that attribute.
     summed = (
-        tok.select("doc", bitvec.alias("bits"))
+        tok.select("doc", h.alias("_h"))
+        .select("doc", *[
+            F.when(F.col("_h").bitwiseAND(F.lit(mask(b))) != 0, 1)
+            .otherwise(-1).alias(f"b{b}")
+            for b in range(64)
+        ])
         .groupBy("doc")
-        .agg(F.reduce(
-            F.collect_list("bits"),
-            F.array([F.lit(0)] * 64).cast("array<int>"),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("sums"))
+        .agg(*[F.sum(f"b{b}").alias(f"s{b}") for b in range(64)])
     )
     # Fold the sign bits back into one long. Masks are disjoint, so OR
     # == arithmetic sum; a flat 64-term sum keeps the expression tree
@@ -213,7 +258,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     import functools
     import operator
     sig = functools.reduce(operator.add, [
-        F.when(F.element_at(F.col("sums"), b + 1) > 0,
+        F.when(F.col(f"s{b}") > 0,
                F.lit(mask(b)).cast("long")).otherwise(F.lit(0).cast("long"))
         for b in range(64)
     ])

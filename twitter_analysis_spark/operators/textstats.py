@@ -84,7 +84,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
       arithmetic (integer counts → one double blend, rounded).
     """
     c = F.col(text_col)
-    toks = tokens(c)
+    # One tokenize per row: the stats below reference the materialized
+    # array instead of re-splitting the text per feature.
+    df = df.withColumn("_tk", tokens(c))
+    toks = F.col("_tk")
     n_tokens = F.greatest(F.size(toks), F.lit(1)).cast("double")
     n_chars = F.greatest(F.length(c), F.lit(1)).cast("double")
     stop_ratio = _marker_hits(toks, LANG_MARKERS["en"]).cast("double") / n_tokens
@@ -109,7 +112,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(digit_ratio, 6).alias("digit_ratio"),
         F.round(score, 6).alias("quality_score"),
-    )
+    ).drop("_tk")
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str,
@@ -125,9 +128,17 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str,
     """
     c = F.col(text_col)
     normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
-    shingles = word_shingles(c, shingle_n)
-    return df.select(
+    # Materialize the token array before shingling — an inline tokens()
+    # expression would be re-evaluated per shingle inside the transform
+    # lambda (see word_shingles docstring; 10x on the bench corpus).
+    toked = df.select(
         F.col(id_col),
         F.md5(normalized).alias("md5_fp"),
+        tokens(c).alias("_tk"),
+    )
+    shingles = word_shingles(F.col("_tk"), shingle_n)
+    return toked.select(
+        F.col(id_col),
+        "md5_fp",
         F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_fp"),
     )
