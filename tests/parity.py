@@ -61,8 +61,10 @@ def compare(spark, sf_dir: str, name: str, query_fn, oracle: str) -> list[str]:
     # Driver sorts columns by name before hashing — do the same.
     sidx = [scols.index(c) for c in sorted(scols)]
     didx = [dcols.index(c) for c in sorted(dcols)]
-    sset = sorted(tuple(r[i] for i in sidx) for r in srows)
-    dset = sorted(tuple(r[i] for i in didx) for r in drows)
+    # repr-keyed sort: total order even with NULLs / mixed types in a
+    # column (plain tuple comparison raises on None < str).
+    sset = sorted((tuple(r[i] for i in sidx) for r in srows), key=repr)
+    dset = sorted((tuple(r[i] for i in didx) for r in drows), key=repr)
     if len(sset) != len(dset):
         problems.append(f"{name}: row count spark={len(sset)} duck={len(dset)}")
     if sset != dset:

@@ -23,3 +23,25 @@ def test_every_query_has_rows(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(1).collect()
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """HLL cardinality within 5% of exact; t-digest median within the
+    interquartile neighborhood of the exact percentile."""
+    from twitter_analysis_spark import catalog
+
+    approx = {r["l_returnflag"]: r for r in
+              catalog.QUERIES["a11_approx_sketches"](spark, sf_dir).collect()}
+    exact = {r["l_returnflag"]: r for r in
+             catalog.QUERIES["a10_grouped_distinct"](spark, sf_dir).collect()}
+    import duckdb
+    con = duckdb.connect()
+    med = dict(con.execute(
+        f"SELECT l_returnflag, quantile_cont(l_quantity, 0.5) "
+        f"FROM '{sf_dir}/lineitem.parquet' GROUP BY l_returnflag").fetchall())
+    assert set(approx) == set(exact)
+    for flag, row in approx.items():
+        rel = abs(row["n_supps_approx"] - exact[flag]["n_supps"]) \
+            / exact[flag]["n_supps"]
+        assert rel <= 0.05, (flag, rel)
+        assert abs(row["qty_p50_p95"][0] - med[flag]) <= 2.0, flag

@@ -1177,3 +1177,114 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     cents = _sim.ivf_centroids(emb, nlist=8)
     return _sim.ivf_topk(emb, cents, qvec, k=10, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# OLAP capability tier beyond the reference: multi-level aggregation
+# (rollup), distribution-of-aggregates, grouped distinct counting, and
+# the approximate-sketch variants used at 100 TB.
+# ---------------------------------------------------------------------------
+
+@register(
+    "a9_rollup_revenue",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           total_bal, n_suppliers
+    FROM (
+        SELECT r.r_name, n.n_name,
+               CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+               count(*) AS n_suppliers
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    )
+    """,
+)
+def a9_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hierarchical subtotals (region -> nation -> grand total) in ONE
+    # pass: Catalyst expands the rollup into grouping sets evaluated in
+    # a single Expand+HashAggregate, not three scans.
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        supplier
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double")
+            .alias("total_bal"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        # subtotal rows carry NULL group keys; surface them as 'ALL' so
+        # the result is total-orderable for the oracle hash compare
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "total_bal", "n_suppliers",
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) GROUP BY n_orders
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 shape: distribution of per-customer order counts —
+    # outer join preserving order-less customers, then an aggregate of
+    # an aggregate (two shuffles, both on small post-agg data).
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "a10_grouped_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a10_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped distinct-aggregate: Catalyst plans the classic two-phase
+    # expand (dedup on (flag, supp) then count) with partial aggs.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_suppkey").alias("n_supps"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register("a11_approx_sketches")  # approximate (HLL/t-digest): rows-only check
+def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB forms of a6/a7: HyperLogLog++ cardinality and t-digest
+    # percentiles — fixed-size sketches, mergeable across partitions,
+    # no exact-sort/dedup cost. Error bounds asserted in tests against
+    # the exact answers (oracle hash-compare is impossible by design).
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
+            F.percentile_approx("l_quantity", [0.5, 0.95], 10000)
+            .alias("qty_p50_p95"),
+        )
+    )
