@@ -148,3 +148,27 @@ def test_streaming_sessions_custom_stateful(spark, tmp_path):
         if key in builtin:
             assert builtin[key] == r["n_events"]
     q.stop()
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from twitter_analysis_spark.streaming import sessionize as S
+    import json as _json
+
+    drop = tmp_path / "dup_drop"
+    drop.mkdir()
+    rows = [{"event_id": i % 5, "ts": f"2024-01-01T00:{i:02d}:00.000Z",
+             "user_id": 1} for i in range(10)]
+    # duplicate event_id+ts pairs across two files (replay simulation)
+    (drop / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+    (drop / "b.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:6]) + "\n")
+
+    out = S.streaming_dedup(S.read_event_stream(spark, str(drop)))
+    q = (out.writeStream.format("memory").queryName("dedup_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT event_id, ts FROM dedup_s").collect()
+    assert len(got) == 10                      # replayed 6 rows suppressed
+    assert len({(r["event_id"], r["ts"]) for r in got}) == 10
+    q.stop()

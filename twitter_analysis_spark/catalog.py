@@ -1288,3 +1288,56 @@ def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty_p50_p95"),
         )
     )
+
+
+@register(
+    "t8_moving_avg",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+               AS mov_avg
+    FROM events WHERE user_id < 100
+    """,
+)
+def t8_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sliding-frame window (3-event moving average per user): one
+    # shuffle on the partition key, sorted frame scan within. The
+    # rounding bounds double addition-order noise: both engines sum the
+    # same <=3 values in frame order, so 6dp agree.
+    w = (Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+         .rowsBetween(-2, Window.currentRow))
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 100)
+        .select("user_id", "event_id",
+                F.round(F.avg("value").over(w), 6).alias("mov_avg"))
+    )
+
+
+@register(
+    "q2_groupwise_argmin",
+    """
+    WITH mn AS (
+      SELECT p_brand, min(p_retailprice) AS min_price
+      FROM part GROUP BY p_brand
+    )
+    SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p JOIN mn ON p.p_brand = mn.p_brand
+               AND p.p_retailprice = mn.min_price
+    """,
+)
+def q2_groupwise_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape: rows achieving the per-group minimum — aggregate
+    # once, rejoin on (group, min). The agg output is small (one row
+    # per brand), so it broadcasts back onto the fact scan; ties are
+    # all kept, exactly as SQL semantics dictate.
+    part = _t(spark, sf_dir, "part")
+    mn = (part.groupBy(F.col("p_brand").alias("mn_brand"))
+          .agg(F.min("p_retailprice").alias("min_price")))
+    return (
+        part.join(F.broadcast(mn),
+                  (F.col("p_brand") == F.col("mn_brand"))
+                  & (F.col("p_retailprice") == F.col("min_price")))
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )

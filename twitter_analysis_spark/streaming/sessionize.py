@@ -173,3 +173,16 @@ def streaming_sessions_custom(events: DataFrame,
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour",
+                    key: str = "event_id") -> DataFrame:
+    """Streaming exact deduplication: first arrival of each key wins.
+
+    ``dropDuplicates`` on a stream keeps one state entry per key seen;
+    the watermark ages state out (a key older than the horizon can be
+    emitted twice — the standard at-least-once dedup tradeoff). The
+    streaming face of operators/dedup.exact_dedup for ingest pipelines
+    that must not double-count replayed events.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates([key, "ts"])
