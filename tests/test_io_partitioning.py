@@ -30,3 +30,31 @@ def test_partitioned_write_prunes(spark, tmp_path):
     n_all = back.rdd.getNumPartitions()
     n_one = one.rdd.getNumPartitions()
     assert n_one <= n_all
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    from twitter_analysis_spark.sources.io import write_bucketed
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    lineitem = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8)
+    write_bucketed(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "lineitem_b", ["o_orderkey"], 8)
+
+    o = spark.table("orders_b")
+    l = spark.table("lineitem_b")
+    # force the co-located path (broadcast would also skip the shuffle,
+    # trivially) — the point is a shuffle-free SortMergeJoin
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = o.join(l, "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan   # no runtime shuffle
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the scale architecture, asserted.
+
+Correctness tests prove the right rows come back at sf0.01; these prove
+the plan SHAPE is the one that survives 100 TB — filters reach the
+parquet scan, dimensions broadcast, top-k never global-sorts, grouped
+aggregation is partial+final. A regression here means a future edit
+silently traded a streaming-friendly plan for a shuffle-everything one,
+long before any benchmark would catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from twitter_analysis_spark import catalog
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = catalog.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filters_push_to_parquet(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "flagship_search")
+    assert "PushedFilters: [IsNotNull(event_type)" in plan \
+        or "EqualTo(event_type,click)" in plan
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "p1_projection")
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan
+    # a pruned scan needs no row filtering at all
+    assert "DataFilters: []" in plan
+
+
+@pytest.mark.parametrize("name", ["flagship_search", "j1_broadcast_user_join",
+                                  "j2_dim_chain_join", "q3_top_revenue_orders"])
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, name
+    assert "SortMergeJoin" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["flagship_search", "t1_topk_multisort",
+                                  "t2_top5_sidebar", "q3_top_revenue_orders"])
+def test_topk_never_global_sorts(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan, name
+
+
+@pytest.mark.parametrize("name", ["a2_top_keywords", "q1_pricing_summary",
+                                  "a4_conditional_counts"])
+def test_aggregation_is_partial_final(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "partial_" in plan, name          # map-side combine present
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "j4_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_is_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "f4_absence_filter")
+    assert "LeftAnti" in plan
+
+
+def test_rollup_is_single_expand(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "a9_rollup_revenue")
+    assert plan.count("Expand") >= 1
+    # one scan of supplier, not one per grouping level
+    assert plan.count("supplier.parquet") == 1
+
+
+def test_sessionization_reuses_exchange(spark, sf_dir):
+    # both window passes partition by user_id; the second must reuse
+    # the first's shuffle, not add one
+    plan = plan_of(spark, sf_dir, "s9_sessionization")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1

@@ -69,3 +69,22 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 16,
+                   sort_cols: list[str] | None = None) -> None:
+    """Bucketed managed-table sink: pre-shuffles rows into ``n_buckets``
+    hash buckets on ``bucket_cols`` at write time.
+
+    The 100 TB play: two fact tables bucketed the same way join WITHOUT
+    a runtime shuffle (both sides' partitioning already satisfies the
+    join's distribution requirement) — pay the shuffle once at ingest,
+    amortize it over every subsequent join/aggregation on that key.
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog, not
+    the files).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
