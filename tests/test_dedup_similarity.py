@@ -109,3 +109,12 @@ def test_ivf_partition_and_recall(spark, sf_dir):
            similarity.ivf_topk(emb, cents, qvec, 10, nprobe=2).collect()]
     assert 0 in ann
     assert len(set(bf) & set(ann)) / 10 >= 0.3
+
+
+def test_vectorized_cosine_matches_expression(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    expr = similarity.cosine_topk(emb, qvec, 10).collect()
+    vect = similarity.cosine_topk_vectorized(emb, qvec, 10).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in expr] == \
+           [(r["vec_id"], r["cosine"]) for r in vect]
