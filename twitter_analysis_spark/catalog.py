@@ -1392,3 +1392,102 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
     )
+
+
+from .operators.asof import asof_join as _asof_join  # noqa: E402
+
+
+@register(
+    "j6_asof_join",
+    """
+    WITH o1 AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           date_trunc('second', e.ts) AS ts_sec,
+           o1.o_orderkey AS last_orderkey
+    FROM events e ASOF LEFT JOIN o1
+      ON e.user_id = o1.user_id AND e.ts >= o1.o_orderdate
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join (operators/asof.py): each event picks up the customer's
+    # most recent order at-or-before the event time. Right side is
+    # deduplicated to one order per (customer, date) so the as-of winner
+    # is deterministic in both engines.
+    events = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts",
+                F.date_trunc("second", F.col("ts")).cast("timestamp_ntz")
+                .alias("ts_sec"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return (
+        _asof_join(events, orders, key="user_id",
+                   left_ts="ts", right_ts="o_orderdate",
+                   payload=["o_orderkey"])
+        .select("event_id", "user_id", "ts_sec",
+                F.col("o_orderkey").alias("last_orderkey"))
+    )
+
+
+from .operators.rangejoin import interval_join as _interval_join  # noqa: E402
+
+
+@register(
+    "j7_range_join",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, value, date_trunc('second', ts) AS ts_s
+      FROM events
+    ), anchors AS (
+      SELECT user_id, event_id AS anchor_event_id,
+             ts_s AS astart, ts_s + INTERVAL 30 MINUTE AS aend
+      FROM (SELECT user_id, event_id, ts_s,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM ev)
+      WHERE rn <= 3
+    )
+    SELECT a.user_id, a.anchor_event_id, count(*) AS n_events
+    FROM anchors a JOIN ev e
+      ON e.user_id = a.user_id AND e.ts_s >= a.astart AND e.ts_s < a.aend
+    GROUP BY a.user_id, a.anchor_event_id
+    """,
+)
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range join (operators/rangejoin.py): per-user activity counts
+    # inside 30-minute windows anchored at each user's top-3 events.
+    # Timestamps second-truncated on BOTH engines (sub-second precision
+    # differs: parquet nanos vs Spark micros) so the boundary
+    # comparisons agree. The bucket width equals the window length, so
+    # each anchor interval lands in <= 2 buckets.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value",
+                F.date_trunc("second", F.col("ts")).cast("timestamp_ntz")
+                .alias("ts_s"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    anchors = (
+        ev.select("user_id", "event_id", "ts_s",
+                  F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .select("user_id",
+                F.col("event_id").alias("anchor_event_id"),
+                F.col("ts_s").alias("astart"),
+                (F.col("ts_s") + F.expr("INTERVAL 30 MINUTES")).alias("aend"))
+    )
+    return (
+        _interval_join(ev.select("user_id", "event_id", "ts_s"), anchors,
+                       key="user_id", ts="ts_s",
+                       start="astart", end="aend", bucket_seconds=1800)
+        .groupBy("user_id", "anchor_event_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
