@@ -39,6 +39,8 @@ HEADLINE = [
     "w1_tumbling_window_agg",
     "s9_sessionization",
     "a8_salted_skew_agg",
+    "j6_asof_join",
+    "j7_range_join",
     # training-data pipeline tier (dedup / text / similarity)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
