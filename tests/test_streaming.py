@@ -172,3 +172,29 @@ def test_streaming_dedup(spark, tmp_path):
     assert len(got) == 10                      # replayed 6 rows suppressed
     assert len({(r["event_id"], r["ts"]) for r in got}) == 10
     q.stop()
+
+
+def test_streaming_cache_refresh(spark, twitter_fixture, tmp_path):
+    import shutil as _sh
+
+    from twitter_analysis_spark.operators import search
+    from twitter_analysis_spark.plans.memo import QueryMemo
+    from twitter_analysis_spark.streaming.refresh import streaming_cache_refresh
+
+    drop = tmp_path / "refresh_drop"
+    drop.mkdir()
+    _sh.copy(twitter_fixture["raw_path"], str(drop / "capture.jsonl"))
+
+    memo = QueryMemo(spark, str(tmp_path / "memo_root"))
+    tweets_df = twitter_fixture["tweets_df"]
+    q = streaming_cache_refresh(
+        spark, str(drop), memo,
+        lambda kw: search.search_tweets(tweets_df, keyword=kw, limit=50),
+        k=3)
+    q.stop()
+    assert memo.stats()["entries"] == 3
+    # warmed entries are hits through the normal lookup path
+    hits = [memo.lookup({"entity": "tweet", "keyword": kw})
+            for kw in [e["params"]["keyword"]
+                       for e in memo._ledger.values()]]
+    assert all(h is not None for h in hits)

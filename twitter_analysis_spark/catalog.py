@@ -1491,3 +1491,48 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "anchor_event_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite: the training-data curation pipeline end-to-end — quality
+# gate + near-duplicate removal in one declarative plan. This is the
+# 100 TB use-case the extension operators exist for; each stage is
+# itself oracle-checked above, and the composition is oracle-checked
+# here (CTEs reuse the exact per-stage SQL).
+# ---------------------------------------------------------------------------
+
+_CURATE_ORACLE = None  # assigned below once the stage oracles exist
+
+
+def _build_curate_oracle() -> str:
+    feat = ORACLES["text_quality_features"].strip()
+    pairs = ORACLES["dedup_ngram_jaccard"].strip()
+    return f"""
+    SELECT f.doc_id, f.n_tokens, f.quality_score
+    FROM ({feat}) f
+    WHERE f.quality_score >= 0.4 AND f.n_tokens >= 5
+      AND f.doc_id NOT IN (SELECT id2 FROM ({pairs}) p)
+    """
+
+
+@register("corpus_curation", None)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keep documents that (a) clear the heuristic quality gate and
+    # (b) are not the higher-id member of any near-duplicate pair
+    # (lowest id survives, the standard web-dedup convention). The
+    # near-dup set is the exact Jaccard operator; swapping in
+    # dedup_minhash_lsh turns this into the sub-quadratic 100 TB plan
+    # with identical survivor semantics on the verified pairs.
+    docs = _t(spark, sf_dir, "documents")
+    feat = _ts.quality_features(docs.select("doc_id", "text")).drop("text")
+    pairs = _dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                       n=3, threshold=0.1)
+    dups = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return (
+        feat.where((F.col("quality_score") >= 0.4) & (F.col("n_tokens") >= 5))
+        .join(dups, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+
+
+ORACLES["corpus_curation"] = _build_curate_oracle()
