@@ -123,3 +123,30 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         )
         .withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
     )
+
+
+def resize(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize plumbing: normalize every blob to ``target_bytes``
+    (stub kernel: truncate or zero-pad — a real deployment swaps in
+    PIL/ffmpeg scaling; the Arrow batch path, output schema, and
+    size-invariant it must guarantee stay identical).
+
+    The post-condition the pipeline relies on: every output blob is
+    exactly ``target_bytes`` long, so downstream batch tensors have a
+    fixed row stride.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(b)[:target_bytes].ljust(target_bytes, b"\0")
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "content": resized,
+            })
+
+    return media.select("doc_id", "media_type", "content").mapInPandas(
+        run, schema="doc_id long, media_type string, content binary")
