@@ -145,6 +145,12 @@ def _signatures_from(ds: DataFrame, num_hashes: int) -> DataFrame:
     formulation this replaced shipped every shingle's hash array to the
     reducer and was the dominant cost of the LSH pipeline.
     """
+    # k independent xxhash64 families (permutation index mixed in as a
+    # literal). A cheaper double-hashing family (h1 ^ rotl(h2, j)) was
+    # tried and REJECTED: the rotated permutations are correlated, and
+    # measured LSH recall dropped from 5/6 to 3/6 planted near-dup
+    # pairs with no wall-clock win — hash independence is what the
+    # banding math assumes, and it is worth k string hashes.
     hashed = ds.select(
         "doc",
         *[F.xxhash64(F.lit(j), F.col("shingle")).alias(f"h{j}")
