@@ -47,6 +47,8 @@ HEADLINE = [
     "text_fingerprint",
     "text_quality_features",
     "sim_cosine_topk",
+    "c13_json_extract",
+    "corpus_curation",
 ]
 
 
@@ -68,6 +70,10 @@ def main() -> None:
         # to the driver; top-k queries are cheap to collect anyway.
         df = catalog.QUERIES[name](spark, SF_DIR)
         df.collect() if name.startswith(("t1", "t6", "flagship", "q3", "a2", "sim")) else df.count()
+        # Operators that persist() intermediates (LSH candidate sets)
+        # would otherwise accumulate storage across the session and
+        # skew later timings by 2-3x.
+        spark.catalog.clearCache()
 
     # Untimed warmup pass: loads classes + whole-stage codegen compiles
     # each plan shape once, so the timed pass measures the engine, not

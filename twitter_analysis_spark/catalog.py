@@ -1536,3 +1536,29 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["corpus_curation"] = _build_curate_oracle()
+
+
+@register(
+    "c13_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def c13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi-structured props column: from_json with an explicit schema
+    # (JVM-side Jackson parse, one pass) rather than per-field
+    # get_json_object calls that would re-parse the string per
+    # extraction. Integer sum — no decimal dance needed.
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_p", F.from_json("props", "k BIGINT"))
+    return (
+        ev.where(F.col("_p.k") > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("_p.k").alias("sum_k"))
+    )
