@@ -1562,3 +1562,114 @@ def c13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum("_p.k").alias("sum_k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Breadth beyond the reference: pivot, set difference, cumulative windows.
+# The reference's only "wide" output is hand-formatted Streamlit columns
+# (app.py:196-259); these give the engine the standard OLAP reshaping ops.
+# ---------------------------------------------------------------------------
+
+@register(
+    "a12_pivot_matrix",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS qty_f,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS qty_o,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a12_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot = one hash aggregation whose output columns are the pivot
+    # values. Passing the value list explicitly skips the extra
+    # distinct-values job Spark otherwise runs first — at 100 TB that
+    # pre-job is a full extra scan of the fact table.
+    p = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # Missing (flag, status) combos: NULL for the sum on both engines,
+    # 0 for the count (pivot leaves NULL -> coalesce to match CASE ELSE 0).
+    return p.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+    )
+
+
+@register(
+    "u3_intersect_except",
+    """
+    (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Set-op complement to U1/U2 union (SURVEY.md §2.7 notes the
+    # reference has no intersect/except). Spark plans both as hash
+    # aggregates over a single shuffle on the key — the same cost shape
+    # as dropDuplicates, no join materialization.
+    orders = _t(spark, sf_dir, "orders")
+    by_prio = lambda p: orders.where(F.col("o_orderpriority") == p).select("o_custkey")
+    return (
+        by_prio("1-URGENT")
+        .intersect(by_prio("2-HIGH"))
+        .subtract(by_prio("5-LOW"))
+    )
+
+
+@register(
+    "t9_cumulative_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS dv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           CAST(dv AS DOUBLE) AS daily_value,
+           CAST(SUM(dv) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_value
+    FROM daily
+    """,
+)
+def t9_cumulative_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Running total done scale-safe: aggregate the fact table down to
+    # (event_type, day) FIRST, then window over the tiny aggregate —
+    # the unbounded-preceding frame never sees the raw events, and the
+    # window is partitioned by event_type so it parallelizes (no
+    # single-partition global-window trap).
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("dv"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return daily.select(
+        "event_type", "day",
+        F.col("dv").cast("double").alias("daily_value"),
+        F.sum("dv").over(w).cast("double").alias("cum_value"),
+    )
