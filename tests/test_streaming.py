@@ -198,3 +198,51 @@ def test_streaming_cache_refresh(spark, twitter_fixture, tmp_path):
             for kw in [e["params"]["keyword"]
                        for e in memo._ledger.values()]]
     assert all(h is not None for h in hits)
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked interval self-join: stream results == batch truth."""
+    import json as _json
+
+    from twitter_analysis_spark.streaming import joins as SJ
+
+    drop = tmp_path / "typed_drop"
+    drop.mkdir()
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.expr(
+            "cast(timestamp_micros(ts div 1000) as timestamp)"))
+        .where(F.col("user_id") < 40)
+        .select("event_id", F.date_format(
+            "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+            "user_id", "event_type", "value")
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    half = len(rows) // 2
+    for name, chunk in (("a.jsonl", rows[:half]), ("b.jsonl", rows[half:])):
+        with open(drop / name, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+
+    out = SJ.attribution_join(
+        SJ.read_typed_event_stream(spark, str(drop)), horizon="12 hours")
+    q = (out.writeStream.format("memory").queryName("attr_j")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["cause_event_id"], r["effect_event_id"])
+           for r in spark.sql("SELECT * FROM attr_j").collect()}
+
+    batch = spark.read.json(str(drop), schema=SJ.TYPED_EVENT_SCHEMA)
+    v = batch.where(F.col("event_type") == "view") \
+        .select(F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts"),
+                "user_id")
+    c = batch.where(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"),
+                F.col("user_id").alias("c_uid"))
+    truth = {(r["v_id"], r["c_id"]) for r in v.join(
+        c, (v["user_id"] == c["c_uid"]) & (c["c_ts"] >= v["v_ts"])
+        & (c["c_ts"] <= v["v_ts"] + F.expr("INTERVAL 12 hours")),
+        "inner").collect()}
+    assert truth, "fixture produced no view->click pairs"
+    assert got == truth
+    q.stop()
