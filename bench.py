@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_fingerprint",
     "text_quality_features",
+    "text_bigram_topk",
+    "text_tfidf_topk",
     "sim_cosine_topk",
     "c13_json_extract",
     "corpus_curation",

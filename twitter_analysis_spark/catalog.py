@@ -1673,3 +1673,90 @@ def t9_cumulative_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dv").cast("double").alias("daily_value"),
         F.sum("dv").over(w).cast("double").alias("cum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data text tier: n-gram language-model stats and TF-IDF term
+# weighting over the documents corpus. Natural extensions of the
+# reference's keyword analytics (cache.py:220-240) toward what a
+# pretraining-corpus pipeline actually computes.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bigram_topk",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    b AS (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z FROM t)
+    SELECT z[1] || ' ' || z[2] AS bigram, count(*) AS cnt
+    FROM b GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bigrams without a UDF: materialize the token array once, then
+    # zip_with over two offset slices builds adjacent pairs JVM-side
+    # inside whole-stage codegen. explode -> hash agg (map-side
+    # partials) -> TakeOrderedAndProject; the full bigram table is
+    # never sorted, only the top-k heap per partition.
+    docs = _t(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("w"))
+    return (
+        docs.select(F.explode(F.expr(
+            "zip_with(slice(w, 1, greatest(size(w)-1, 0)),"
+            "         slice(w, 2, greatest(size(w)-1, 0)),"
+            "         (a, b) -> concat(a, ' ', b))")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             (CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+               / CAST(dfreq.df AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE tf.doc_id < 20
+    )
+    SELECT doc_id, term, score,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS BIGINT) AS rk
+    FROM scored QUALIFY rk <= 5
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TF-IDF with exact cross-engine arithmetic: tf, df, n_docs are all
+    # integers held exactly in doubles, so score = tf*n/df is a single
+    # IEEE multiply+divide on identical inputs in both engines — no
+    # log() whose libm last bits could hash-mismatch. Document
+    # frequency is vocabulary-sized, so it broadcasts; the corpus-wide
+    # doc count rides along as a broadcast scalar. Only the scored
+    # subset pays the per-doc window.
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.where(F.col("doc_id") < 20)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score",
+                    (F.col("tf").cast("double") * F.col("n_docs").cast("double"))
+                    / F.col("df").cast("double"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 5)
+        .select("doc_id", "term", "score", "rk")
+    )
