@@ -77,3 +77,32 @@ def test_sessionization_reuses_exchange(spark, sf_dir):
     # the first's shuffle, not add one
     plan = plan_of(spark, sf_dir, "s9_sessionization")
     assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_pivot_is_one_aggregate_one_scan(spark, sf_dir):
+    # Explicit pivot values => no separate distinct-values job; the
+    # whole pivot is one partial+final aggregate over a single scan.
+    plan = plan_of(spark, sf_dir, "a12_pivot_matrix")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
+
+
+def test_cumulative_window_is_partitioned(spark, sf_dir):
+    # The running-total window must hash-partition by event_type, never
+    # collapse to a single partition (the global-window trap).
+    plan = plan_of(spark, sf_dir, "t9_cumulative_daily")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bigram_topk_never_global_sorts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_bigram_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_doc_filter_pushes_down(spark, sf_dir):
+    # The doc_id < 20 scoring subset must reach the tf-side scan as a
+    # pushed filter while the df side still scans the full corpus.
+    plan = plan_of(spark, sf_dir, "text_tfidf_topk")
+    assert "GreaterThan(doc_id,20)" in plan or "LessThan(doc_id,20)" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
