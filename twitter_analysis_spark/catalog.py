@@ -1760,3 +1760,80 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("doc_id", "term", "score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: correlated subqueries through spark.sql over registered
+# views. One Catalyst underneath — Spark decorrelates these into the
+# same semi/aggregate-join plans the DataFrame API would build, so the
+# SQL front door costs nothing at scale.
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 150000)
+"""
+
+_SCALAR_SUB_SQL = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders o
+    WHERE o_totalprice >
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              / count(*)
+       FROM orders o2
+       WHERE o2.o_orderpriority = o.o_orderpriority)
+"""
+
+
+@register("f11_exists_subquery", _EXISTS_SQL)
+def f11_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated EXISTS -> Catalyst decorrelates to a left-semi hash
+    # join on o_custkey (same plan as j4_semi_join). Identical ANSI
+    # text runs on DuckDB as the oracle.
+    from .sources.io import load_tables
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_EXISTS_SQL)
+
+
+@register("f12_scalar_subquery", _SCALAR_SUB_SQL)
+def f12_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated scalar aggregate -> one partial+final agg per priority
+    # class joined back to the fact table (5 groups, broadcastable).
+    # The class average goes through exact DECIMAL summation so the
+    # comparison threshold is bit-identical across engines — a row
+    # sitting on the boundary must fall the same way in both.
+    from .sources.io import load_tables
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_SCALAR_SUB_SQL)
+
+
+@register(
+    "c14_array_hof_suite",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+             AS tok_len_sum,
+           (list_sort(list_distinct(w)))[1:3] AS first3
+    FROM t
+    """,
+)
+def c14_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Higher-order array functions run as codegen'd JVM lambdas over
+    # the materialized token array — one scan, zero shuffles, zero
+    # Python. The reference's per-row Python list loops
+    # (cache.py:215-218) become engine expressions.
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w"))
+    return t.select(
+        "doc_id",
+        F.size(F.filter("w", lambda x: F.length(x) > 4)).cast("bigint")
+        .alias("n_long"),
+        F.aggregate("w", F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x)).alias("tok_len_sum"),
+        F.slice(F.array_sort(F.array_distinct("w")), 1, 3).alias("first3"),
+    )
