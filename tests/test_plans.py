@@ -106,3 +106,16 @@ def test_tfidf_doc_filter_pushes_down(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_tfidf_topk")
     assert "GreaterThan(doc_id,20)" in plan or "LessThan(doc_id,20)" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_grouping_sets_single_scan_expand(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "a13_grouping_sets")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan and "partial_" in plan
+
+
+def test_window_suite_single_window_pass(spark, sf_dir):
+    # All five functions share one window spec -> exactly one Window
+    # operator, one sort per partition.
+    plan = plan_of(spark, sf_dir, "t10_window_suite")
+    assert plan.count("Window") == 1

@@ -1837,3 +1837,67 @@ def c14_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, x: acc + F.length(x)).alias("tok_len_sum"),
         F.slice(F.array_sort(F.array_distinct("w")), 1, 3).alias("first3"),
     )
+
+
+@register(
+    "a13_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arbitrary grouping sets (not just the rollup/cube lattices):
+    # Catalyst plans one Expand over a single scan — each input row is
+    # replicated once per set, then one partial+final hash aggregate.
+    # Never N separate scans unioned.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets([["l_returnflag"], ["l_linestatus"], []],
+                      "l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "t10_window_suite",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           lag(o_orderkey) OVER w AS prev_key,
+           lead(o_orderkey) OVER w AS next_key
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def t10_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ranking/offset window family in one pass: all five functions
+    # share a single window spec, so Spark sorts each partition once
+    # and evaluates every function in the same Window operator. The
+    # ORDER BY ends with the unique key -> rank/ntile/lag assignments
+    # are total-order deterministic across engines.
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey", "o_orderpriority", "o_totalprice",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.lag("o_orderkey").over(w).alias("prev_key"),
+            F.lead("o_orderkey").over(w).alias("next_key"),
+        )
+    )
