@@ -118,3 +118,40 @@ def test_vectorized_cosine_matches_expression(spark, sf_dir):
     vect = similarity.cosine_topk_vectorized(emb, qvec, 10).collect()
     assert [(r["vec_id"], r["cosine"]) for r in expr] == \
            [(r["vec_id"], r["cosine"]) for r in vect]
+
+
+def test_connected_components_merges_chains(spark):
+    from twitter_analysis_spark.operators.dedup import connected_components
+
+    # chain 1-2-3, star 10-{11,12,13}, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["id1", "id2"])
+    got = {r["node"]: r["cluster"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+
+def test_connected_components_deep_chain_converges(spark):
+    from twitter_analysis_spark.operators.dedup import connected_components
+
+    # a 12-hop path exercises multi-round propagation + checkpointing
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id1", "id2"])
+    got = {r["node"]: r["cluster"]
+           for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_keep_one_per_cluster(spark):
+    from twitter_analysis_spark.operators.dedup import keep_one_per_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id1", "id2"])
+    kept = {r["doc_id"] for r in
+            keep_one_per_cluster(docs, pairs, "doc_id").collect()}
+    # cluster {1,2,3} keeps 1; cluster {5,6} keeps 5; singletons survive
+    assert kept == {0, 1, 4, 5, 7}

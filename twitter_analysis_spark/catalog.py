@@ -1901,3 +1901,43 @@ def t10_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("o_orderkey").over(w).alias("next_key"),
         )
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES_SQL}) AS shingle FROM toks
+    ), sizes AS (
+      SELECT doc, count(*) AS n FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS id1, b.doc AS id2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    ), p AS (
+      SELECT id1, id2
+      FROM inter JOIN sizes s1 ON s1.doc = id1 JOIN sizes s2 ON s2.doc = id2
+      WHERE n_common::DOUBLE / (s1.n + s2.n - n_common) >= 0.1
+    ), e AS (
+      SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p
+    ), reach AS (
+      SELECT a AS node, b AS r FROM e
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+    )
+    SELECT node AS doc, least(node, min(r)) AS cluster
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise near-dup output -> duplicate CLUSTERS via distributed
+    # min-label propagation (operators/dedup.py:connected_components).
+    # The oracle computes the same transitive closure with a recursive
+    # CTE — fine at oracle scale, quadratic in cluster size at 100 TB,
+    # which is exactly why the engine side iterates joins instead.
+    pairs = _dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.1)
+    return (_dedup.connected_components(pairs)
+            .select(F.col("node").alias("doc"), "cluster"))

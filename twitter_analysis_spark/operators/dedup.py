@@ -335,3 +335,67 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
         .where(F.col("cosine") >= threshold)
         .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def connected_components(pairs: DataFrame, id1: str = "id1",
+                         id2: str = "id2", max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (node, cluster) where cluster is the minimum node id reachable.
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbors' labels — a join + hash aggregate,
+    both distributed; the driver only checks the converged flag. Rounds
+    needed = graph diameter, and near-dup clusters are shallow (dup
+    groups are cliques or short chains), so this converges in a handful
+    of rounds; ``localCheckpoint`` truncates lineage each round so the
+    plan doesn't grow with iterations. For adversarially deep graphs
+    the large-star/small-star alternation (O(log n) rounds) drops in
+    without changing the interface.
+
+    The reference's only grouping of duplicates is dict-keying by id
+    (DataProcessing.ipynb:cell16:50); transitive closure over NEAR-dup
+    pairs has no reference analogue but is what turns pairwise LSH
+    output into the keep-one-per-cluster decision a corpus pipeline
+    actually needs.
+    """
+    edges = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    edges = (edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct().persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src").agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select("node",
+                    F.least("label", F.coalesce("nbr_min", "label"))
+                    .alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("node", F.col("label").alias("old")), "node")
+            .where(F.col("label") != F.col("old"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster"))
+
+
+def keep_one_per_cluster(df: DataFrame, pairs: DataFrame,
+                         id_col: str) -> DataFrame:
+    """Corpus minus non-representative duplicates: every document keeps
+    its row unless it belongs to a near-dup cluster and is not that
+    cluster's minimum-id member. One anti-join against the (small)
+    victim list — the full corpus is never shuffled."""
+    victims = (connected_components(pairs)
+               .where(F.col("node") != F.col("cluster"))
+               .select(F.col("node").alias(id_col)))
+    return df.join(victims, id_col, "left_anti")
