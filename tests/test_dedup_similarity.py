@@ -155,3 +155,46 @@ def test_keep_one_per_cluster(spark):
             keep_one_per_cluster(docs, pairs, "doc_id").collect()}
     # cluster {1,2,3} keeps 1; cluster {5,6} keeps 5; singletons survive
     assert kept == {0, 1, 4, 5, 7}
+
+
+def test_split_assign_stable_under_repartition(spark):
+    from twitter_analysis_spark.operators.sampling import split_assign
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in split_assign(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_assign(docs.repartition(13), "doc_id").collect()}
+    assert a == b                              # content-addressed, not positional
+    frac = sum(1 for s in a.values() if s == "val") / len(a)
+    assert 0.06 <= frac <= 0.13                # ~25/256 with hash noise
+
+
+def test_split_assign_is_incremental(spark):
+    from twitter_analysis_spark.operators.sampling import split_assign
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    grown = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in split_assign(small, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(grown, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())  # growth never reassigns
+
+
+def test_stratified_sample_rates(spark):
+    from twitter_analysis_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fr = {"en": 0.5, "de": 0.1}
+    got = stratified_sample(docs.where(F.col("lang").isin(*fr)), "lang", fr)
+    by_lang = {r["lang"]: r["n"] for r in
+               got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, f in fr.items():
+        if base.get(lang, 0) >= 50:
+            rate = by_lang.get(lang, 0) / base[lang]
+            assert abs(rate - f) <= 0.15, (lang, rate)
+    # same seed, same input => identical sample
+    again = stratified_sample(docs.where(F.col("lang").isin(*fr)), "lang", fr)
+    assert {r["doc_id"] for r in got.collect()} == \
+        {r["doc_id"] for r in again.collect()}

@@ -1941,3 +1941,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.1)
     return (_dedup.connected_components(pairs)
             .select(F.col("node").alias("doc"), "cluster"))
+
+
+@register(
+    "corpus_split_assign",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                     AS INT) < 25
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content-addressed train/val split (operators/sampling.py): the
+    # assignment is a pure function of doc_id, so it survives
+    # repartitioning and incremental corpus growth — and both engines
+    # compute the identical md5 bucket.
+    from .operators.sampling import split_assign
+    return split_assign(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "doc_id", val_fraction=0.1)

@@ -1,0 +1,55 @@
+"""Sampling and dataset-split operators for corpus pipelines.
+
+The reference never samples — it truncates sorted cursors (top-50,
+cache.py:155-159). A training-data pipeline needs two different things:
+
+- **Deterministic splits** that are a pure function of the record id,
+  so the train/val assignment of a document never changes when the
+  corpus is re-partitioned, re-ordered, or incrementally grown — the
+  property that keeps eval sets honest across pipeline runs. Done by
+  hashing the id (md5, available in every engine) and bucketing the
+  first hex digits: no RNG, no state, embarrassingly parallel.
+- **Stratified samples** for inspection/eval subsets with per-stratum
+  rates (``sampleBy``): Bernoulli per row, map-only, no shuffle. The
+  seed makes a run reproducible for a fixed input partitioning, but it
+  is NOT content-stable — use the hash split when assignment must
+  survive repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 256 buckets from the first two hex chars of md5(id).
+_N_BUCKETS = 256
+
+
+def split_assign(df: DataFrame, id_col: str,
+                 val_fraction: float = 0.1,
+                 split_col: str = "split") -> DataFrame:
+    """Assign each row to 'train' or 'val' by content-addressed hash.
+
+    bucket = int(md5(id)[:2], 16) in [0, 256); rows with
+    bucket < 256*val_fraction go to 'val'. Adding documents later
+    never reassigns existing ones, and the same id lands in the same
+    split on any engine that has md5 — including the DuckDB oracle.
+    """
+    n_val = int(_N_BUCKETS * val_fraction)
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2),
+                    16, 10).cast("int")
+    return df.withColumn(
+        split_col,
+        F.when(bucket < n_val, F.lit("val")).otherwise(F.lit("train")))
+
+
+def stratified_sample(df: DataFrame, stratum_col: str,
+                      fractions: dict[str, float], seed: int = 42,
+                      ) -> DataFrame:
+    """Per-stratum Bernoulli sample (e.g. per-language eval subsets).
+
+    ``sampleBy`` evaluates one RNG draw per row against the stratum's
+    fraction — a map-only operator: no shuffle, no stratum-size
+    precomputation, works identically at any scale.
+    """
+    return df.sampleBy(stratum_col, fractions, seed)
