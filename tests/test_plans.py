@@ -119,3 +119,14 @@ def test_window_suite_single_window_pass(spark, sf_dir):
     # operator, one sort per partition.
     plan = plan_of(spark, sf_dir, "t10_window_suite")
     assert plan.count("Window") == 1
+
+
+def test_not_in_is_null_aware_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "f13_not_in_subquery")
+    assert "NullAwareAntiJoin" in plan or "LeftAnti" in plan
+
+
+def test_multi_distinct_is_expand_not_selfjoin(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "a14_multi_distinct")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan and "Join" not in plan

@@ -1962,3 +1962,91 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(
         _t(spark, sf_dir, "documents").select("doc_id", "lang"),
         "doc_id", val_fraction=0.1)
+
+
+@register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: aggregate the fact table, filter on the
+    # aggregate (HAVING), then join the surviving keys back. The
+    # having-filter runs on the agg output — far smaller than the fact
+    # table — so the join probe side is tiny and AQE converts it to a
+    # broadcast at runtime.
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+             .alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "f13_not_in_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def f13_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT IN <subquery> carries ANSI three-valued NULL semantics (one
+    # NULL in the subquery empties the result), so Catalyst plans a
+    # null-AWARE anti join — different operator from the plain
+    # left-anti of f4_absence_filter. Expressed through spark.sql to
+    # exercise exactly that path; DuckDB runs the identical text.
+    from .sources.io import load_tables
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+    """)
+
+
+@register(
+    "a14_multi_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a14_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two DIFFERENT distinct columns in one aggregate: Catalyst's
+    # Expand rewrite replicates each row once per distinct set, then a
+    # two-level aggregation dedups and counts — one scan, no self-join
+    # of the fact table against itself per distinct column.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.countDistinct("l_suppkey").alias("n_supps"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
