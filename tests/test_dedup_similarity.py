@@ -198,3 +198,30 @@ def test_stratified_sample_rates(spark):
     again = stratified_sample(docs.where(F.col("lang").isin(*fr)), "lang", fr)
     assert {r["doc_id"] for r in got.collect()} == \
         {r["doc_id"] for r in again.collect()}
+
+
+def test_knn_join_prune_is_lossless(spark):
+    from pyspark.sql import Window
+    from twitter_analysis_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    got = sim.knn_join(queries, emb, k=4,
+                       qid_col="vec_id", qvec_col="embedding",
+                       cid_col="vec_id", cvec_col="embedding").collect()
+
+    # reference: single global window, no pruning
+    q = queries.select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("_qv"))
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("_cv"))
+    pairs = (c.crossJoin(q).where(F.col("qid") != F.col("cid"))
+             .select("qid", "cid",
+                     F.round(sim.cosine(F.col("_qv"), F.col("_cv")), 6)
+                     .alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    ref = (pairs.withColumn("rk", F.row_number().over(w))
+           .where(F.col("rk") <= 4).collect())
+    assert {(r["qid"], r["cid"], r["rk"]) for r in got} == \
+        {(r["qid"], r["cid"], r["rk"]) for r in ref}
+    assert len(got) == 5 * 4

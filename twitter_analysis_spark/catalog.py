@@ -2050,3 +2050,33 @@ def a14_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("l_suppkey").alias("n_supps"),
              F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "sim_knn_join",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.qid, e.vec_id AS cid,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                   6) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.qid
+    )
+    SELECT qid, cid, cosine,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, cid) AS BIGINT) AS rk
+    FROM pairs QUALIFY rk <= 3
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batched k-NN join (operators/similarity.py:knn_join): broadcast
+    # query batch -> JVM cosine -> per-partition heap prune
+    # (mapInPandas, selection only) -> one window over k*|Q|*partitions
+    # survivors. The corpus side never shuffles at full width.
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.knn_join(
+        emb.where(F.col("vec_id") < 10), emb, k=3,
+        qid_col="vec_id", qvec_col="embedding",
+        cid_col="vec_id", cvec_col="embedding")

@@ -232,3 +232,70 @@ def cosine_topk_vectorized(emb: DataFrame, query_vec: list[float],
     scored = emb.select(id_col, vec_col).mapInPandas(
         kernel, schema=f"{id_col} long, cosine double")
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             qid_col: str = "qid", qvec_col: str = "qv",
+             cid_col: str = "cid", cvec_col: str = "cv") -> DataFrame:
+    """Batched exact k-NN join: for every query vector, its top-k
+    corpus neighbors by cosine. Output (qid, cid, cosine, rk).
+
+    The 100 TB shape, in three moves:
+
+    1. Broadcast the query batch (eval/query sets are the small side)
+       and cross-join corpus x queries — map-only, the corpus never
+       shuffles. Cosine is the JVM fold expression (similarity.dot),
+       rounded to 6 dp so ordering keys are engine-portable.
+    2. Per-partition top-k PRUNE with mapInPandas: a dict of heaps per
+       qid, fed batch-by-batch. Pure SELECTION on the already-computed
+       cosine (no Python arithmetic → no float drift vs the oracle);
+       shrinks the pair stream from |corpus|x|Q| rows to at most
+       k x |Q| per partition before anything shuffles.
+    3. One window over the survivors for the global rank — the only
+       shuffle, sized O(partitions x k x |Q|), independent of corpus
+       size.
+
+    The prune criteria (cosine desc, cid asc) equal the final ranking
+    criteria, so pruning is lossless.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qvec_col).alias("_qv"))
+    c = corpus.select(F.col(cid_col).alias("cid"),
+                      F.col(cvec_col).alias("_cv"))
+    pairs = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select("qid", "cid",
+                F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"))
+    )
+
+    import heapq
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        heaps: dict = {}                       # qid -> min-heap of size <= k
+        for b in batches:
+            for qid, cid, cos in zip(b["qid"], b["cid"], b["cosine"]):
+                h = heaps.setdefault(qid, [])
+                # heap key: (cosine, -cid) so the WORST kept row is the
+                # smallest cosine / largest cid — matches (cosine desc,
+                # cid asc) ranking.
+                item = (cos, -cid)
+                if len(h) < k:
+                    heapq.heappush(h, item)
+                elif item > h[0]:
+                    heapq.heapreplace(h, item)
+        out = [(qid, -ncid, cos)
+               for qid, h in heaps.items() for cos, ncid in h]
+        yield pd.DataFrame(out, columns=["qid", "cid", "cosine"])
+
+    pruned = pairs.mapInPandas(local_topk, schema=pairs.schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        pruned.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "cid", "cosine", "rk")
+    )
