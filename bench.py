@@ -49,6 +49,7 @@ HEADLINE = [
     "text_bigram_topk",
     "text_tfidf_topk",
     "sim_cosine_topk",
+    "sim_knn_join",
     "c13_json_extract",
     "corpus_curation",
 ]
