@@ -225,3 +225,17 @@ def test_knn_join_prune_is_lossless(spark):
     assert {(r["qid"], r["cid"], r["rk"]) for r in got} == \
         {(r["qid"], r["cid"], r["rk"]) for r in ref}
     assert len(got) == 5 * 4
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    from twitter_analysis_spark.operators.sampling import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], ["k", "v"])
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, "e")], ["k", "v"])
+    got = {r["k"]: r["status"]
+           for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert got == {1: "unchanged", 2: "changed",
+                   3: "unchanged",            # NULL == NULL under <=>
+                   4: "removed", 5: "added"}

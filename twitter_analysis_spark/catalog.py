@@ -2080,3 +2080,37 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 10), emb, k=3,
         qid_col="vec_id", qvec_col="embedding",
         cid_col="vec_id", cvec_col="embedding")
+
+
+@register(
+    "j8_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END
+               AS n_chars
+      FROM documents WHERE doc_id % 7 <> 0
+    ), new AS (SELECT doc_id, n_chars FROM documents)
+    SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN n.n_chars <> o.n_chars THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM new n FULL OUTER JOIN old o ON n.doc_id = o.doc_id
+    """,
+)
+def j8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Snapshot diff = the catalog's full-outer-join shape
+    # (operators/sampling.py:snapshot_diff). The "previous snapshot" is
+    # carved deterministically from the same table (doc_id % 7 removed,
+    # n_chars perturbed on % 5) so both engines diff identical inputs:
+    # expect added (%7==0), changed (%5==0 and not added), unchanged.
+    docs = _t(spark, sf_dir, "documents")
+    old = (docs.where(F.col("doc_id") % 7 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 5 == 0,
+                          F.col("n_chars") + 1)
+                   .otherwise(F.col("n_chars")).alias("n_chars")))
+    from .operators.sampling import snapshot_diff
+    return snapshot_diff(old, docs.select("doc_id", "n_chars"),
+                         "doc_id", ["n_chars"])

@@ -53,3 +53,32 @@ def stratified_sample(df: DataFrame, stratum_col: str,
     precomputation, works identically at any scale.
     """
     return df.sampleBy(stratum_col, fractions, seed)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  cmp_cols: list[str]) -> DataFrame:
+    """Diff two corpus snapshots by key: (key, status) with status in
+    {added, removed, changed, unchanged}.
+
+    One full-outer shuffle join on the key — the incremental-pipeline
+    primitive (what changed since the last crawl/ingest?) that decides
+    which documents re-enter dedup/quality stages instead of
+    reprocessing the whole corpus. Comparison columns are checked
+    null-safely (<=>) so a NULL field doesn't read as a change.
+    """
+    o = old.select(F.col(key).alias("_k"),
+                   *[F.col(c).alias(f"_o_{c}") for c in cmp_cols])
+    n = new.select(F.col(key),
+                   *[F.col(c).alias(f"_n_{c}") for c in cmp_cols])
+    same = None
+    for c in cmp_cols:
+        eq = F.col(f"_n_{c}").eqNullSafe(F.col(f"_o_{c}"))
+        same = eq if same is None else (same & eq)
+    joined = n.join(o, n[key] == o["_k"], "full_outer")
+    return joined.select(
+        F.coalesce(F.col(key), F.col("_k")).alias(key),
+        F.when(F.col("_k").isNull(), F.lit("added"))
+        .when(F.col(key).isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+        .otherwise(F.lit("unchanged")).alias("status"),
+    )
