@@ -21,6 +21,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from twitter_analysis_spark import catalog  # noqa: E402
 
+# The round-1 driver sweep recorded rows for exactly the first 50
+# registered queries, so registration order decides which queries get
+# hard correctness evidence.  Emit the catalog in priority order:
+# first the queries with no driver row yet (round-1 indices 50-75),
+# then queries whose implementation or oracle changed this round, then
+# everything else in registration order.  Python dicts preserve
+# insertion order, so this is the order the driver iterates.
+_PRIORITY = [
+    # -- no CORRECTNESS_r01 row (registered after the 50-query cap) --
+    "a10_grouped_distinct", "a11_approx_sketches", "t8_moving_avg",
+    "q2_groupwise_argmin", "q5_local_supplier_volume", "j6_asof_join",
+    "j7_range_join", "corpus_curation", "c13_json_extract",
+    "a12_pivot_matrix", "u3_intersect_except", "t9_cumulative_daily",
+    "text_bigram_topk", "text_tfidf_topk", "f11_exists_subquery",
+    "f12_scalar_subquery", "c14_array_hof_suite", "a13_grouping_sets",
+    "t10_window_suite", "dedup_clusters", "corpus_split_assign",
+    "q18_large_orders", "f13_not_in_subquery", "a14_multi_distinct",
+    "sim_knn_join", "j8_snapshot_diff",
+    # -- changed this round (re-verify) --
+    "a4_conditional_counts", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh",
+]
+
+
+def _ordered_names() -> list[str]:
+    rest = [n for n in catalog.QUERIES if n not in _PRIORITY]
+    return [n for n in _PRIORITY if n in catalog.QUERIES] + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -48,10 +76,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark, sf_dir)
         return run
 
-    return {name: wrap(fn) for name, fn in catalog.QUERIES.items()}
+    return {name: wrap(catalog.QUERIES[name]) for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted for
     non-SQL-expressible ops → driver records a rows-only check)."""
-    return dict(catalog.ORACLES)
+    return {name: catalog.ORACLES[name] for name in _ordered_names()
+            if name in catalog.ORACLES}

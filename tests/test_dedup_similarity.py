@@ -239,3 +239,36 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
     assert got == {1: "unchanged", 2: "changed",
                    3: "unchanged",            # NULL == NULL under <=>
                    4: "removed", 5: "added"}
+
+
+def test_shingle_cap_blocks_boilerplate_explosion(spark):
+    """A boilerplate shingle shared by every doc must not produce d²
+    candidate pairs once its DF exceeds the cap — and the cap report
+    quantifies exactly how much the guard dropped."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"document body number {i} is unique here {boiler}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                    threshold=0.05, max_shingle_df=10).collect()
+    # Every doc shares the 4-token boilerplate tail; uncapped, those
+    # shingles alone join 40x40 docs. Capped, the only shared shingles
+    # are gone, so no pair clears the threshold.
+    assert got == []
+    m = dedup.shingle_cap_report(df, "doc_id", "text", 3, max_shingle_df=10)
+    assert m["dropped_shingles"] > 0
+    assert m["max_df"] == 40
+    assert m["total_rows"] > m["dropped_rows"] > 0
+
+
+def test_embedding_cells_equal_allpairs(spark, sf_dir):
+    """Cluster-pruned pair join is EXACT: bit-equal to brute force
+    (triangle-inequality pruning cannot lose a true pair)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bf = sorted(map(tuple, dedup.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4,
+        method="allpairs").collect()))
+    cp = sorted(map(tuple, dedup.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4,
+        method="cells", nlist=16).collect()))
+    assert bf == cp and len(bf) > 0

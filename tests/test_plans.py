@@ -130,3 +130,19 @@ def test_multi_distinct_is_expand_not_selfjoin(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "a14_multi_distinct")
     assert plan.count("FileScan parquet") == 1
     assert "Expand" in plan and "Join" not in plan
+
+
+def test_embedding_dedup_has_no_cartesian_product(spark, sf_dir):
+    """The default embedding near-dup path must be the cell equi-join,
+    not the all-pairs cross join (the 100 TB scale-killer)."""
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_paths_carry_shingle_cap(spark, sf_dir):
+    """The pair-explosion guard is part of the executed plan for every
+    production Jaccard query (filter on the shingle-DF window)."""
+    for name in ("dedup_ngram_jaccard", "corpus_curation"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "_df" in plan and "256" in plan, name

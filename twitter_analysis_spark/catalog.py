@@ -422,7 +422,10 @@ def a2_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS n_high
+           -- DuckDB types SUM(int) as HUGEINT (int128); Spark emits
+           -- BIGINT. Cast so the value-hash agrees (same convention as
+           -- the row_number() BIGINT cast, module docstring).
+           CAST(sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM events GROUP BY event_type
     """,
 )
@@ -672,6 +675,20 @@ _SHINGLES_SQL = """
       ELSE [array_to_string(tk, ' ')] END
 """
 
+#: Capped distinct (doc, shingle) inverted index — mirrors
+#: operators.dedup.doc_shingle_pairs with DEFAULT_MAX_SHINGLE_DF, the
+#: pair-explosion guard every production Jaccard path applies (the cap
+#: must appear on BOTH engines or set sizes / intersections diverge).
+#: Expects a ``toks(doc_id, tk)`` CTE in scope.
+_SH_CAPPED_SQL = f"""
+      SELECT doc, shingle FROM (
+        SELECT doc, shingle,
+               count(*) OVER (PARTITION BY shingle) AS shingle_df
+        FROM (SELECT DISTINCT doc_id AS doc,
+                     unnest({_SHINGLES_SQL}) AS shingle FROM toks))
+      WHERE shingle_df <= {_dedup.DEFAULT_MAX_SHINGLE_DF}
+"""
+
 
 @register(
     "dedup_exact",
@@ -693,7 +710,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
     ), sh AS (
-      SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES_SQL}) AS shingle FROM toks
+      {_SH_CAPPED_SQL}
     ), sizes AS (
       SELECT doc, count(*) AS n FROM sh GROUP BY doc
     ), inter AS (
@@ -708,7 +725,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact 3-gram Jaccard pairs via shingle inverted-index self-join.
+    # Exact 3-gram Jaccard pairs via shingle inverted-index self-join,
+    # with the boilerplate DF cap active (DEFAULT_MAX_SHINGLE_DF; the
+    # oracle's sh CTE applies the identical cap).
     return _dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.1)
 
@@ -745,7 +764,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedding-cosine near-dup pairs (threshold sized to the synthetic
-    # corpus where max off-diagonal cosine ~ 0.51).
+    # corpus where max off-diagonal cosine ~ 0.51). Engine side runs
+    # the EXACT cell-pruned pair join (centroid cells + triangle-
+    # inequality cluster pruning -> cell equi-join, no CartesianProduct);
+    # the oracle keeps the brute-force all-pairs formulation — the two
+    # are bit-equal by construction at any scale.
     return _dedup.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4)
 
@@ -1909,7 +1932,7 @@ def t10_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE toks AS (
       SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
     ), sh AS (
-      SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES_SQL}) AS shingle FROM toks
+      {_SH_CAPPED_SQL}
     ), sizes AS (
       SELECT doc, count(*) AS n FROM sh GROUP BY doc
     ), inter AS (

@@ -30,6 +30,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Default document-frequency cap for the shingle inverted index. A
+#: shingle appearing in d documents fans out into d² candidate pair
+#: rows in the self-join, so boilerplate shingles (site chrome, license
+#: headers) are THE dedup scale-killer on web corpora. 256 bounds the
+#: per-shingle fan-out at 64Ki pair rows regardless of corpus size —
+#: the harm of a hot shingle is absolute (d²), not relative, hence an
+#: absolute cap. A shingle shared by >256 documents carries no
+#: near-duplicate signal anyway (it is boilerplate by definition), so
+#: dropping it loses recall only on pathological boilerplate-only
+#: documents, which exact_dedup already catches.
+DEFAULT_MAX_SHINGLE_DF = 256
+
 
 def tokens(col):
     """Lowercased whitespace tokens (engine-standard tokenizer, C4/C5)."""
@@ -68,9 +80,16 @@ def exact_dedup(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
 
 
 def doc_shingle_pairs(df: DataFrame, id_col: str, text_col: str,
-                      n: int, max_shingle_df: int | None = None) -> DataFrame:
-    """Distinct (id, shingle) pairs, optionally pruning shingles whose
-    document frequency exceeds ``max_shingle_df`` (pair-explosion guard)."""
+                      n: int, max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF
+                      ) -> DataFrame:
+    """Distinct (id, shingle) pairs, pruning shingles whose document
+    frequency exceeds ``max_shingle_df`` (pair-explosion guard; pass
+    None to disable — only sensible for oracle-twin baselines).
+
+    The DF count is a window over the shingle key, so the table leaves
+    this operator hash-partitioned by ``shingle`` — exactly the join
+    key of the downstream self-join, which reuses the exchange.
+    """
     toked = df.select(F.col(id_col).alias("doc"),
                       tokens(F.col(text_col)).alias("_tk"))
     pairs = (
@@ -85,15 +104,45 @@ def doc_shingle_pairs(df: DataFrame, id_col: str, text_col: str,
     return pairs
 
 
+def shingle_cap_report(df: DataFrame, id_col: str, text_col: str, n: int,
+                       max_shingle_df: int = DEFAULT_MAX_SHINGLE_DF) -> dict:
+    """Observability for the pair-explosion guard: how many (doc,
+    shingle) rows the DF cap drops, and the worst offender's frequency.
+
+    A separate bounded aggregate job (one shuffle over the shingle
+    index) rather than an in-plan ``observe()``: the shingle table
+    feeds a self-join, so any metric node below it would be duplicated
+    per join side. Production pipelines run this once per corpus and
+    log it next to the dedup job.
+    """
+    freq = (doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df=None)
+            .groupBy("shingle").agg(F.count(F.lit(1)).alias("d")))
+    row = freq.agg(
+        F.sum(F.when(F.col("d") > max_shingle_df, F.col("d")).otherwise(0))
+        .alias("dropped_rows"),
+        F.sum("d").alias("total_rows"),
+        F.sum((F.col("d") > max_shingle_df).cast("long")).alias("dropped_shingles"),
+        F.count(F.lit(1)).alias("total_shingles"),
+        F.max("d").alias("max_df"),
+    ).first()
+    return {k: (row[k] or 0) for k in
+            ("dropped_rows", "total_rows", "dropped_shingles",
+             "total_shingles", "max_df")}
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF
+                        ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id1 < id2, jaccard >= t).
 
     Inverted-index plan: distinct (doc, shingle) → self-join on shingle
     → per-pair intersection count → Jaccard via per-doc set sizes.
     Entirely relational: two shuffles (shingle join key, pair group key),
-    partial aggregation on both, AQE handles skew.
+    partial aggregation on both, AQE handles skew. Shingles above the
+    document-frequency cap are dropped BEFORE set sizes are computed,
+    so Jaccard is exact over the capped shingle sets (mirrored in the
+    DuckDB oracles).
     """
     ds = doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df)
     return _jaccard_pairs_from(ds, threshold)
@@ -126,12 +175,14 @@ def _jaccard_pairs_from(ds: DataFrame, threshold: float) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n: int = 3, num_hashes: int = 32) -> DataFrame:
+                       n: int = 3, num_hashes: int = 32,
+                       max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF) -> DataFrame:
     """k-permutation MinHash signature per document.
 
     Output: (id, sig array<long> of length k)."""
-    return _signatures_from(doc_shingle_pairs(df, id_col, text_col, n),
-                            num_hashes)
+    return _signatures_from(
+        doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df),
+        num_hashes)
 
 
 def _signatures_from(ds: DataFrame, num_hashes: int) -> DataFrame:
@@ -166,7 +217,9 @@ def _signatures_from(ds: DataFrame, num_hashes: int) -> DataFrame:
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+                      cleanup: list | None = None) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
     Pipeline: signatures → band keys (hash of r consecutive minhashes)
@@ -177,14 +230,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     The band self-join shuffles on (band_id, band_hash); a bucket with
     d docs yields d² candidates, which AQE's skew-join splitting keeps
     balanced. Verification reuses ngram_jaccard_pairs' plan restricted
-    via a semi-join on the candidate pair set.
+    via a semi-join on the candidate pair set. The shingle DF cap
+    applies to the shared inverted index, so signatures, candidates
+    and verification all see the same capped shingle sets.
+
+    ``cleanup``: optional list the two internally persisted DataFrames
+    (shingle index, candidate pairs) are appended to; the caller can
+    ``unpersist()`` them once the result is materialized. Without it,
+    repeated calls in a long-lived session accumulate cached storage
+    (bench clears via ``spark.catalog.clearCache()``).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     # One shingle inverted index feeds BOTH the signature pass and the
     # exact verification pass; persist so tokenize+shingle+distinct
     # runs once. (Deploy scale: a materialized table between jobs.)
-    ds = doc_shingle_pairs(df, id_col, text_col, n).persist()
+    ds = doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df).persist()
+    if cleanup is not None:
+        cleanup.append(ds)
     sigs = _signatures_from(ds, num_hashes)
     banded = sigs.select(
         "doc",
@@ -209,6 +272,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .distinct()
         .persist()
     )
+    if cleanup is not None:
+        cleanup.append(cand)
     # Exact-Jaccard verification restricted to candidate DOCUMENTS: the
     # shingle inverted index is pruned to docs that appear in some
     # candidate pair before the self-join, so verification cost scales
@@ -306,34 +371,114 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
-                             threshold: float = 0.95) -> DataFrame:
+                             threshold: float = 0.95,
+                             method: str = "cells",
+                             nlist: int = 16) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ t).
 
-    Small/medium corpora: exact block-nested self-join. The 100 TB
-    path is LSH bucketing first (similarity.random_hyperplane_lsh) and
-    running this verification only within buckets.
+    ``method="cells"`` (default, the 100 TB path): EXACT cluster-pruned
+    pair join. Vectors are coarse-quantized into ``nlist`` centroid
+    cells (similarity.ivf_assign); a pair of cells (a, b) can contain a
+    qualifying pair only if the angular distance between their
+    centroids satisfies θ(cₐ, c_b) ≤ arccos(t) + rₐ + r_b, where r is
+    the cell's angular radius — the triangle inequality on the sphere,
+    so pruning NEVER loses a true pair regardless of centroid quality
+    (bad centroids only weaken pruning). Surviving cell pairs drive a
+    broadcast + cell equi-join (no CartesianProduct); candidates are
+    verified with the exact cosine. On clusterable corpora the verify
+    volume is Σ|a||b| over surviving cell pairs ≪ n²; the brute-force
+    twin remains available as ``method="allpairs"`` (and is the DuckDB
+    oracle's formulation). Driver-side state is bounded: nlist centroid
+    rows + nlist radii.
 
     Cosine is computed in double precision with a sequential fold
-    (zip_with + aggregate), deterministic across engines.
+    (zip_with + aggregate), deterministic across engines — and
+    identical between both methods, so their outputs are bit-equal.
     """
     def norm(c):
         return F.sqrt(F.aggregate(
             F.transform(c, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0), lambda a, x: a + x))
 
-    left = emb.select(F.col(id_col).alias("id1"),
-                      F.col(vec_col).alias("v1"))
-    right = emb.select(F.col(id_col).alias("id2"),
-                       F.col(vec_col).alias("v2"))
     dot = F.aggregate(
         F.zip_with("v1", "v2", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda a, x: a + x)
+    cos_expr = dot / (norm(F.col("v1")) * norm(F.col("v2")))
+
+    if method == "allpairs":
+        left = emb.select(F.col(id_col).alias("id1"),
+                          F.col(vec_col).alias("v1"))
+        right = emb.select(F.col(id_col).alias("id2"),
+                           F.col(vec_col).alias("v2"))
+        return (
+            left.crossJoin(right)
+            .where(F.col("id1") < F.col("id2"))
+            .withColumn("cosine", cos_expr)
+            .where(F.col("cosine") >= threshold)
+            .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+        )
+    if method != "cells":
+        raise ValueError(f"unknown method {method!r}")
+
+    import math
+
+    from . import similarity as sim
+
+    cents = sim.ivf_centroids(emb, nlist, id_col, vec_col)
+    assigned = sim.ivf_assign(emb, cents, id_col, vec_col, with_cos=True)
+
+    # Angular radius per cell: max arccos(cos-to-own-centroid). cell_cos
+    # is rounded to 9 dp in ivf_assign; the 1e-6 slack below absorbs
+    # that (slack only ADDS candidate cell pairs — never loses pairs).
+    clamped = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.col("cell_cos")))
+    radii = (assigned.groupBy("cell")
+             .agg(F.max(F.acos(clamped)).alias("r")))
+
+    def pycos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return num / (da * db) if da and db else 0.0
+
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    cellpairs_rows = [
+        (ca, cb, math.acos(max(-1.0, min(1.0, pycos(va, vb)))))
+        for i, (ca, va) in enumerate(cents)
+        for cb, vb in cents[i:]
+    ]
+    spark = emb.sparkSession
+    cellpairs = spark.createDataFrame(cellpairs_rows, "ca int, cb int, theta double")
+    pruned_cellpairs = (
+        cellpairs
+        .join(radii.select(F.col("cell").alias("ca"), F.col("r").alias("ra")), "ca")
+        .join(radii.select(F.col("cell").alias("cb"), F.col("r").alias("rb")), "cb")
+        .where(F.col("theta") <= F.lit(theta_t) + F.col("ra") + F.col("rb") + 1e-6)
+        .select("ca", "cb")
+    )
+
+    left = assigned.select(F.col(id_col).alias("id1"),
+                           F.col(vec_col).alias("v1"),
+                           F.col("cell").alias("ca"))
+    right = assigned.select(F.col(id_col).alias("id2"),
+                            F.col(vec_col).alias("v2"),
+                            F.col("cell").alias("cb"))
+    # cellpairs is ≤ nlist² rows -> broadcast; the right side shuffles
+    # on its cell key (at deploy scale the corpus is stored partitioned
+    # BY cell, making this co-located). Each unordered vector pair is
+    # produced exactly once: cross-cell via its unique (ca<cb) cell
+    # pair, same-cell via the id order filter.
+    cand = (
+        left.join(F.broadcast(pruned_cellpairs), "ca")
+        .join(right, "cb")
+        .where((F.col("ca") < F.col("cb"))
+               | ((F.col("ca") == F.col("cb")) & (F.col("id1") < F.col("id2"))))
+    )
     return (
-        left.crossJoin(right)
-        .where(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", dot / (norm(F.col("v1")) * norm(F.col("v2"))))
+        cand.withColumn("cosine", cos_expr)
         .where(F.col("cosine") >= threshold)
-        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+        .select(F.least("id1", "id2").alias("id1"),
+                F.greatest("id1", "id2").alias("id2"),
+                F.round("cosine", 6).alias("cosine"))
     )
 
 

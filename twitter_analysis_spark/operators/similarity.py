@@ -155,7 +155,8 @@ def ivf_centroids(emb: DataFrame, nlist: int = 8,
 
 def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               with_cos: bool = False) -> DataFrame:
     """Assign every vector to its max-cosine centroid cell.
 
     The centroid set is a small constant inlined into the plan (same
@@ -163,6 +164,10 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
     nlist-length struct array, all JVM-side codegen, no shuffle. At
     100 TB the output is written bucketed/partitioned BY cell so a
     probe is a partition-pruned read.
+
+    ``with_cos`` additionally emits ``cell_cos``, the cosine to the
+    winning centroid — what cluster-radius pruning needs (see
+    dedup.embedding_near_dup_pairs).
     """
     scored = F.array(*[
         F.struct(
@@ -173,8 +178,11 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
         for cid, cvec in centroids
     ])
     # sort_array on structs orders by first field; last element = max.
-    best = F.sort_array(scored)[len(centroids) - 1]["cell"]
-    return emb.select(F.col(id_col), F.col(vec_col), best.alias("cell"))
+    best = F.sort_array(scored)[len(centroids) - 1]
+    cols = [F.col(id_col), F.col(vec_col), best["cell"].alias("cell")]
+    if with_cos:
+        cols.append(best["cos"].alias("cell_cos"))
+    return emb.select(*cols)
 
 
 def ivf_topk(emb: DataFrame, centroids: list[tuple[int, list[float]]],
