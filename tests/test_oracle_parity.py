@@ -44,4 +44,5 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
         rel = abs(row["n_supps_approx"] - exact[flag]["n_supps"]) \
             / exact[flag]["n_supps"]
         assert rel <= 0.05, (flag, rel)
-        assert abs(row["qty_p50_p95"][0] - med[flag]) <= 2.0, flag
+        assert abs(row["qty_p50"] - med[flag]) <= 2.0, flag
+        assert row["qty_p50"] <= row["qty_p95"], flag

@@ -1307,8 +1307,12 @@ def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
-            F.percentile_approx("l_quantity", [0.5, 0.95], 10000)
-            .alias("qty_p50_p95"),
+            # Scalar columns (not one array) so the driver's canonicalizer
+            # can hash the frame for its rows-only record.
+            F.percentile_approx("l_quantity", F.lit(0.5), 10000)
+            .alias("qty_p50"),
+            F.percentile_approx("l_quantity", F.lit(0.95), 10000)
+            .alias("qty_p95"),
         )
     )
 
@@ -1566,7 +1570,8 @@ ORACLES["corpus_curation"] = _build_curate_oracle()
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
     GROUP BY event_type
@@ -1600,11 +1605,13 @@ def c13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN l_linestatus = 'F'
                          THEN CAST(l_quantity AS DECIMAL(18,2)) END)
                 AS DOUBLE) AS qty_f,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f,
            CAST(SUM(CASE WHEN l_linestatus = 'O'
                          THEN CAST(l_quantity AS DECIMAL(18,2)) END)
                 AS DOUBLE) AS qty_o,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_o
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -1841,7 +1848,7 @@ def f12_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long,
            CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
              AS tok_len_sum,
-           (list_sort(list_distinct(w)))[1:3] AS first3
+           array_to_string((list_sort(list_distinct(w)))[1:3], ' ') AS first3
     FROM t
     """,
 )
@@ -1858,7 +1865,10 @@ def c14_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_long"),
         F.aggregate("w", F.lit(0).cast("bigint"),
                     lambda acc, x: acc + F.length(x)).alias("tok_len_sum"),
-        F.slice(F.array_sort(F.array_distinct("w")), 1, 3).alias("first3"),
+        # Space-joined string (not array) so the driver canonicalizer can
+        # hash the column; the slice/sort/distinct HOF chain is unchanged.
+        F.concat_ws(" ", F.slice(F.array_sort(F.array_distinct("w")), 1, 3))
+        .alias("first3"),
     )
 
 
