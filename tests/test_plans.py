@@ -142,7 +142,11 @@ def test_embedding_dedup_has_no_cartesian_product(spark, sf_dir):
 
 def test_jaccard_paths_carry_shingle_cap(spark, sf_dir):
     """The pair-explosion guard is part of the executed plan for every
-    production Jaccard query (filter on the shingle-DF window)."""
-    for name in ("dedup_ngram_jaccard", "corpus_curation"):
+    production Jaccard query: a size filter on the per-shingle posting
+    list. Match the specific predicate fragment (size(_docs) <= 256),
+    not bare substrings that could survive the filter being dropped."""
+    import re
+
+    for name in ("dedup_ngram_jaccard", "corpus_curation", "dedup_minhash_lsh"):
         plan = plan_of(spark, sf_dir, name)
-        assert "_df" in plan and "256" in plan, name
+        assert re.search(r"size\(_docs#\d+[^)]*\)[^<>]{0,20}<= 256", plan), name

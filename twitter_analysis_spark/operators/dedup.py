@@ -27,7 +27,7 @@ Scale notes (why these shapes survive 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Default document-frequency cap for the shingle inverted index. A
@@ -86,22 +86,36 @@ def doc_shingle_pairs(df: DataFrame, id_col: str, text_col: str,
     frequency exceeds ``max_shingle_df`` (pair-explosion guard; pass
     None to disable — only sensible for oracle-twin baselines).
 
-    The DF count is a window over the shingle key, so the table leaves
-    this operator hash-partitioned by ``shingle`` — exactly the join
-    key of the downstream self-join, which reuses the exchange.
+    The capped path is ONE shuffle: ``groupBy(shingle).collect_set(doc)``
+    dedups (partial aggregation dedups map-side), the posting-list size
+    IS the document frequency (filter, no second pass), and the explode
+    re-emits pairs already hash-partitioned by ``shingle`` — the join
+    key of the downstream Jaccard self-join. This replaced a
+    distinct-then-Window.partitionBy(shingle) formulation whose second
+    shuffle doubled the LSH pipeline's wall clock (the signature branch
+    aggregates by doc, so the window's shingle exchange bought nothing).
+
+    Memory note for the 100 TB case: a posting list is materialized per
+    shingle before the size filter, so a shingle appearing in d docs
+    holds d ids on one reducer (spill-safe sort-based fallback, but the
+    single hot key's list must fit). Web-corpus boilerplate reaches
+    d ~ 1e6-1e8; if that bites, pre-drop hot shingles with a broadcast
+    blocklist from ``shingle_cap_report``-style one-pass counts (count
+    partials are O(1) per key) before this aggregate. At the cap's
+    design point (256) the surviving lists are tiny.
     """
     toked = df.select(F.col(id_col).alias("doc"),
                       tokens(F.col(text_col)).alias("_tk"))
-    pairs = (
-        toked.select("doc",
-                     F.explode(word_shingles(F.col("_tk"), n)).alias("shingle"))
-        .distinct()
+    exploded = toked.select(
+        "doc", F.explode(word_shingles(F.col("_tk"), n)).alias("shingle"))
+    if max_shingle_df is None:
+        return exploded.distinct()
+    return (
+        exploded.groupBy("shingle")
+        .agg(F.collect_set("doc").alias("_docs"))
+        .where(F.size("_docs") <= max_shingle_df)
+        .select(F.explode("_docs").alias("doc"), "shingle")
     )
-    if max_shingle_df is not None:
-        w = Window.partitionBy("shingle")
-        pairs = (pairs.withColumn("_df", F.count(F.lit(1)).over(w))
-                 .where(F.col("_df") <= max_shingle_df).drop("_df"))
-    return pairs
 
 
 def shingle_cap_report(df: DataFrame, id_col: str, text_col: str, n: int,
