@@ -227,6 +227,34 @@ def test_knn_join_prune_is_lossless(spark):
     assert len(got) == 5 * 4
 
 
+def test_knn_join_disjoint_id_spaces_keep_colliding_ids(spark):
+    """With exclude_self=False, a query id that happens to equal a
+    corpus id must NOT lose that neighbor (independent id spaces)."""
+    from twitter_analysis_spark.operators import similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["cid", "cv"])
+    # query id 1 collides with corpus id 1, whose vector is its nearest
+    queries = spark.createDataFrame([(1, [0.9, 0.1])], ["qid", "qv"])
+
+    kept = sim.knn_join(queries, corpus, k=1, exclude_self=False).collect()
+    assert [(r["qid"], r["cid"]) for r in kept] == [(1, 1)]
+    dropped = sim.knn_join(queries, corpus, k=1, exclude_self=True).collect()
+    assert [(r["qid"], r["cid"]) for r in dropped] == [(1, 2)]
+
+
+def test_snapshot_diff_key_only(spark):
+    """Empty cmp_cols = membership diff: no TypeError, rows on both
+    sides are 'unchanged'."""
+    from twitter_analysis_spark.operators.sampling import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    new = spark.createDataFrame([(2, "x"), (3, "c")], ["k", "v"])
+    got = {r["k"]: r["status"]
+           for r in snapshot_diff(old, new, "k", []).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}
+
+
 def test_snapshot_diff_statuses_and_null_safety(spark):
     from twitter_analysis_spark.operators.sampling import snapshot_diff
 

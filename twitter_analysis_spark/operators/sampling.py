@@ -70,10 +70,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
                    *[F.col(c).alias(f"_o_{c}") for c in cmp_cols])
     n = new.select(F.col(key),
                    *[F.col(c).alias(f"_n_{c}") for c in cmp_cols])
-    same = None
+    # Key-only diff (no comparison columns): rows present on both sides
+    # can only be 'unchanged'.
+    same = F.lit(True)
     for c in cmp_cols:
-        eq = F.col(f"_n_{c}").eqNullSafe(F.col(f"_o_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"_n_{c}").eqNullSafe(F.col(f"_o_{c}"))
     joined = n.join(o, n[key] == o["_k"], "full_outer")
     return joined.select(
         F.coalesce(F.col(key), F.col("_k")).alias(key),

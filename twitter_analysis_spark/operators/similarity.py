@@ -244,9 +244,16 @@ def cosine_topk_vectorized(emb: DataFrame, query_vec: list[float],
 
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
              qid_col: str = "qid", qvec_col: str = "qv",
-             cid_col: str = "cid", cvec_col: str = "cv") -> DataFrame:
+             cid_col: str = "cid", cvec_col: str = "cv",
+             exclude_self: bool = True) -> DataFrame:
     """Batched exact k-NN join: for every query vector, its top-k
     corpus neighbors by cosine. Output (qid, cid, cosine, rk).
+
+    ``exclude_self`` drops pairs whose query id equals the corpus id —
+    correct when the queries ARE corpus rows (self-similarity search,
+    the registered query's shape). Pass False when the two id spaces
+    are independent: an id collision there is a coincidence, and a
+    legitimate neighbor must not be silently dropped.
 
     The 100 TB shape, in three moves:
 
@@ -272,8 +279,9 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
                        F.col(qvec_col).alias("_qv"))
     c = corpus.select(F.col(cid_col).alias("cid"),
                       F.col(cvec_col).alias("_cv"))
+    join_cond = F.col("qid") != F.col("cid") if exclude_self else F.lit(True)
     pairs = (
-        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        c.join(F.broadcast(q), join_cond)
         .select("qid", "cid",
                 F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"))
     )

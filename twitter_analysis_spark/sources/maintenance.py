@@ -37,6 +37,31 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _swap_in(tmp: str, path: str) -> None:
+    """Crash-safe table swap: move the live table aside, move the new
+    one in, only then delete the old. No step deletes data before the
+    replacement is live, so a crash at any point leaves a recoverable
+    state: before the first rename the old table is live; between the
+    renames both directories still exist on disk (``path`` is briefly
+    absent — restore by renaming ``__old`` back); after the second the
+    new table is live and the worst case is a leaked ``__old`` dir.
+    The previous rmtree-then-rename ordering lost the table outright if
+    the process died between the two calls.
+    """
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    had_existing = os.path.exists(path)
+    if had_existing:
+        os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        if had_existing:
+            os.rename(old, path)
+        raise
+    if had_existing:
+        shutil.rmtree(old)
+
+
 def compact_parquet(spark: SparkSession, path: str,
                     target_file_mb: int = 128,
                     sort_within_by: list[str] | None = None) -> int:
@@ -50,8 +75,7 @@ def compact_parquet(spark: SparkSession, path: str,
         out = out.sortWithinPartitions(*sort_within_by)
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_in(tmp, path)
     return n_files
 
 
@@ -79,6 +103,4 @@ def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
     )
     tmp = f"{path}__upsert_{uuid.uuid4().hex[:8]}"
     winner.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_in(tmp, path)
