@@ -140,6 +140,14 @@ def test_embedding_dedup_has_no_cartesian_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pagination_window_is_bounded_by_topk(spark, sf_dir):
+    """The pagination window must run over a TakeOrderedAndProject-
+    bounded set (<= page_end rows), never a global sort of the table."""
+    plan = plan_of(spark, sf_dir, "t7_pagination")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full-table global sort remains
+
+
 def test_jaccard_paths_carry_shingle_cap(spark, sf_dir):
     """The pair-explosion guard is part of the executed plan for every
     production Jaccard query: a size filter on the per-shingle posting

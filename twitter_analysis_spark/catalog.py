@@ -519,12 +519,18 @@ def t6_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t7_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # T7: page-3 slice (app.py:146-148,200-202). Global window is safe
-    # because pagination always follows a top-k bound in the API layer;
-    # here it demonstrates the raw operator.
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    # T7: page-3 slice (app.py:146-148,200-202). Rows 21-30 of the sort
+    # live inside the top 30, so bound with orderBy().limit(30) first —
+    # a TakeOrderedAndProject — and run the global row_number window
+    # over those 30 rows only. Same oracle (row_number over the full
+    # table restricted to 21..30 ≡ row_number over its top-30); the
+    # plan never sorts the whole table in one task.
+    sort_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    w = Window.orderBy(*sort_cols)
     return (
         _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(*sort_cols).limit(30)
         .select("o_orderkey", "o_totalprice",
                 F.row_number().over(w).cast("bigint").alias("rn"))
         .where(F.col("rn").between(21, 30))

@@ -387,7 +387,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95,
                              method: str = "cells",
-                             nlist: int = 16) -> DataFrame:
+                             nlist: int = 16,
+                             cleanup: list | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ t).
 
     ``method="cells"`` (default, the 100 TB path): EXACT cluster-pruned
@@ -439,11 +440,22 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     from . import similarity as sim
 
     cents = sim.ivf_centroids(emb, nlist, id_col, vec_col)
-    assigned = sim.ivf_assign(emb, cents, id_col, vec_col, with_cos=True)
+    # assigned feeds three consumers (radii, both join sides); persist
+    # so the scan + nlist-wide argmax projection runs once per job.
+    # Same cleanup-list convention as minhash_lsh_pairs; bench clears
+    # via clearCache(). At deploy scale this is the partitioned-BY-cell
+    # stored table a real index build would materialize.
+    assigned = sim.ivf_assign(emb, cents, id_col, vec_col,
+                              with_cos=True).persist()
+    if cleanup is not None:
+        cleanup.append(assigned)
 
     # Angular radius per cell: max arccos(cos-to-own-centroid). cell_cos
-    # is rounded to 9 dp in ivf_assign; the 1e-6 slack below absorbs
-    # that (slack only ADDS candidate cell pairs — never loses pairs).
+    # is UNROUNDED (see ivf_assign — a rounded cosine's acos error near
+    # the pole is ~sqrt(2·δ), far above float noise), so the 1e-6 slack
+    # below only needs to cover float64 arithmetic, which it does with
+    # ~50x margin (acos forward error ≈ 2e-8). Slack only ADDS candidate
+    # cell pairs — never loses pairs.
     clamped = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.col("cell_cos")))
     radii = (assigned.groupBy("cell")
              .agg(F.max(F.acos(clamped)).alias("r")))

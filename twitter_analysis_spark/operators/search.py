@@ -176,12 +176,21 @@ def top_retweeters(tweets: DataFrame, per_tweet: int = 30) -> DataFrame:
 
 def paginate(df: DataFrame, sort_cols: list, page: int,
              page_size: int = 10) -> DataFrame:
-    """T7: page slice (app.py:146-148,200-202). Callers pass an already
-    top-k-bounded result, so the global window is cheap by contract."""
-    w = Window.orderBy(*sort_cols)
+    """T7: page slice (app.py:146-148,200-202).
+
+    Rows 1..page_end of the sort are exactly orderBy().limit(page_end)
+    — a TakeOrderedAndProject (per-partition top-k, tiny merge on one
+    reducer, never a global sort). The unpartitioned row_number window
+    then runs over at most page_end rows, so its single-partition
+    execution is a constant-size step at any corpus scale, instead of
+    the all-rows-to-one-task sort a bare global window would be.
+    """
     start = page * page_size + 1
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn").between(start, start + page_size - 1))
+    page_end = start + page_size - 1
+    bounded = df.orderBy(*sort_cols).limit(page_end)
+    w = Window.orderBy(*sort_cols)
+    return (bounded.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") >= start)
             .drop("__rn"))
 
 

@@ -167,11 +167,16 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
 
     ``with_cos`` additionally emits ``cell_cos``, the cosine to the
     winning centroid — what cluster-radius pruning needs (see
-    dedup.embedding_near_dup_pairs).
+    dedup.embedding_near_dup_pairs). It is deliberately UNROUNDED:
+    radius bounds derive an acos from it, and near cos≈1 the acos error
+    of a rounded cosine inflates by d(acos)≈sqrt(2·δ) — a 5e-10
+    rounding error becomes ~3e-5 rad, enough to under-estimate a cell
+    radius past the pruning slack and (exactness-breaking) drop a true
+    pair. Round only user-facing outputs, never pruning inputs.
     """
     scored = F.array(*[
         F.struct(
-            F.round(cosine(F.col(vec_col), F.array([F.lit(x) for x in cvec])), 9)
+            cosine(F.col(vec_col), F.array([F.lit(x) for x in cvec]))
             .alias("cos"),
             F.lit(cid).alias("cell"),
         )
