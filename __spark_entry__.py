@@ -42,6 +42,9 @@ _PRIORITY = [
     # -- changed this round (re-verify) --
     "a4_conditional_counts", "dedup_embedding_cosine",
     "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    # -- new/changed in round 3 (t7 bounded; the 4 fixed comparator rows
+    # are already listed above) --
+    "f2_nested_hashtag_path", "t7_pagination",
 ]
 
 

@@ -29,12 +29,21 @@ Cross-engine determinism rules used throughout (the hard-won part):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .sources.io import load_table
+
+#: Committed Twitter-shaped fixture (tests/fixtures/gen_tweets.py,
+#: materialized once — nested entities struct with an array-of-struct
+#: hashtags field). Gives the TRUE nested-path F2 semantics a driver
+#: oracle row; the TPC-H-ish tables have no struct-array column.
+FIXTURE_TWEETS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "data", "tweets.parquet")
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -146,6 +155,33 @@ def f2_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit("vector"), F.lit("stream")),
         ))
         .select("doc_id", "lang")
+    )
+
+
+@register(
+    "f2_nested_hashtag_path",
+    f"""
+    SELECT id_str, user_id,
+           CAST(len(t.entities.hashtags) AS BIGINT) AS n_tags
+    FROM '{FIXTURE_TWEETS}' t
+    WHERE list_has_any(list_transform(t.entities.hashtags, h -> h.text),
+                       ['covid', 'vote'])
+    """,
+)
+def f2_nested_hashtag_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The REAL F2: Mongo's {"entities.hashtags.text": {"$in": [...]}}
+    # implicit traversal of an array-of-struct (cache.py:146-149), run
+    # against the committed Twitter-shaped fixture (sf_dir carries no
+    # struct-array column). `entities.hashtags.text` extracts the text
+    # field across the struct array JVM-side; arrays_overlap is the $in.
+    # Reuses the production predicate from operators/search.
+    from .operators.search import _hashtag_pred
+
+    t = spark.read.parquet(FIXTURE_TWEETS)
+    return (
+        t.where(_hashtag_pred(["covid", "vote"]))
+        .select("id_str", "user_id",
+                F.size("entities.hashtags").cast("bigint").alias("n_tags"))
     )
 
 
