@@ -156,21 +156,26 @@ def test_streaming_dedup(spark, tmp_path):
 
     drop = tmp_path / "dup_drop"
     drop.mkdir()
-    rows = [{"event_id": i % 5, "ts": f"2024-01-01T00:{i:02d}:00.000Z",
+    rows = [{"event_id": i, "ts": f"2024-01-01T00:{i:02d}:00.000Z",
              "user_id": 1} for i in range(10)]
-    # duplicate event_id+ts pairs across two files (replay simulation)
+    # replay simulation: 6 keys re-delivered, half with a perturbed
+    # timestamp — key-only dedup (dropDuplicatesWithinWatermark) must
+    # suppress them all; the old [key, ts] dedup missed the perturbed ones
+    replay = [dict(r) for r in rows[:6]]
+    for r in replay[:3]:
+        r["ts"] = r["ts"].replace(":00.000Z", ":07.000Z")
     (drop / "a.jsonl").write_text(
         "\n".join(_json.dumps(r) for r in rows) + "\n")
     (drop / "b.jsonl").write_text(
-        "\n".join(_json.dumps(r) for r in rows[:6]) + "\n")
+        "\n".join(_json.dumps(r) for r in replay) + "\n")
 
     out = S.streaming_dedup(S.read_event_stream(spark, str(drop)))
     q = (out.writeStream.format("memory").queryName("dedup_s")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     got = spark.sql("SELECT event_id, ts FROM dedup_s").collect()
-    assert len(got) == 10                      # replayed 6 rows suppressed
-    assert len({(r["event_id"], r["ts"]) for r in got}) == 10
+    assert len(got) == 10                      # all replayed rows suppressed
+    assert len({r["event_id"] for r in got}) == 10
     q.stop()
 
 

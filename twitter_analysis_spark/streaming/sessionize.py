@@ -179,10 +179,14 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour",
                     key: str = "event_id") -> DataFrame:
     """Streaming exact deduplication: first arrival of each key wins.
 
-    ``dropDuplicates`` on a stream keeps one state entry per key seen;
-    the watermark ages state out (a key older than the horizon can be
-    emitted twice — the standard at-least-once dedup tradeoff). The
-    streaming face of operators/dedup.exact_dedup for ingest pipelines
-    that must not double-count replayed events.
+    ``dropDuplicatesWithinWatermark`` dedups on the KEY alone — a replay
+    whose timestamp was perturbed in transit still dedups, which the
+    older dropDuplicates([key, ts]) formulation missed — while the
+    watermark bounds state: a key's entry is evictable once the
+    watermark passes its event time + delay (a key recurring later than
+    the horizon can be emitted twice — the standard at-least-once dedup
+    tradeoff). The streaming face of operators/dedup.exact_dedup for
+    ingest pipelines that must not double-count replayed events.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates([key, "ts"])
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark([key]))
