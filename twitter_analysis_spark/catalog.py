@@ -2189,3 +2189,172 @@ def j8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import snapshot_diff
     return snapshot_diff(old, docs.select("doc_id", "n_chars"),
                          "doc_id", ["n_chars"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape suite (round 3 widening): scan-heavy aggregate, top-k
+# customer revenue, conditional revenue share, anti-join + scalar
+# threshold. Dates adapted to the synthetic tables' 1995-2001 span.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape: single-table scan aggregate. Every predicate is a
+    # plain column comparison, so all three reach the Parquet reader as
+    # PushedFilters and the aggregate itself is a map-side partial ->
+    # one-row final: no wide shuffle at any scale. The degenerate
+    # no-GROUP-BY sum is the pattern's point — scan throughput bound.
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.where((F.col("l_shipdate") >=
+                  F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+                 & (F.col("l_shipdate") <
+                    F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+                 & (F.col("l_discount") >= 0.04)
+                 & (F.col("l_discount") <= 0.08)
+                 & (F.col("l_quantity") < 24))
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10 shape: which customers returned the most revenue in a
+    # quarter. The date filter prunes orders before the fact join, the
+    # returnflag filter prunes lineitem at the scan; customer is a
+    # broadcast dim. One orders⋈lineitem shuffle, then a top-20 via
+    # TakeOrderedAndProject on the (already small) per-customer agg.
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz")))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_effect",
+    """
+    WITH s AS (
+      SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS total
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    )
+    SELECT CAST(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)
+                AS DOUBLE) AS promo_revenue_pct
+    FROM s
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 shape: conditional revenue share. part is a broadcast
+    # dim; both sums ride one scan + one partial-aggregable pipeline.
+    # Determinism: both sums are exact decimals, the single division
+    # happens once on bit-identical doubles (module docstring rules).
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")))
+    part = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = price * (F.lit(1) - disc)
+    zero = F.lit(0).cast("decimal(18,2)")
+    s = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+             .alias("promo"),
+             F.sum(rev).alias("total"))
+    )
+    return s.select(
+        (F.lit(100.0) * F.col("promo").cast("double")
+         / F.col("total").cast("double")).alias("promo_revenue_pct"))
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           count(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_bal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape, re-dated: above-average-balance customers with
+    # no orders in the final year, rolled up by nation. The scalar
+    # threshold is a 1-row broadcast (exact decimal sum / count, one
+    # IEEE division — no order-dependent double avg); the NOT EXISTS is
+    # a left-anti join against the date-pruned orders slice, never the
+    # full orders table.
+    cust = _t(spark, sf_dir, "customer")
+    thr = (cust.where(F.col("c_acctbal") > 0)
+           .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double") / F.count(F.lit(1))).alias("avg_bal")))
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >=
+        F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")).select("o_custkey")
+    return (
+        cust.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_custs"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+             .alias("total_bal"))
+    )
