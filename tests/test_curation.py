@@ -1,0 +1,115 @@
+"""Operator-level tests for the corpus-curation tier
+(operators/curation.py, sampling.deterministic_mix): planted-PII
+redaction, n=8 decontamination semantics, repetition features on
+handcrafted docs, packing arithmetic, and partitioning-invariance of
+the deterministic domain mix."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_analysis_spark.operators import curation as cur
+from twitter_analysis_spark.operators.sampling import deterministic_mix
+
+
+def _docs(spark, rows, schema="doc_id LONG, text STRING"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = _docs(spark, [
+        (1, "mail me at alice.smith+x@corp.example.org today"),
+        (2, "see https://a.example.com/x?q=1 and http://b.org"),
+        (3, "host 10.0.0.7 and 192.168.255.1 up"),
+        (4, "call +1 415-555-0199 now"),
+        (5, "clean text with no identifiers at all"),
+    ])
+    out = {r["doc_id"]: r for r in cur.pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_url"], out[1]["n_ipv4"],
+            out[1]["n_phone"]) == (1, 0, 0, 0)
+    assert out[1]["text_clean"] == "mail me at <EMAIL> today"
+    assert out[2]["n_url"] == 2
+    assert out[2]["text_clean"] == "see <URL> and <URL>"
+    assert out[3]["n_ipv4"] == 2
+    assert out[3]["text_clean"] == "host <IP> and <IP> up"
+    assert out[4]["n_phone"] == 1
+    assert out[4]["text_clean"] == "call <PHONE> now"
+    assert out[5]["text_clean"] == out[5]["text"]
+    assert (out[5]["n_email"] + out[5]["n_url"] + out[5]["n_ipv4"]
+            + out[5]["n_phone"]) == 0
+
+
+def test_decontaminate_exact_ngram_rule(spark):
+    span = "one two three four five six seven eight"      # 8 words
+    bench = _docs(spark, [(100, f"benchmark prefix {span} suffix")])
+    docs = _docs(spark, [
+        (1, f"copied {span} into a longer document body"),  # shares the 8-gram
+        (2, "one two three four five six seven DIFFERENT"),  # only 7 shared
+        (3, "one two three"),                                # < n tokens
+    ])
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in cur.decontaminate(docs, bench, "doc_id", "text",
+                                       n=8).collect()}
+    assert hits == {1: 1}
+
+
+def test_decontaminate_counts_distinct_shingles(spark):
+    bench = _docs(spark, [(100, "a b c d e f")])  # 4-grams: abcd bcde cdef
+    docs = _docs(spark, [(1, "a b c d e x")])     # shares abcd, bcde
+    hits = cur.decontaminate(docs, bench, "doc_id", "text", n=4).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in hits] == [(1, 2)]
+
+
+def test_repetition_features_handcrafted(spark):
+    df = _docs(spark, [
+        (1, "a a a a"),        # top 4/4; bigrams [aa,aa,aa] -> dup 2/3
+        (2, "w"),              # single token: no bigrams -> dup 0.0
+        (3, "a b a b c"),      # top 2/5; bigrams [ab,ba,ab,bc] -> dup 1/4
+    ])
+    out = {r["doc_id"]: r
+           for r in cur.repetition_features(df, "doc_id").collect()}
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert out[2]["top_word_frac"] == 1.0
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["top_word_frac"] == 0.4
+    assert out[3]["dup_2gram_frac"] == 0.25
+
+
+def test_pack_sequences_chunk_arithmetic(spark):
+    # token counts: 4, 3, 5, 2 in doc_id order within one shard ->
+    # starts 0, 4, 7, 12; budget 5 -> seq ids 0, 0, 1, 2.
+    df = spark.createDataFrame(
+        [(1, "s", "t t t t"), (2, "s", "t t t"),
+         (3, "s", "t t t t t"), (4, "s", "t t")],
+        "doc_id LONG, source STRING, text STRING")
+    out = {r["doc_id"]: r
+           for r in cur.pack_sequences(df, "doc_id", "source", "doc_id",
+                                       budget=5).collect()}
+    assert [(out[i]["seq_id"], out[i]["tok_offset"]) for i in (1, 2, 3, 4)] \
+        == [(0, 0), (0, 4), (1, 2), (2, 2)]
+
+
+def test_pack_sequences_partitioning_invariant(spark, sf_dir):
+    from twitter_analysis_spark.sources.io import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    a = cur.pack_sequences(docs, "doc_id", "source", "doc_id", 512)
+    b = cur.pack_sequences(docs.repartition(13), "doc_id", "source",
+                           "doc_id", 512)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_deterministic_mix_quota_and_stability(spark, sf_dir):
+    from twitter_analysis_spark.sources.io import load_table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    quota = F.when(F.substring("source", 4, 10).cast("int") % 2 == 0,
+                   F.lit(10)).otherwise(F.lit(5))
+    a = deterministic_mix(docs, "source", "doc_id", quota)
+    per_src = {r["source"]: r["n"] for r in
+               a.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in per_src.items():
+        want = 10 if int(src[3:]) % 2 == 0 else 5
+        assert n == want, (src, n)
+    # content-hash order => identical selection under any partitioning
+    b = deterministic_mix(docs.repartition(17), "source", "doc_id", quota)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

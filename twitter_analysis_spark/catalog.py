@@ -2358,3 +2358,206 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
              .alias("total_bal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension suite 5 (round 3): corpus curation — PII scrub,
+# decontamination, repetition quality, sequence packing, domain mix
+# (operators/curation.py, operators/sampling.py).
+# ---------------------------------------------------------------------------
+
+from .operators import curation as _cur         # noqa: E402
+
+#: Strict 4-word shingles (no short-doc fallback) — the decontamination
+#: n-gram. Real pipelines use n=8..13; this synthetic word-salad corpus
+#: has ZERO 8-gram overlap across the %97 split (verified), so the
+#: driver row runs n=4 to keep the check non-trivial; the n=8 semantics
+#: are pytest-covered with planted contamination.
+_SH4_SQL = """
+    CASE WHEN len(tk) >= 4
+      THEN [array_to_string(tk[i:i+3], ' ') for i in generate_series(1, len(tk)-3)]
+      ELSE [] END
+"""
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com http://ex.org/p/'
+                  || CAST(doc_id AS VARCHAR)
+                  || ' 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                  || ' +44 7700-90' || CAST(doc_id % 90 + 10 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, 'https?://\S+')) AS INT) AS n_url,
+           CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '\+?\d[\d\- ]{7,}\d')) AS INT)
+             AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, 'https?://\S+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS t_clean
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII redaction (operators/curation.py:pii_scrub). The synthetic
+    # corpus contains no PII, so the query plants one deterministic
+    # email/URL/IP/phone per row (pure function of doc_id, built
+    # identically in the oracle) — the driver row then verifies the
+    # regex semantics of count + scrub agree cross-engine on every
+    # row. Map-only; whole-stage codegen; no shuffle.
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com http://ex.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" 192.168."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 +44 7700-90"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+        ).alias("t"))
+    return (
+        _cur.pii_scrub(aug, "t", "t_clean")
+        .select("doc_id", "n_url", "n_email", "n_ipv4", "n_phone", "t_clean")
+    )
+
+
+@register(
+    "text_decontaminate",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({_SH4_SQL}) AS shingle FROM toks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, count(*) AS n_hits
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination (operators/curation.py:decontaminate):
+    # docs sharing any word 4-gram with the pseudo-benchmark slice
+    # (doc_id % 97 == 0) are flagged with their distinct-shingle hit
+    # count. The benchmark shingle set broadcasts; the corpus side is
+    # scanned once, never shuffled at full width.
+    docs = _t(spark, sf_dir, "documents")
+    return _cur.decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        "doc_id", "text", n=4)
+
+
+@register(
+    "text_repetition_quality",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(tk) AS w FROM toks) GROUP BY doc_id, w
+    ),
+    top AS (
+      SELECT doc_id,
+             round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS top_word_frac
+      FROM wc GROUP BY doc_id
+    ),
+    g2 AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 2
+               THEN [array_to_string(tk[i:i+1], ' ')
+                     for i in generate_series(1, len(tk)-1)]
+               ELSE [] END AS gs
+      FROM toks
+    )
+    SELECT t.doc_id, t.top_word_frac,
+           CASE WHEN len(gs) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+                           / len(gs), 6) END AS dup_2gram_frac
+    FROM top t JOIN g2 ON t.doc_id = g2.doc_id
+    """,
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition signals
+    # (operators/curation.py:repetition_features): most-common-word
+    # fraction + duplicate-bigram fraction per document.
+    docs = _t(spark, sf_dir, "documents")
+    out = _cur.repetition_features(docs, "doc_id", "text")
+    return out.select("doc_id", "top_word_frac", "dup_2gram_frac")
+
+
+@register(
+    "corpus_pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS strt
+      FROM d
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(strt // 512 AS BIGINT) AS seq_id,
+           CAST(strt % 512 AS BIGINT) AS tok_offset
+    FROM s
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Concatenate-then-chunk sequence packing
+    # (operators/curation.py:pack_sequences): per-source token stream
+    # cut every 512 tokens; each doc gets (seq_id, tok_offset). The
+    # window is per-source — no global single-task sort.
+    docs = _t(spark, sf_dir, "documents")
+    out = _cur.pack_sequences(docs, "doc_id", "source", "doc_id",
+                              budget=512, text_col="text")
+    return out.select("doc_id", "source",
+                      F.col("n_tok").cast("bigint").alias("n_tok"),
+                      "seq_id", F.col("tok_offset").cast("bigint")
+                      .alias("tok_offset"))
+
+
+@register(
+    "corpus_domain_mix",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                     THEN 10 ELSE 5 END
+    """,
+)
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Domain-mixture sampling (operators/sampling.py:deterministic_mix):
+    # even-numbered sources contribute 10 docs, odd 5 — the fixed-ratio
+    # "mix domains into the training blend" step, ordered by a content
+    # hash both engines reproduce bit-for-bit (no RNG seed semantics to
+    # align).
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    quota = F.when(
+        F.substring(F.col("source"), 4, 10).cast("int") % 2 == 0,
+        F.lit(10)).otherwise(F.lit(5))
+    from .operators.sampling import deterministic_mix
+    return deterministic_mix(docs, "source", "doc_id", quota)

@@ -1,0 +1,173 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The reference repo stops at search/analytics over a fixed corpus; a
+training-data pipeline additionally needs the hygiene passes that run
+BEFORE a corpus is trainable. This module adds the standard quartet,
+each as a pure Catalyst expression plan (no UDFs, codegen-friendly):
+
+- ``pii_scrub``:        regex redaction of emails / URLs / IPv4 /
+                        phone numbers (C4-style cleaning)
+- ``decontaminate``:    benchmark n-gram overlap flagging (the GPT-3
+                        appendix-C / open-LM-eval decontamination
+                        shape: any shared word n-gram taints the doc)
+- ``repetition_features``: Gopher-style repetition signals (top-word
+                        fraction, duplicate-bigram fraction)
+- ``pack_sequences``:   concatenate-then-chunk assignment of documents
+                        to fixed token-budget training sequences
+
+Scale notes (why these shapes survive 100 TB):
+- pii_scrub is map-only: regexp_replace/regexp_count run inside
+  whole-stage codegen, no shuffle, no Python.
+- decontaminate broadcasts the BENCHMARK shingle set (benchmarks are
+  small — 1e5..1e6 n-grams — by construction), so the corpus is never
+  shuffled: scan -> explode -> broadcast-hash-join -> partial-agg by
+  doc. The corpus-side explode is bounded by tokens-per-doc.
+- repetition_features: duplicate-bigram fraction is computed per-row
+  with array ops (zero shuffle); top-word fraction is one
+  explode + two partial-aggregable groupBys keyed by doc id — the
+  natural parallel key, no skew (each doc is one group).
+- pack_sequences shuffles once on the partition column (source/shard)
+  and runs an ordered window within it — never a global sort. The
+  budget arithmetic is per-row after the running sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+#: Redaction patterns, applied in this order (URLs first so an address
+#: inside a URL is consumed by the URL rule when scrubbing). Kept to
+#: the Java-regex ∩ RE2 common subset (no lookaround, no backrefs) so
+#: the DuckDB oracle can run the byte-identical pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str = "text_clean") -> DataFrame:
+    """Append per-category PII match counts (on the ORIGINAL text, so
+    categories count independently even when spans overlap) and a
+    scrubbed ``out_col`` with all four categories replaced in
+    ``PII_PATTERNS`` order. Map-only; every expression is JVM-side.
+    """
+    c = F.col(text_col)
+    for name, pat, _ in PII_PATTERNS:
+        df = df.withColumn(f"n_{name}", F.regexp_count(c, F.lit(pat)))
+    scrubbed = c
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.withColumn(out_col, scrubbed)
+
+
+def _strict_shingles(tok_col, n: int):
+    """n-word shingles with NO short-document fallback: a document with
+    fewer than n tokens yields an empty array (decontamination must not
+    compare whole short docs against benchmark n-grams — that is a
+    different, far looser predicate than the n-gram rule)."""
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok_col) - n),
+            lambda i: F.array_join(F.slice(tok_col, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, n: int = 8) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with the
+    benchmark set. Returns (id_col, n_hits) for contaminated docs only,
+    where n_hits counts DISTINCT shared shingles.
+
+    The benchmark side is aggregated to a distinct shingle set and
+    broadcast — the corpus (the 100 TB side) is scanned once and never
+    shuffled; the per-doc hit count partial-aggregates map-side.
+    """
+    bench_sh = (
+        benchmark
+        .select(tokens(F.col(text_col)).alias("_tk"))
+        .select(F.explode(_strict_shingles(F.col("_tk"), n)).alias("shingle"))
+        .distinct()
+    )
+    corpus_sh = (
+        docs
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+        .select(id_col,
+                F.explode(_strict_shingles(F.col("_tk"), n)).alias("shingle"))
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def repetition_features(df: DataFrame, id_col: str,
+                        text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``top_word_frac``: frequency of the most common token / total
+      tokens (natural-language docs sit well below ~0.1; templated or
+      degenerate docs spike).
+    - ``dup_2gram_frac``: 1 - distinct/total word bigrams — the
+      "fraction of duplicate n-grams" rule, computed entirely per-row
+      with array ops (size / array_distinct), no shuffle.
+
+    Only ``top_word_frac`` needs aggregation (explode + groupBy doc,
+    word; then max/sum per doc) — both levels partial-aggregate, keyed
+    by the document id so there is no skewable hot key.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    g2 = _strict_shingles(F.col("_tk"), 2)
+    dup = toked.select(
+        id_col,
+        F.when(F.size(g2) == 0, F.lit(0.0))
+        .otherwise(F.round(
+            F.lit(1.0) - F.size(F.array_distinct(g2)).cast("double")
+            / F.size(g2), 6)).alias("dup_2gram_frac"))
+    wc = (
+        toked.select(id_col, F.explode("_tk").alias("w"))
+        .groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        wc.groupBy(id_col)
+        .agg(F.round(F.max("c").cast("double") / F.sum("c"), 6)
+             .alias("top_word_frac"))
+    )
+    return top.join(dup, id_col)
+
+
+def pack_sequences(df: DataFrame, id_col: str, part_col: str,
+                   order_col: str, budget: int,
+                   text_col: str = "text") -> DataFrame:
+    """Assign documents to fixed-budget training sequences with the
+    concatenate-then-chunk strategy: within each ``part_col`` shard the
+    token stream is laid out in ``order_col`` order and cut every
+    ``budget`` tokens; a document starts at its running-sum offset and
+    belongs to sequence ``floor(start / budget)`` (it may straddle the
+    cut — exactly how block-packed LM training data is built).
+
+    Output: (id, part, n_tok, seq_id, tok_offset). One shuffle on the
+    shard column; the window is ordered within shard only, so no
+    single-task global sort at any scale — shard granularity (file,
+    source, date) is the parallelism knob.
+    """
+    w = (Window.partitionBy(part_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ntok = F.size(tokens(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), F.col(part_col), ntok.alias("n_tok"),
+                  F.col(order_col))
+        .withColumn("_start", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .select(id_col, part_col, "n_tok",
+                F.floor(F.col("_start") / budget).alias("seq_id"),
+                (F.col("_start") % budget).alias("tok_offset"))
+    )

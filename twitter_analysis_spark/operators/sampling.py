@@ -83,3 +83,35 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
         .when(~same, F.lit("changed"))
         .otherwise(F.lit("unchanged")).alias("status"),
     )
+
+
+def deterministic_mix(df: DataFrame, key_col: str, id_col: str,
+                      quota_col) -> DataFrame:
+    """Domain-mixture sampler: keep the first ``quota_col`` rows per
+    ``key_col`` group, ordered by ``md5(key || '|' || id)`` — a
+    seedless content hash any SQL engine reproduces bit-for-bit, so
+    the sampled subset is stable under repartitioning, re-ordering,
+    and incremental corpus growth (same properties as
+    ``split_assign``, applied to per-domain quota sampling: the
+    "mix web : code : books at fixed ratios" step of training-data
+    assembly).
+
+    ``quota_col`` is a per-row integer Column (typically a CASE over
+    the key), so heterogeneous domain quotas are one expression — no
+    driver-side loop over domains.
+
+    One shuffle on the domain key; row_number within each domain. At
+    100 TB the group sizes are corpus-scale but the window carries
+    only (key, hash) — no payload columns — and per-domain skew is
+    bounded by the domain granularity the caller picks (source,
+    shard, crawl); for a single mega-domain, pre-aggregate to
+    per-shard sub-keys first.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|"),
+                       F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= quota_col)
+            .drop("_rn"))
