@@ -300,3 +300,32 @@ def test_embedding_cells_equal_allpairs(spark, sf_dir):
         emb, "vec_id", "embedding", threshold=0.4,
         method="cells", nlist=16).collect()))
     assert bf == cp and len(bf) > 0
+
+
+def test_kmeans_fit_monotone_objective(spark, sf_dir):
+    """Spherical Lloyd rounds never decrease mean cosine to the
+    assigned centroid, and the trained fit beats the lowest-id seeds."""
+    from pyspark.sql import functions as F
+
+    from twitter_analysis_spark.operators import similarity as sim
+    from twitter_analysis_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def objective(cents):
+        return (sim.ivf_assign(emb, cents, with_cos=True)
+                .agg(F.avg("cell_cos")).collect()[0][0])
+
+    seeds = sim.ivf_centroids(emb, nlist=8)
+    objs = [objective(seeds)]
+    cents = seeds
+    for _ in range(3):
+        cents = sim.kmeans_fit(emb, nlist=8, iters=1, seed_centroids=cents)
+        objs.append(objective(cents))
+    for a, b in zip(objs, objs[1:]):
+        assert b >= a - 1e-9, objs
+    assert objs[-1] > objs[0], objs  # training actually moved
+    # centroids are unit-norm; every vector stays assigned to some cell
+    for _, v in cents:
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-6
+    assert sim.ivf_assign(emb, cents).count() == emb.count()

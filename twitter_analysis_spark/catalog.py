@@ -2561,3 +2561,20 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10)).otherwise(F.lit(5))
     from .operators.sampling import deterministic_mix
     return deterministic_mix(docs, "source", "doc_id", quota)
+
+
+@register("sim_kmeans_ivf")  # iterative training: rows-only check
+def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spherical k-means IVF fit (operators/similarity.py:kmeans_fit):
+    # 3 Lloyd rounds, then the trained cells' occupancy + mean cosine.
+    # Iterative float averaging isn't bit-reproducible in DuckDB SQL,
+    # so this is a rows-only driver row; tests/test_dedup_similarity.py
+    # asserts the monotone-objective and coverage properties.
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _sim.kmeans_fit(emb, nlist=8, iters=3)
+    return (
+        _sim.ivf_assign(emb, cents, with_cos=True)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.avg("cell_cos"), 3).alias("mean_cos"))
+    )

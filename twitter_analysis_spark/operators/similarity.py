@@ -320,3 +320,54 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .where(F.col("rk") <= k)
         .select("qid", "cid", "cosine", "rk")
     )
+
+
+def kmeans_fit(emb: DataFrame, nlist: int = 8, iters: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed_centroids: list[tuple[int, list[float]]] | None = None,
+               ) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd) for IVF centroids, as DataFrame aggs.
+
+    Replaces the lowest-id seeds of ``ivf_centroids`` with a real fit
+    while keeping every per-round step cluster-shaped:
+
+    - **assign**: ``ivf_assign`` — the argmax over an inlined centroid
+      array, whole-stage codegen, zero shuffle;
+    - **update**: normalize each vector, ``posexplode`` to
+      (cell, pos, x/|x|), then ``groupBy(cell, pos).avg`` — the dim-fold
+      row inflation is absorbed by map-side partial aggregation, so the
+      shuffle carries only nlist x dim rows; the driver collects just
+      the new centroids (nlist x dim floats) per round.
+
+    Spherical update = mean of UNIT vectors, re-normalized: for cosine
+    assignment this is the exact maximizer of the per-cell cosine sum
+    (sum_x cos(x,c) = (sum_x x/|x|) . c/|c|), so the mean-cosine
+    objective is monotone non-decreasing per Lloyd round — the property
+    the tests assert. Empty cells keep their previous centroid.
+    """
+    cents = seed_centroids or ivf_centroids(emb, nlist, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        parts = (
+            assigned
+            .withColumn("_n", l2norm(F.col(vec_col)))
+            .select("cell", F.posexplode(
+                F.transform(F.col(vec_col),
+                            lambda x: x / F.col("_n"))).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # bounded: nlist x dim rows
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in parts:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        new = []
+        for cid, old in cents:
+            if cid in by_cell:
+                vec = [by_cell[cid][p] for p in sorted(by_cell[cid])]
+                nrm = sum(x * x for x in vec) ** 0.5 or 1.0
+                new.append((cid, [x / nrm for x in vec]))
+            else:
+                new.append((cid, old))
+        cents = new
+    return cents
