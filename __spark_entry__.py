@@ -29,22 +29,27 @@ from twitter_analysis_spark import catalog  # noqa: E402
 # everything else in registration order.  Python dicts preserve
 # insertion order, so this is the order the driver iterates.
 _PRIORITY = [
-    # -- no CORRECTNESS_r01 row (registered after the 50-query cap) --
-    "a10_grouped_distinct", "a11_approx_sketches", "t8_moving_avg",
-    "q2_groupwise_argmin", "q5_local_supplier_volume", "j6_asof_join",
-    "j7_range_join", "corpus_curation", "c13_json_extract",
-    "a12_pivot_matrix", "u3_intersect_except", "t9_cumulative_daily",
-    "text_bigram_topk", "text_tfidf_topk", "f11_exists_subquery",
-    "f12_scalar_subquery", "c14_array_hof_suite", "a13_grouping_sets",
-    "t10_window_suite", "dedup_clusters", "corpus_split_assign",
-    "q18_large_orders", "f13_not_in_subquery", "a14_multi_distinct",
-    "sim_knn_join", "j8_snapshot_diff",
-    # -- changed this round (re-verify) --
-    "a4_conditional_counts", "dedup_embedding_cosine",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    # -- new/changed in round 3 (t7 bounded; the 4 fixed comparator rows
-    # are already listed above) --
-    "f2_nested_hashtag_path", "t7_pagination",
+    # -- code or oracle changed in round 3: need fresh driver rows
+    # (incl. the 4 comparator rows red in r02, fixed this round) --
+    "c13_json_extract", "a12_pivot_matrix", "a11_approx_sketches",
+    "c14_array_hof_suite", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "corpus_curation", "dedup_embedding_cosine", "t7_pagination",
+    "f2_nested_hashtag_path", "sim_knn_join", "j8_snapshot_diff",
+    "sim_ivf_topk",
+    # -- new in round 3: TPC-H-shape quartet + curation tier + k-means --
+    "q6_forecast_revenue", "q10_returned_items", "q14_promo_effect",
+    "q22_dormant_customers", "text_pii_scrub", "text_decontaminate",
+    "text_repetition_quality", "corpus_pack_sequences",
+    "corpus_domain_mix", "sim_kmeans_ivf",
+    # -- only r01 evidence (stalest first refresh) --
+    "c1_c2_date_format", "c10_page_count", "q1_pricing_summary",
+    "q3_top_revenue_orders", "dedup_exact", "dedup_simhash",
+    "sim_cosine_topk", "sim_lsh_topk", "text_token_counts",
+    "text_quality_features", "text_lang_id", "text_fingerprint",
+    "mm_media_metadata", "mm_decode_features", "w1_tumbling_window_agg",
+    "s9_sessionization", "u2_union_results", "a7_percentiles",
+    "f4_absence_filter", "t2_top5_sidebar", "c_scalar_suite",
+    "a8_salted_skew_agg", "a9_rollup_revenue", "q13_order_distribution",
 ]
 
 
