@@ -52,6 +52,18 @@ HEADLINE = [
     "sim_knn_join",
     "c13_json_extract",
     "corpus_curation",
+    # TPC-H shape quartet (round 3)
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q22_dormant_customers",
+    # corpus-curation tier (round 3); sim_kmeans_ivf is excluded — it
+    # is an iterative TRAINING job (3 Lloyd rounds), not a query.
+    "text_pii_scrub",
+    "text_decontaminate",
+    "text_repetition_quality",
+    "corpus_pack_sequences",
+    "corpus_domain_mix",
 ]
 
 
@@ -68,11 +80,29 @@ def main() -> None:
                                   "spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Queries whose cost lives in map-only projections (regex scrub,
+    # per-row array math, window arithmetic): count() would let the
+    # optimizer PRUNE those expressions and time an empty scan, so
+    # force every output column through a hash-sum aggregate instead
+    # (one long per row to the driver-side sum, no wide collect).
+    FORCE_ALL_COLUMNS = {
+        "text_pii_scrub", "text_decontaminate", "text_repetition_quality",
+        "corpus_pack_sequences", "corpus_domain_mix",
+    }
+
     def run(name: str) -> None:
+        from pyspark.sql import functions as F
+
         # count() forces full execution without shipping wide results
         # to the driver; top-k queries are cheap to collect anyway.
         df = catalog.QUERIES[name](spark, SF_DIR)
-        df.collect() if name.startswith(("t1", "t6", "flagship", "q3", "a2", "sim")) else df.count()
+        if name in FORCE_ALL_COLUMNS:
+            (df.select(F.xxhash64(*[F.col(c) for c in df.columns])
+                       .alias("h")).agg(F.sum("h")).collect())
+        elif name.startswith(("t1", "t6", "flagship", "q3", "a2", "sim")):
+            df.collect()
+        else:
+            df.count()
         # Operators that persist() intermediates (LSH candidate sets)
         # would otherwise accumulate storage across the session and
         # skew later timings by 2-3x.
