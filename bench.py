@@ -97,8 +97,10 @@ def main() -> None:
         # to the driver; top-k queries are cheap to collect anyway.
         df = catalog.QUERIES[name](spark, SF_DIR)
         if name in FORCE_ALL_COLUMNS:
+            # bit_xor, not sum: ANSI mode makes a long-sum of hashes
+            # overflow-fatal, and xor forces evaluation just as well.
             (df.select(F.xxhash64(*[F.col(c) for c in df.columns])
-                       .alias("h")).agg(F.sum("h")).collect())
+                       .alias("h")).agg(F.expr("bit_xor(h)")).collect())
         elif name.startswith(("t1", "t6", "flagship", "q3", "a2", "sim")):
             df.collect()
         else:

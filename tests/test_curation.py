@@ -113,3 +113,44 @@ def test_deterministic_mix_quota_and_stability(spark, sf_dir):
     # content-hash order => identical selection under any partitioning
     b = deterministic_mix(docs.repartition(17), "source", "doc_id", quota)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pii_scrub_idempotent_property(spark):
+    """Scrubbing is a fixpoint: replacement tokens (<EMAIL> etc.)
+    contain no digits/@/://, so a second pass changes nothing —
+    property-checked over adversarial alphabet strings."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = list("ab @.:/+-0123456789\thttp")
+    rows = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+            for i in range(200)]
+    rows += [(1000, "a@b.co http://x 1.2.3.4 +12 3456-7890"),
+             (1001, "@@..//++ 999.999.999.999 http://")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    once = cur.pii_scrub(df).select("doc_id", F.col("text_clean").alias("text"))
+    twice = cur.pii_scrub(once).select("doc_id", "text_clean")
+    joined = once.alias("a").join(twice.alias("b"), "doc_id").where(
+        F.col("a.text") != F.col("b.text_clean"))
+    assert joined.count() == 0, joined.limit(5).collect()
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    """Within each shard: offsets are consistent with a contiguous
+    token stream (start of doc i+1 == start of doc i + n_tok_i) and
+    every tok_offset < budget."""
+    from twitter_analysis_spark.sources.io import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    out = cur.pack_sequences(docs, "doc_id", "source", "doc_id", 512)
+    rows = sorted(map(tuple, out.collect()))
+    assert all(r[4] < 512 for r in rows)
+    by_src: dict[str, list] = {}
+    for doc_id, src, n_tok, seq_id, off in rows:
+        by_src.setdefault(src, []).append((doc_id, n_tok, seq_id, off))
+    for src, ds in by_src.items():
+        ds.sort()
+        start = 0
+        for doc_id, n_tok, seq_id, off in ds:
+            assert seq_id == start // 512, (src, doc_id)
+            assert off == start % 512, (src, doc_id)
+            start += n_tok

@@ -158,3 +158,50 @@ def test_jaccard_paths_carry_shingle_cap(spark, sf_dir):
     for name in ("dedup_ngram_jaccard", "corpus_curation", "dedup_minhash_lsh"):
         plan = plan_of(spark, sf_dir, name)
         assert re.search(r"size\(_docs#\d+[^)]*\)[^<>]{0,20}<= 256", plan), name
+
+
+def test_q6_filters_reach_scan_and_agg_is_partial(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters" in plan and "l_quantity" in plan.split(
+        "PushedFilters", 1)[1].split("]", 1)[0]
+    assert "partial_" in plan
+
+
+def test_q10_broadcasts_customer_and_takes_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_on_pruned_orders(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    # the NOT EXISTS side scans orders WITH the date pushed down
+    seg = plan.split("orders.parquet", 1)[0]
+    assert "BroadcastHashJoin" in plan
+    assert "o_orderdate" in plan
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    # redaction must be a pure projection: no Exchange anywhere
+    plan = plan_of(spark, sf_dir, "text_pii_scrub")
+    assert "Exchange" not in plan
+    assert "regexp_replace" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the corpus side must meet the benchmark shingles in a broadcast
+    # hash join — never a SortMergeJoin that shuffles the corpus
+    plan = plan_of(spark, sf_dir, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_windows_per_shard(spark, sf_dir):
+    # the running sum partitions by source: no single-partition global
+    # window (Exchange SinglePartition feeding a Window)
+    plan = plan_of(spark, sf_dir, "corpus_pack_sequences")
+    assert "Window" in plan
+    import re
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan)
+    assert "hashpartitioning(source" in plan
