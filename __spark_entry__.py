@@ -40,7 +40,7 @@ _PRIORITY = [
     "q6_forecast_revenue", "q10_returned_items", "q14_promo_effect",
     "q22_dormant_customers", "text_pii_scrub", "text_decontaminate",
     "text_repetition_quality", "corpus_pack_sequences",
-    "corpus_domain_mix", "sim_kmeans_ivf",
+    "corpus_domain_mix", "sim_kmeans_ivf", "corpus_training_set",
     # -- only r01 evidence (stalest first refresh) --
     "c1_c2_date_format", "c10_page_count", "q1_pricing_summary",
     "q3_top_revenue_orders", "dedup_exact", "dedup_simhash",

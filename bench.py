@@ -64,6 +64,7 @@ HEADLINE = [
     "text_repetition_quality",
     "corpus_pack_sequences",
     "corpus_domain_mix",
+    "corpus_training_set",
 ]
 
 
@@ -88,6 +89,7 @@ def main() -> None:
     FORCE_ALL_COLUMNS = {
         "text_pii_scrub", "text_decontaminate", "text_repetition_quality",
         "corpus_pack_sequences", "corpus_domain_mix",
+        "corpus_training_set",
     }
 
     def run(name: str) -> None:

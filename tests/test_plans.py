@@ -205,3 +205,13 @@ def test_pack_sequences_windows_per_shard(spark, sf_dir):
     import re
     assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan)
     assert "hashpartitioning(source" in plan
+
+
+def test_training_set_pipeline_plan(spark, sf_dir):
+    # end-to-end assembly: violator sets anti-joined, benchmark side
+    # broadcast, packing windowed per split — and never a cross join
+    plan = plan_of(spark, sf_dir, "corpus_training_set")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(split" in plan

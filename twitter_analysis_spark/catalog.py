@@ -2578,3 +2578,104 @@ def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"),
              F.round(F.avg("cell_cos"), 3).alias("mean_cos"))
     )
+
+
+def _scrub_sql(col: str) -> str:
+    """DuckDB regexp_replace chain mirroring curation.pii_scrub (same
+    patterns, same order; 'g' = replace-all to match Spark)."""
+    expr = col
+    for _, pat, repl in _cur.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+def _build_training_set_oracle() -> str:
+    feat = ORACLES["text_quality_features"].strip()
+    pairs = ORACLES["dedup_ngram_jaccard"].strip()
+    return f"""
+    WITH toks0 AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh4 AS (
+      SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 4
+        THEN [array_to_string(tk[i:i+3], ' ')
+              for i in generate_series(1, len(tk)-3)]
+        ELSE [] END) AS shingle
+      FROM toks0
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh4 s JOIN bench b USING (shingle)
+      WHERE s.doc_id % 97 <> 0
+    ),
+    kept AS (
+      SELECT f.doc_id FROM ({feat}) f
+      WHERE f.quality_score >= 0.4 AND f.n_tokens >= 5
+        AND f.doc_id % 97 <> 0
+        AND f.doc_id NOT IN (SELECT id2 FROM ({pairs}) p)
+        AND f.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sized AS (
+      SELECT d.doc_id,
+             CASE WHEN CAST(('0x' ||
+                    substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)) AS INT) < 25
+                  THEN 'val' ELSE 'train' END AS split,
+             CAST(len(list_filter(string_split_regex(
+                    lower({_scrub_sql('d.text')}), '\\s+'),
+                    t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+    ),
+    packed AS (
+      SELECT doc_id, split, n_tok,
+             sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS strt
+      FROM sized
+    )
+    SELECT doc_id, split, n_tok,
+           CAST(strt // 512 AS BIGINT) AS seq_id,
+           CAST(strt % 512 AS BIGINT) AS tok_offset
+    FROM packed
+    """
+
+
+@register("corpus_training_set", None)
+def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The WHOLE training-data assembly as ONE declarative plan:
+    # quality gate -> near-dup removal -> benchmark decontamination ->
+    # PII scrub -> content-addressed train/val split -> fixed-budget
+    # sequence packing (per-split token stream, budget 512). Every
+    # stage is the already-verified operator; Catalyst fuses the
+    # filter/anti-join cascade into one pass over documents plus the
+    # bounded pair/shingle side plans. At 100 TB the same composition
+    # holds: the anti-join right sides are the (small) violator sets,
+    # the benchmark side broadcasts, and packing windows per split
+    # shard — swap ngram_jaccard_pairs for minhash_lsh_pairs to make
+    # the near-dup stage sub-quadratic with identical survivor
+    # semantics.
+    from .operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)   # benchmark held out
+    feat = _ts.quality_features(docs.select("doc_id", "text")).drop("text")
+    good = (feat.where((F.col("quality_score") >= 0.4)
+                       & (F.col("n_tokens") >= 5)).select("doc_id"))
+    dups = (_dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                       n=3, threshold=0.1)
+            .select(F.col("id2").alias("doc_id")).distinct())
+    contam = _cur.decontaminate(
+        corpus, docs.where(F.col("doc_id") % 97 == 0),
+        "doc_id", "text", n=4).select("doc_id")
+    kept = (corpus.select("doc_id", "text")
+            .join(good, "doc_id")
+            .join(dups, "doc_id", "left_anti")
+            .join(contam, "doc_id", "left_anti"))
+    scrubbed = (_cur.pii_scrub(kept, "text", "t_clean")
+                .select("doc_id", "t_clean"))
+    staged = split_assign(scrubbed, "doc_id", val_fraction=0.1)
+    packed = _cur.pack_sequences(staged, "doc_id", "split", "doc_id",
+                                 budget=512, text_col="t_clean")
+    return packed.select(
+        "doc_id", "split", F.col("n_tok").cast("bigint").alias("n_tok"),
+        "seq_id", F.col("tok_offset").cast("bigint").alias("tok_offset"))
+
+
+ORACLES["corpus_training_set"] = _build_training_set_oracle()
