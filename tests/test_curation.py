@@ -60,6 +60,16 @@ def test_decontaminate_counts_distinct_shingles(spark):
     assert [(r["doc_id"], r["n_hits"]) for r in hits] == [(1, 2)]
 
 
+def test_decontaminate_dedups_repeated_shingles_within_doc(spark):
+    # doc 4-grams {"a b a b" (×2 → once), "b a b a"}; bench 4-grams
+    # {"x a b a", "a b a b", "b a b y"} — intersection is exactly one
+    # shingle, counted once despite repeating inside the doc
+    bench = _docs(spark, [(100, "x a b a b y")])
+    docs = _docs(spark, [(1, "a b a b a b")])
+    hits = cur.decontaminate(docs, bench, "doc_id", "text", n=4).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in hits] == [(1, 1)]
+
+
 def test_repetition_features_handcrafted(spark):
     df = _docs(spark, [
         (1, "a a a a"),        # top 4/4; bigrams [aa,aa,aa] -> dup 2/3

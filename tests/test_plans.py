@@ -176,10 +176,9 @@ def test_q10_broadcasts_customer_and_takes_topk(spark, sf_dir):
 def test_q22_anti_join_on_pruned_orders(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q22_dormant_customers")
     assert "LeftAnti" in plan
-    # the NOT EXISTS side scans orders WITH the date pushed down
-    seg = plan.split("orders.parquet", 1)[0]
     assert "BroadcastHashJoin" in plan
-    assert "o_orderdate" in plan
+    # the NOT EXISTS side scans orders WITH the date filter pushed down
+    assert "GreaterThanOrEqual(o_orderdate" in plan
 
 
 def test_pii_scrub_is_map_only(spark, sf_dir):
@@ -195,6 +194,9 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the corpus side must NOT shuffle pre-join (array_distinct dedups
+    # per row): total shuffles = benchmark distinct + final doc agg
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
 
 
 def test_pack_sequences_windows_per_shard(spark, sf_dir):

@@ -88,20 +88,25 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, id_col: str,
 
     The benchmark side is aggregated to a distinct shingle set and
     broadcast — the corpus (the 100 TB side) is scanned once and never
-    shuffled; the per-doc hit count partial-aggregates map-side.
+    shuffled at full width: ``array_distinct`` dedups shingles PER ROW
+    before the explode, which makes (id, shingle) globally distinct
+    with zero shuffle (cross-doc duplicates differ in id), so the only
+    corpus-side exchange is the final per-doc count — and that one is
+    keyed by doc id, partial-aggregates map-side, and carries only the
+    (tiny) benchmark-hit rows.
     """
     bench_sh = (
         benchmark
         .select(tokens(F.col(text_col)).alias("_tk"))
         .select(F.explode(_strict_shingles(F.col("_tk"), n)).alias("shingle"))
-        .distinct()
+        .distinct()  # benchmark-sized: the small side, fine to shuffle
     )
     corpus_sh = (
         docs
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
         .select(id_col,
-                F.explode(_strict_shingles(F.col("_tk"), n)).alias("shingle"))
-        .distinct()
+                F.explode(F.array_distinct(
+                    _strict_shingles(F.col("_tk"), n))).alias("shingle"))
     )
     return (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")
