@@ -65,6 +65,11 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_domain_mix",
     "corpus_training_set",
+    # rollup / shuffle-order / Q15+Q21 (round 3, late)
+    "ts_rollup_reagg",
+    "corpus_shuffle_order",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
 ]
 
 
@@ -104,6 +109,9 @@ def main() -> None:
         "text_pii_scrub", "text_decontaminate", "text_repetition_quality",
         "corpus_pack_sequences", "corpus_domain_mix",
         "corpus_training_set",
+        # count() would prune the rollup's agg columns / the shuffle
+        # order's window+join position arithmetic
+        "ts_rollup_reagg", "corpus_shuffle_order",
     }
 
     def run(name: str) -> None:

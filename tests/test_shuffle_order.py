@@ -1,0 +1,51 @@
+"""global_shuffle_order invariants: balanced shards, content-stable
+placement, and a dense 0..N-1 position space."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from twitter_analysis_spark.operators.sampling import global_shuffle_order
+from twitter_analysis_spark.sources.io import load_table
+
+
+def _placements(df):
+    return {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in df.collect()}
+
+
+def test_shards_balanced_and_dense(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cleanup: list = []
+    out = global_shuffle_order(docs, "doc_id", seed=42, n_shards=8,
+                               cleanup=cleanup)
+    rows = out.collect()
+    n = docs.count()
+    assert len(rows) == n
+    sizes = Counter(r["shard"] for r in rows)
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # positions within each shard are dense 0..size-1 (a valid global
+    # round-robin order), no gaps or duplicates
+    for shard, size in sizes.items():
+        got = sorted(r["shard_pos"] for r in rows if r["shard"] == shard)
+        assert got == list(range(size))
+    for df in cleanup:
+        df.unpersist()
+
+
+def test_placement_partitioning_invariant(spark, sf_dir):
+    """The (shard, pos) assignment is a pure function of (id, seed):
+    identical under different input partitionings and partition
+    counts — the property an RNG-based shuffle does NOT have."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = _placements(global_shuffle_order(docs, "doc_id", seed=7, n_parts=8))
+    b = _placements(global_shuffle_order(docs.repartition(3), "doc_id",
+                                         seed=7, n_parts=5))
+    assert a == b
+
+
+def test_seed_changes_order(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = _placements(global_shuffle_order(docs, "doc_id", seed=1))
+    b = _placements(global_shuffle_order(docs, "doc_id", seed=2))
+    assert a != b

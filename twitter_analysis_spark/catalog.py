@@ -2679,3 +2679,206 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["corpus_training_set"] = _build_training_set_oracle()
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15 shape: aggregate view + scalar-subquery max + join
+    # back. The revenue table is per-supplier (cardinality = supplier
+    # count, tiny next to lineitem at any scale), so the max is a
+    # broadcast one-row cross join against it and the supplier lookup
+    # broadcasts too; the only big-data work is the date-pruned
+    # lineitem scan-agg. Ties on the max all surface (set semantics,
+    # same as the SQL). Decimal equality keeps the comparison exact
+    # cross-engine; the double cast happens only at output.
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = (
+        li.where((F.col("l_shipdate") >=
+                  F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+                 & (F.col("l_shipdate") <
+                    F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(price * (F.lit(1) - disc)).alias("rev_dec"))
+    )
+    mx = rev.agg(F.max("rev_dec").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("rev_dec").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape (adapted: 'late' = shipped >90 days after the
+    # order date, since this lineitem has no commit/receipt dates):
+    # the canonical correlated EXISTS + NOT-EXISTS-on-the-same-table
+    # pattern, expressed as left_semi + left_anti joins on the order
+    # key with a supplier-inequality residual. Both joins are equi on
+    # l_orderkey (shuffle/SMJ-able, AQE-skew-splittable); the anti
+    # side reuses the already-filtered `late` subtree, which is tiny
+    # relative to lineitem; supplier is a broadcast dim; TakeOrdered
+    # caps the result.
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(ords.where(F.col("o_orderstatus") == "F"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") >
+               F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    a = late.alias("a")
+    others = li.select("l_orderkey", "l_suppkey").alias("b")
+    waited = a.join(
+        others,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi")
+    sole_blame = waited.alias("x").join(
+        late.alias("c"),
+        (F.col("x.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("x.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti")
+    return (
+        sole_blame
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pre-aggregated time-series rollups (operators/rollup.py): the
+# materialized-aggregate tier. ts_hourly_rollup is the stored grain;
+# ts_rollup_reagg proves daily-from-hourly == daily-from-raw exactly
+# (decimal partials), which is what licenses serving dashboards from
+# the rollup instead of the 100 TB raw scan.
+# ---------------------------------------------------------------------------
+
+from .operators import rollup as _roll          # noqa: E402
+
+
+@register(
+    "corpus_shuffle_order",
+    """
+    WITH ordered AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':42')),
+                        doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(pos % 8 AS BIGINT) AS shard,
+           CAST(pos // 8 AS BIGINT) AS shard_pos
+    FROM ordered
+    """,
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic epoch-shuffle/shard assignment for training data
+    # loaders. The oracle's one-window global ORDER BY is exactly the
+    # plan we must NOT run at scale (single-task sort); the operator
+    # computes the identical total order via range repartition +
+    # per-partition offsets (distributed zipWithIndex). Hash-equality
+    # of the two IS the scalability proof: same answer, shuffle-safe
+    # plan.
+    from .operators.sampling import global_shuffle_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return global_shuffle_order(docs, "doc_id", seed=42, n_shards=8)
+
+
+@register(
+    "ts_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def ts_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The stored rollup grain, presented (avg derived at read time,
+    # decimal sums surfaced as double). One map-side-partial shuffle
+    # over (hour, type) — the build cost is amortized over every
+    # dashboard query that then skips the raw scan. The HLL user
+    # sketch is exercised in tests (no cross-engine hash for sketches).
+    ev = _t(spark, sf_dir, "events")
+    return _roll.present(_roll.rollup(ev, "hour", with_sketch=False))
+
+
+@register(
+    "ts_rollup_reagg",
+    """
+    SELECT date_trunc('day', ts) AS bucket_ts, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def ts_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Daily stats computed FROM the hourly rollup, never from raw —
+    # while the oracle aggregates the raw table directly. count/sum/
+    # min/max merge exactly because the stored sums are DECIMAL
+    # partials (order-independent), so the two sides hash-match: the
+    # lossless re-aggregation guarantee, checked end-to-end. The
+    # second aggregation runs over the already-tiny hourly frame.
+    ev = _t(spark, sf_dir, "events")
+    hourly = _roll.rollup(ev, "hour", with_sketch=False)
+    daily = _roll.present(_roll.reaggregate(hourly, "day"))
+    # Day-grain buckets surface as DATE (DuckDB's date_trunc('day')
+    # convention); the stored rollup keeps the timestamp form.
+    return daily.withColumn("bucket_ts", F.to_date("bucket_ts"))

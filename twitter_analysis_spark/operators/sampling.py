@@ -85,6 +85,65 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     )
 
 
+def global_shuffle_order(df: DataFrame, id_col: str, seed: int = 42,
+                         n_shards: int = 8, n_parts: int | None = None,
+                         cleanup: list | None = None) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``(shard, shard_pos)`` placement from a seedless total order over
+    ``md5(id || ':' || seed)``.
+
+    Training pipelines need the corpus in a *reproducible* random-ish
+    order (epoch shuffling, shard assignment for data loaders), stable
+    across engines, partitionings, and reruns — so the order is a pure
+    content hash, not an RNG (same rationale as ``split_assign``).
+    Round-robin modulo over the global position gives shards whose
+    sizes differ by at most one row.
+
+    The global position is computed the scalable way (the DataFrame
+    equivalent of ``zipWithIndex``): range-repartition on the hash key
+    so partitions are totally ordered, count rows per partition (one
+    driver collect bounded by the partition count, like the IVF
+    centroid collect), then ``partition offset + local row_number``.
+    No single-task global sort at any scale — the window partitions by
+    ``spark_partition_id``. The ranged frame feeds both the count job
+    and the final plan, so it is persisted; pass ``cleanup`` to
+    unpersist after materialization (dedup.py convention).
+
+    The DuckDB oracle states the same thing declaratively:
+    ``row_number() OVER (ORDER BY md5(...), id) - 1``.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                            F.lit(str(seed))))
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (df.select(F.col(id_col)).withColumn("_key", key)
+              .repartitionByRange(n_parts, F.asc("_key"), F.asc(id_col))
+              .withColumn("_pid", F.spark_partition_id())
+              .persist())
+    if cleanup is not None:
+        cleanup.append(ranged)
+    # Bounded driver collect: one (pid, count) row per partition. The
+    # persist above pins the partitioning so the offsets stay valid
+    # for the returned (lazy) plan.
+    counts = ranged.groupBy("_pid").count().collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["count"]
+    odf = spark.createDataFrame(offsets, schema="_pid int, _off bigint")
+    w = Window.partitionBy("_pid").orderBy(F.asc("_key"), F.asc(id_col))
+    pos = F.row_number().over(w).cast("bigint") + F.col("_off") - F.lit(1)
+    return (ranged.join(F.broadcast(odf), "_pid")
+            .withColumn("_pos", pos)
+            .select(F.col(id_col),
+                    (F.col("_pos") % n_shards).cast("bigint").alias("shard"),
+                    F.expr(f"_pos div {n_shards}").cast("bigint")
+                    .alias("shard_pos")))
+
+
 def deterministic_mix(df: DataFrame, key_col: str, id_col: str,
                       quota_col) -> DataFrame:
     """Domain-mixture sampler: keep the first ``quota_col`` rows per
