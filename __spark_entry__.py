@@ -29,9 +29,9 @@ from twitter_analysis_spark import catalog  # noqa: E402
 # everything else in registration order.  Python dicts preserve
 # insertion order, so this is the order the driver iterates.
 _PRIORITY = [
-    # -- new in round 3 (late): rollup tier, shuffle-order, Q15/Q21 --
+    # -- new in round 3 (late): rollup tier, shuffle-order, Q15/Q21, PQ --
     "ts_hourly_rollup", "ts_rollup_reagg", "corpus_shuffle_order",
-    "q15_top_supplier", "q21_waiting_suppliers",
+    "q15_top_supplier", "q21_waiting_suppliers", "sim_pq_topk",
     # -- code or oracle changed in round 3: need fresh driver rows
     # (incl. the 4 comparator rows red in r02, fixed this round) --
     "c13_json_extract", "a12_pivot_matrix", "a11_approx_sketches",

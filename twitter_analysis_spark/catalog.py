@@ -841,6 +841,23 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.cosine_topk(emb, qvec, k=10)
 
 
+@register("sim_pq_topk")  # approximate (lossy codes): rows-only check
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization ANN: train per-subspace codebooks (one scan
+    # per Lloyd round, bounded m*ksub*dsub driver collect), encode the
+    # corpus to m small ints per vector, ADC-scan the compressed index
+    # for a 50-candidate shortlist, exact-rerank the shortlist. The
+    # memory-compression scale path: the full scan touches 64x-smaller
+    # codes; raw vectors are read for only C=50 rows. Tests pin recall
+    # vs the exact ranking and exactness on codebook-expressible
+    # corpora.
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    books = _sim.pq_train(emb, m=8, ksub=16, iters=2)
+    return _sim.pq_topk(emb, books, qvec, k=10, rerank=50)
+
+
 @register("sim_lsh_topk")  # approximate (recall<1): rows-only check
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale-path ANN: random-hyperplane LSH bucket probe (multi-probe

@@ -322,6 +322,182 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression ANN path. Vectors
+# are unit-normalized, split into m subspaces, and each subvector is
+# replaced by the id of its nearest codebook centroid — dim floats
+# become m small ints (64x-256x smaller). Scoring is asymmetric
+# distance computation (ADC): cosine(q, x) ≈ Σ_s lut[s][code_s] where
+# lut[s][j] = dot(q_s, C[s][j]) is an m×ksub table computed once per
+# query. At 100 TB the encoded corpus (m bytes/vector) fits where raw
+# embeddings never could, and the scan is a literal-array lookup fold —
+# no vector arithmetic per row at query time.
+# ---------------------------------------------------------------------------
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _unit(vec: Column) -> Column:
+    n = l2norm(vec)
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def _pq_codes_expr(unit_vec: Column,
+                   codebooks: list[list[list[float]]]) -> Column:
+    """Row-wise PQ assignment: array of per-subspace argmin-L2 codes.
+
+    ``unit_vec`` must be an already-MATERIALIZED unit-normalized array
+    column (a plain attribute, not a normalization expression): this
+    expression references the vector m·ksub times, and higher-order
+    lambdas evaluate interpreted — an embedded l2norm fold would be
+    recomputed per (subspace, code) per row (~20s for 500 rows,
+    measured) instead of once per row. Callers project the unit
+    vector in a separate select; CollapseProject keeps multi-referenced
+    non-cheap aliases materialized.
+
+    The codebooks are inlined literal arrays (m × ksub × dsub doubles,
+    small constants). Ties break to the lowest code id, deterministic
+    everywhere.
+    """
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(unit_vec, s * dsub + 1, dsub)
+        book_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                             for c in book])
+        # ONE fold lambda per subspace (transform over the literal
+        # codebook), not one per (subspace, code): the expression tree
+        # stays ksub-times smaller, which is what keeps Catalyst
+        # analysis + codegen time sane as m*ksub grows.
+        dists = F.transform(book_lit, lambda c: _l2sq(sub, c))
+        # array_position returns the FIRST index of the min -> ties
+        # break to the lowest code id, deterministic everywhere.
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return F.array(*codes)
+
+
+def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16, iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             ) -> list[list[list[float]]]:
+    """Fit PQ codebooks: per-subspace L2 k-means over unit-normalized
+    vectors, every Lloyd round ONE corpus scan for ALL subspaces.
+
+    - **seed**: subvector slices of the ``ksub`` lowest-id vectors
+      (deterministic, same convention as ivf_centroids).
+    - **assign**: row-wise ``_pq_codes_expr`` — map-only, no shuffle.
+    - **update**: posexplode the normalized vector once; each exploded
+      position folds to (sub, code, sub_pos); ``groupBy.avg`` with
+      map-side partials shuffles only m·ksub·dsub rows and the driver
+      collects the same (bounded: 8·16·8 ≈ 1k doubles per round).
+
+    Empty codes keep their previous centroid. Unlike the spherical IVF
+    fit, PQ minimizes per-subspace *reconstruction* L2 — the quantity
+    ADC error is bounded by — so updates are plain means.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seeds = (emb.orderBy(F.asc(id_col)).limit(ksub)
+             .select(_unit(F.col(vec_col)).alias("_u")).collect())
+    books = [[[float(x) for x in r["_u"][s * dsub:(s + 1) * dsub]]
+              for r in seeds]
+             for s in range(m)]
+    for _ in range(iters):
+        coded = (emb.select(_unit(F.col(vec_col)).alias("_u"))
+                 .select(_pq_codes_expr(F.col("_u"), books).alias("_codes"),
+                         F.col("_u")))
+        parts = (
+            coded.select("_codes", F.posexplode("_u").alias("pos", "x"))
+            .select((F.col("pos") / dsub).cast("int").alias("sub"),
+                    (F.col("pos") % dsub).alias("spos"),
+                    F.element_at("_codes",
+                                 (F.col("pos") / dsub).cast("int") + 1)
+                    .alias("code"),
+                    "x")
+            .groupBy("sub", "code", "spos")
+            .agg(F.avg("x").alias("mval"))
+            .collect()  # bounded: m*ksub*dsub rows
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in parts:
+            got.setdefault((r["sub"], r["code"]), {})[r["spos"]] = r["mval"]
+        books = [
+            [([got[(s, j)][p] for p in sorted(got[(s, j)])]
+              if (s, j) in got else old)
+             for j, old in enumerate(book)]
+            for s, book in enumerate(books)
+        ]
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode the corpus: (id, codes array<int>). Map-only projection
+    (two chained selects: normalize once, then assign); at scale this
+    is the stored index — m small ints per vector."""
+    return (emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("_u"))
+            .select(F.col(id_col),
+                    _pq_codes_expr(F.col("_u"), codebooks).alias("codes")))
+
+
+def pq_topk(emb: DataFrame, codebooks: list[list[list[float]]],
+            query_vec: list[float], k: int = 10,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            rerank: int = 0) -> DataFrame:
+    """Approximate top-k by ADC over the PQ-encoded corpus, optionally
+    exact-reranked.
+
+    The m×ksub lookup table lut[s][j] = dot(q̂_s, C[s][j]) is computed
+    driver-side in pure Python (deterministic) and inlined; the scan
+    evaluates Σ_s lut[s][codes[s]] — literal-array indexing, no vector
+    math per row — and ends in TakeOrderedAndProject.
+
+    ``rerank=C`` is the production shape: ADC selects a C-candidate
+    shortlist from the compressed index (the only full scan, and of
+    m-byte codes rather than raw vectors), then exact cosine reranks
+    just those C rows via a broadcast semi-join back to the raw table
+    — at scale a partition-pruned point read, since C ≪ corpus.
+    Recall then depends on shortlist depth instead of quantization
+    fidelity alone. Output column is ``adc_score`` either way (the
+    reranked variant's scores are the exact cosines).
+    """
+    qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
+    qhat = [x / qn for x in query_vec]
+    dsub = len(codebooks[0][0])
+    lut = [[sum(qhat[s * dsub + i] * c[i] for i in range(dsub))
+            for c in book]
+           for s, book in enumerate(codebooks)]
+    encoded = pq_encode(emb, codebooks, id_col, vec_col)
+    score = None
+    for s, row in enumerate(lut):
+        term = F.element_at(F.array([F.lit(v) for v in row]),
+                            F.element_at("codes", s + 1) + 1)
+        score = term if score is None else score + term
+    adc = (
+        encoded.select(F.col(id_col),
+                       F.round(score, 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(max(k, rerank))
+    )
+    if not rerank:
+        return adc
+    q = F.array([F.lit(float(x)) for x in query_vec])
+    return (
+        emb.join(F.broadcast(adc.select(id_col)), id_col)
+        .select(F.col(id_col),
+                F.round(cosine(F.col(vec_col), q), 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def kmeans_fit(emb: DataFrame, nlist: int = 8, iters: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding",
                seed_centroids: list[tuple[int, list[float]]] | None = None,
