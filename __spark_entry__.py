@@ -29,30 +29,29 @@ from twitter_analysis_spark import catalog  # noqa: E402
 # everything else in registration order.  Python dicts preserve
 # insertion order, so this is the order the driver iterates.
 _PRIORITY = [
-    # -- new in round 3 (late): rollup tier, shuffle-order, Q15/Q21, PQ --
-    "ts_hourly_rollup", "ts_rollup_reagg", "corpus_shuffle_order",
-    "q15_top_supplier", "q21_waiting_suppliers", "sim_pq_topk",
-    # -- code or oracle changed in round 3: need fresh driver rows
-    # (incl. the 4 comparator rows red in r02, fixed this round) --
-    "c13_json_extract", "a12_pivot_matrix", "a11_approx_sketches",
-    "c14_array_hof_suite", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "corpus_curation", "dedup_embedding_cosine", "t7_pagination",
-    "f2_nested_hashtag_path", "sim_knn_join", "j8_snapshot_diff",
-    "sim_ivf_topk",
-    # -- new in round 3: TPC-H-shape quartet + curation tier + k-means --
-    "q6_forecast_revenue", "q10_returned_items", "q14_promo_effect",
-    "q22_dormant_customers", "text_pii_scrub", "text_decontaminate",
-    "text_repetition_quality", "corpus_pack_sequences",
-    "corpus_domain_mix", "sim_kmeans_ivf", "corpus_training_set",
-    # -- only r01 evidence (stalest first refresh) --
-    "c1_c2_date_format", "c10_page_count", "q1_pricing_summary",
-    "q3_top_revenue_orders", "dedup_exact", "dedup_simhash",
-    "sim_cosine_topk", "sim_lsh_topk", "text_token_counts",
-    "text_quality_features", "text_lang_id", "text_fingerprint",
-    "mm_media_metadata", "mm_decode_features", "w1_tumbling_window_agg",
-    "s9_sessionization", "u2_union_results", "a7_percentiles",
-    "f4_absence_filter", "t2_top5_sidebar", "c_scalar_suite",
-    "a8_salted_skew_agg", "a9_rollup_revenue", "q13_order_distribution",
+    # -- round-4 rotation: the 44 queries whose latest driver evidence
+    # is r1/r2 (stalest first — these four have only an r1 row), so no
+    # query's evidence ends the round older than 2 sweeps --
+    "c_scalar_suite", "a8_salted_skew_agg", "a9_rollup_revenue",
+    "q13_order_distribution",
+    # r2-latest, registration order
+    "a10_grouped_distinct", "a13_grouping_sets", "a14_multi_distinct",
+    "a1_count_star", "a2_top_keywords", "a4_conditional_counts",
+    "a6_distinct_cardinality", "corpus_split_assign", "dedup_clusters",
+    "f11_exists_subquery", "f12_scalar_subquery", "f13_not_in_subquery",
+    "f1_keyword_regex", "f2_array_membership", "f3_equality_filter",
+    "f5_point_lookup", "f6_disjunctive_filter", "f7_prefix_filter",
+    "f8_date_range", "f9_conjunctive_filter", "flagship_search",
+    "j1_broadcast_user_join", "j2_dim_chain_join", "j3_collect_assembly",
+    "j4_semi_join", "j5_union_harvest", "j6_asof_join", "j7_range_join",
+    "p1_projection", "q18_large_orders", "q2_groupwise_argmin",
+    "q5_local_supplier_volume", "t10_window_suite", "t1_topk_multisort",
+    "t6_group_topk", "t8_moving_avg", "t9_cumulative_daily",
+    "text_bigram_topk", "text_tfidf_topk", "u3_intersect_except",
+    # -- the 6 remaining sweep slots: code or oracle changed in round 4
+    # (real decode kernel; rows-only→oracle conversions; new Q4/Q8) --
+    "mm_decode_features", "dedup_simhash", "sim_ivf_topk",
+    "sim_lsh_topk", "q4_order_priority", "q8_market_share",
 ]
 
 
