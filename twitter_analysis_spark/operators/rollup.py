@@ -130,21 +130,38 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str,
     """Materialize (or incrementally refresh) a rollup at ``path``,
     partitioned by ``grain_date``.
 
-    ``dates=None`` builds the whole rollup. With a date list, the raw
-    scan is pruned to those dates (at scale the raw table is
-    date-partitioned, so this reads only late-arriving partitions) and
-    Spark's *dynamic* partition overwrite replaces exactly the
-    partitions present in the refreshed frame — every other
-    partition's files are untouched, which tests assert by mtime.
+    ``dates=None`` rebuilds the whole rollup with a *static* overwrite
+    (the entire path is replaced, so partitions whose grain_date no
+    longer exists in the source — e.g. after deletions — are dropped,
+    not left stale).
+
+    With a date list, ``dates`` are ``grain_date`` PARTITION values:
+    the raw scan is pruned to every row whose *grain bucket* is listed
+    (for hour/day grain that is the row's own date; for month grain a
+    listed '2024-03-01' pulls in all of March — pruning to individual
+    days there would overwrite the month partition with a partial
+    aggregate). Spark's *dynamic* partition overwrite then replaces
+    exactly the partitions present in the refreshed frame — every other
+    partition's files are untouched, which tests assert by file set.
+    At scale the raw table is date-partitioned, so the prune reads only
+    the affected partitions.
     """
     src = events
     if dates is not None:
-        # 'YYYY-MM-DD' strings; the comparison coerces to DATE, and at
-        # scale this predicate prunes raw date partitions at the scan.
-        src = src.where(F.to_date("ts").isin(list(dates)))
+        if grain == "month":
+            from datetime import date as _date
+            for d in dates:
+                dd = d if isinstance(d, _date) else _date.fromisoformat(str(d))
+                if dd.day != 1:
+                    raise ValueError(
+                        "month-grain refresh dates must be month starts "
+                        f"(YYYY-MM-01 grain_date partition values); got {d!r}")
+        bucket_date = F.to_date(F.date_trunc(grain, F.col("ts")))
+        src = src.where(bucket_date.isin(list(dates)))
     rolled = rollup(src, grain=grain)
+    mode = "static" if dates is None else "dynamic"
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
     try:
         (rolled.write.mode("overwrite")
          .partitionBy("grain_date").parquet(path))
