@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from twitter_analysis_spark.functions.dates import parse_twitter_ts
 from twitter_analysis_spark.functions.text import extract_keywords_col
+from twitter_analysis_spark.sources.io import load_table
 from twitter_analysis_spark.sources.tweets_raw import read_raw_stream
 from twitter_analysis_spark.streaming import streaming_keyword_counts
 from twitter_analysis_spark.streaming.keyword_counts import run_available_now
@@ -63,9 +64,8 @@ def _events_dropdir(spark, tmp_path, n_users=20):
     drop = tmp_path / "events_drop"
     drop.mkdir()
     ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.expr(
-            "cast(timestamp_micros(ts div 1000) as timestamp)"))
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .where(F.col("user_id") < n_users)
         .select("event_id", F.date_format(
             "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"), "user_id")
@@ -214,9 +214,8 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     drop = tmp_path / "typed_drop"
     drop.mkdir()
     ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.expr(
-            "cast(timestamp_micros(ts div 1000) as timestamp)"))
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .where(F.col("user_id") < 40)
         .select("event_id", F.date_format(
             "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
