@@ -48,8 +48,8 @@ _PRIORITY = [
     "q5_local_supplier_volume", "t10_window_suite", "t1_topk_multisort",
     "t6_group_topk", "t8_moving_avg", "t9_cumulative_daily",
     "text_bigram_topk", "text_tfidf_topk", "u3_intersect_except",
-    # -- the 6 remaining sweep slots: code or oracle changed in round 4
-    # (real decode kernel; rows-only→oracle conversions; new Q4/Q8) --
+    # -- round-5 sweep slots: code or oracle changed this round
+    # (Q4/Q8 landed; decode kernel; rows-only→oracle conversions) --
     "mm_decode_features", "dedup_simhash", "sim_ivf_topk",
     "sim_lsh_topk", "q4_order_priority", "q8_market_share",
 ]

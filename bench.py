@@ -70,6 +70,9 @@ HEADLINE = [
     "corpus_shuffle_order",
     "q15_top_supplier",
     "q21_waiting_suppliers",
+    # Q4 (EXISTS agg) + Q8 (8-table market share) — round 5
+    "q4_order_priority",
+    "q8_market_share",
 ]
 
 

@@ -2809,6 +2809,140 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape (adapted: 'late line' = shipped >60 days after
+    # the order date, since this lineitem has no commit/receipt
+    # dates): correlated EXISTS over lineitem, expressed as a
+    # left_semi join. The orders side is date-pruned BEFORE the join
+    # (the quarter predicate reaches the Parquet scan), so the semi
+    # join's build side is one quarter of orders, not the full table;
+    # the residual ship-vs-order-date comparison rides on the equi
+    # key. Five-row grouped output — partial agg + single exchange.
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    q = ords.where(
+        (F.col("o_orderdate") >=
+         F.lit("1995-07-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <
+           F.lit("1995-10-01 00:00:00").cast("timestamp_ntz")))
+    waited = q.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") >
+           F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (
+        waited.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH volumes AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE 0 END) AS DOUBLE) /
+                 CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM volumes
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 shape (adapted to this schema: p_type='ECONOMY' as the
+    # part class, customer-region 'AMERICA', target nation NATION_1):
+    # the 8-table national-market-share join. Shape matters at 100 TB:
+    # lineitem is the only big fact — orders joins it on the shuffle
+    # key, while part, supplier, customer, nation x2, and region are
+    # all true dims and BROADCAST, so the plan is one fact-fact
+    # shuffle plus a broadcast cascade, never a chain of shuffles.
+    # The part and date filters land before any join (scan pruning).
+    # Decimal partial sums keep the per-year totals exact
+    # cross-engine; the share ratio is rounded to 6 places so the
+    # double division hashes identically in Spark and the oracle.
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    sup = _t(spark, sf_dir, "supplier")
+    prt = _t(spark, sf_dir, "part")
+
+    cust_nat = (cust.join(F.broadcast(nat.alias("n1")),
+                          F.col("c_nationkey") == F.col("n1.n_nationkey"))
+                .join(F.broadcast(reg.where(F.col("r_name") == "AMERICA")),
+                      F.col("n1.n_regionkey") == F.col("r_regionkey"))
+                .select("c_custkey"))
+    sup_nat = (sup.join(F.broadcast(nat.alias("n2")),
+                        F.col("s_nationkey") == F.col("n2.n_nationkey"))
+               .select("s_suppkey", F.col("n2.n_name").alias("supp_nation")))
+    ords_w = ords.where(
+        (F.col("o_orderdate") >=
+         F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <
+           F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")))
+
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    vols = (
+        li.join(F.broadcast(prt.where(F.col("p_type") == "ECONOMY")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(ords_w, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"),
+              "left_semi")
+        .join(F.broadcast(sup_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                (price * (F.lit(1) - disc)).alias("volume"),
+                "supp_nation")
+    )
+    return (
+        vols.groupBy("o_year")
+        .agg(F.sum(F.when(F.col("supp_nation") == "NATION_1",
+                          F.col("volume")).otherwise(F.lit(0))
+                   ).alias("_target"),
+             F.sum("volume").alias("_total"))
+        .select("o_year",
+                F.round(F.col("_target").cast("double")
+                        / F.col("_total").cast("double"), 6)
+                .alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pre-aggregated time-series rollups (operators/rollup.py): the
 # materialized-aggregate tier. ts_hourly_rollup is the stored grain;
