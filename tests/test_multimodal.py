@@ -1,10 +1,11 @@
 """Multimodal plumbing: Arrow-batch kernels must preserve row identity,
 produce the declared schema, and honor their size/cardinality
-invariants (the decode internals are stubs; the plumbing is the
-product)."""
+invariants; the decode kernel is a real PPM/WAV/PV01 parser and must
+round-trip the deterministic generator exactly."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from twitter_analysis_spark.operators import multimodal as M
@@ -15,12 +16,60 @@ def _media(spark, sf_dir):
     return M.media_table(docs)
 
 
+def test_decode_kernel_roundtrips_generator():
+    """Pure-Python: every generated blob parses back to its generation
+    parameters, for all three formats and a spread of ids."""
+    for doc_id in list(range(24)) + [97, 1000, 4321, 65535]:
+        mt, blob = M.encode_media(doc_id)
+        got = M.decode_media(blob)
+        assert got["media_type"] == mt
+        assert got["n_bytes"] == len(blob)
+        if mt == "image":
+            w, h = doc_id % 16 + 1, doc_id % 12 + 1
+            assert (got["width"], got["height"]) == (w, h)
+            assert got["n_vals"] == w * h * 3
+            assert got["duration_s"] == 0.0
+        elif mt == "audio":
+            n = doc_id % 2000 + 1
+            assert got["n_vals"] == n
+            assert got["duration_s"] == n / M.AUDIO_RATE
+        else:
+            k = doc_id % 8 + 1
+            assert got["n_vals"] == k * 48
+            assert got["duration_s"] == k / M.VIDEO_FPS
+        if mt == "image":
+            expect = sum((doc_id * 31 + i * 7) % 256
+                         for i in range(got["n_vals"]))
+        elif mt == "audio":
+            expect = sum((doc_id * 17 + i * 5) % 256
+                         for i in range(got["n_vals"]))
+        else:
+            k = doc_id % 8 + 1
+            expect = sum((doc_id * 13 + f * 19 + i * 7) % 256
+                         for f in range(k) for i in range(48))
+        assert got["pixel_sum"] == expect
+
+
+def test_decode_kernel_rejects_malformed():
+    with pytest.raises(ValueError):
+        M.decode_media(b"GIF89a not supported")
+    with pytest.raises(ValueError):
+        M.decode_media(b"P6\n4 4\n255\n\x00\x01")      # truncated pixels
+    with pytest.raises(ValueError):
+        M.decode_media(b"RIFF\x00\x00\x00\x00WAVE")    # no fmt/data
+
+
 def test_extract_features_schema_and_identity(spark, sf_dir):
-    media = _media(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    media = M.synthetic_media_table(docs)
     feats = M.extract_features(media)
     assert [f.name for f in feats.schema.fields] == \
         [f.name for f in M.FEATURE_SCHEMA.fields]
     assert feats.count() == media.count()          # 1:1, no drops
+    # parser-detected type must agree with the generator's label
+    joined = feats.alias("f").join(media.alias("m"), "doc_id")
+    assert joined.where(
+        F.col("f.media_type") != F.col("m.media_type")).count() == 0
     # checksum is deterministic: same input → same output across runs
     a = {r["doc_id"]: r["checksum"] for r in feats.collect()}
     b = {r["doc_id"]: r["checksum"] for r in M.extract_features(media).collect()}

@@ -1001,11 +1001,58 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features")  # pandas-UDF path: rows-only check
+@register(
+    "mm_decode_features",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             doc_id % 3 AS mt,
+             doc_id % 16 + 1 AS iw, doc_id % 12 + 1 AS ih,
+             doc_id % 2000 + 1 AS ns,
+             doc_id % 8 + 1 AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS media_type,
+           CAST(CASE mt
+             WHEN 0 THEN length('P6' || chr(10) || iw || ' ' || ih ||
+                              chr(10) || '255' || chr(10)) + iw*ih*3
+             WHEN 1 THEN 44 + ns
+             ELSE 8 + nf * (11 + 48) END AS BIGINT) AS n_bytes,
+           CAST(CASE mt WHEN 0 THEN iw WHEN 1 THEN 0 ELSE 4 END
+                AS INT) AS width,
+           CAST(CASE mt WHEN 0 THEN ih WHEN 1 THEN 0 ELSE 4 END
+                AS INT) AS height,
+           CASE mt WHEN 0 THEN 0.0
+                   WHEN 1 THEN ns / 8000.0
+                   ELSE nf / 4.0 END AS duration_s,
+           CAST(CASE mt
+             WHEN 0 THEN list_sum([(doc_id*31 + i*7) % 256
+                                   for i in generate_series(0, iw*ih*3 - 1)])
+             WHEN 1 THEN list_sum([(doc_id*17 + i*5) % 256
+                                   for i in generate_series(0, ns - 1)])
+             ELSE list_sum(flatten(
+                    [[(doc_id*13 + f*19 + i*7) % 256
+                      for i in generate_series(0, 47)]
+                     for f in generate_series(0, nf - 1)]))
+             END AS BIGINT) AS pixel_sum,
+           CAST(CASE mt WHEN 0 THEN iw*ih*3 WHEN 1 THEN ns
+                ELSE nf*48 END AS BIGINT) AS n_vals
+    FROM m
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Arrow-batched mapInPandas decode plumbing (stub kernel).
-    media = _mm.media_table(_t(spark, sf_dir, "documents"))
-    return _mm.extract_features(media)
+    # Arrow-batched mapInPandas decode over REAL container formats
+    # (PPM / WAV / PV01 frame stream, multimodal.py docstring). The
+    # kernel sees only bytes — media type, dimensions, duration and
+    # the payload digest all come out of the parse — while the oracle
+    # recomputes every field from the closed-form generation formulas,
+    # so a parser bug anywhere breaks the hash match. checksum (sha1)
+    # is dropped from the projection only because the oracle can't
+    # reconstruct blobs in SQL; pixel_sum/n_vals pin the same payload.
+    media = _mm.synthetic_media_table(_t(spark, sf_dir, "documents"))
+    return _mm.extract_features(media).drop("checksum")
 
 
 # ---------------------------------------------------------------------------

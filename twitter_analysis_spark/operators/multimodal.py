@@ -3,10 +3,26 @@
 Design: media lives in a ``binary`` column next to a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
-row-at-a-time Python. The decode kernels themselves are STUBBED —
-image/audio libs aren't in this container — behind ``_decode_bytes``:
-the Spark-side schema, partitioning, UDF signature and batch shape are
-real and tested; swapping in PIL/ffmpeg later touches one function.
+row-at-a-time Python.
+
+The decode kernel (``decode_media``) is a REAL stdlib-only parser for
+three concrete on-disk formats:
+
+* ``image`` — binary PPM (``P6``): ASCII header (magic, width, height,
+  maxval) followed by ``width*height*3`` raw pixel bytes.
+* ``audio`` — canonical 44-byte RIFF/WAVE PCM header (chunk sizes,
+  sample rate, bits-per-sample, data length) followed by raw samples;
+  duration is derived from the parsed data length and byte rate.
+* ``video`` — a tiny frame-stream container (magic ``PV01`` + u32
+  frame count, then each frame as a complete embedded P6 image);
+  duration is frame count over a fixed 4 fps.
+
+``synthetic_media_table`` fabricates deterministic blobs in these
+formats from ``doc_id`` alone, so a SQL oracle can recompute every
+parsed feature (dimensions, byte counts, pixel checksums) from first
+principles — the kernel only ever sees the bytes, which makes the
+oracle comparison a genuine end-to-end test of the parser. Swapping in
+PIL/ffmpeg for JPEG/MP3/MP4 later touches only ``decode_media``.
 
 At 100 TB the media table is partitioned by ``media_type`` and bucketed
 by id; ``mapInPandas`` keeps per-task memory at
@@ -16,6 +32,7 @@ blobs stream batch-by-batch instead of materializing a partition.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,7 +42,17 @@ from pyspark.sql import types as T
 
 MEDIA_TYPES = ("image", "audio", "video")
 
-#: Output schema of the feature-extraction stage.
+#: Fixed parameters of the synthetic formats (shared by the Python
+#: generator, the parser's expectations, and the SQL oracle).
+AUDIO_RATE = 8000          # Hz, mono, 8-bit PCM
+VIDEO_FPS = 4.0            # frames per second
+VIDEO_FRAME_W = 4
+VIDEO_FRAME_H = 4
+
+#: Output schema of the feature-extraction stage. ``pixel_sum`` /
+#: ``n_vals`` are exact-integer content digests (sum and count of all
+#: payload bytes the parser visited) — integers so the oracle
+#: comparison has no float-rounding seam.
 FEATURE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("media_type", T.StringType()),
@@ -34,6 +61,8 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("duration_s", T.DoubleType()),
+    T.StructField("pixel_sum", T.LongType()),
+    T.StructField("n_vals", T.LongType()),
 ])
 
 
@@ -61,50 +90,159 @@ def media_table(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _decode_bytes(media_type: str, blob: bytes) -> dict:
-    """STUB decode kernel. Real image/audio decoding would go here
-    (PIL / soundfile / pyav); this container has none of them, so we
-    return deterministic fake features derived from the bytes. The
-    contract (bytes in, feature dict out) is what the real kernel must
-    honor."""
-    try:
-        import PIL.Image  # noqa: F401  (not present in this container)
-        raise NotImplementedError("real decode path not wired yet")
-    except ImportError:
-        pass
+def encode_media(doc_id: int) -> tuple[str, bytes]:
+    """Fabricate a deterministic, REAL-format media blob from the id.
+
+    Formats match what ``decode_media`` parses (module docstring). All
+    payload bytes follow closed-form formulas of ``doc_id`` so a SQL
+    oracle can recompute the parser's outputs without seeing the bytes.
+    """
+    m = doc_id % 3
+    if m == 0:                                   # image: binary PPM (P6)
+        w, h = doc_id % 16 + 1, doc_id % 12 + 1
+        pixels = bytes((doc_id * 31 + i * 7) % 256 for i in range(w * h * 3))
+        return "image", b"P6\n%d %d\n255\n" % (w, h) + pixels
+    if m == 1:                                   # audio: 44-byte WAV PCM
+        n = doc_id % 2000 + 1                    # mono 8-bit samples
+        samples = bytes((doc_id * 17 + i * 5) % 256 for i in range(n))
+        hdr = (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_RATE,
+                                       AUDIO_RATE * 1 * 1, 1, 8)
+               + b"data" + struct.pack("<I", n))
+        return "audio", hdr + samples
+    k = doc_id % 8 + 1                           # video: PV01 frame stream
+    frames = []
+    npix = VIDEO_FRAME_W * VIDEO_FRAME_H * 3
+    for f in range(k):
+        pix = bytes((doc_id * 13 + f * 19 + i * 7) % 256
+                    for i in range(npix))
+        frames.append(b"P6\n%d %d\n255\n" % (VIDEO_FRAME_W, VIDEO_FRAME_H)
+                      + pix)
+    return "video", b"PV01" + struct.pack(">I", k) + b"".join(frames)
+
+
+def _parse_ppm(blob: bytes, offset: int = 0) -> tuple[int, int, bytes, int]:
+    """Parse one binary PPM (P6) image starting at ``offset``. Returns
+    (width, height, pixel_bytes, next_offset). Raises ValueError on a
+    malformed header or truncated pixel data."""
+    if blob[offset:offset + 2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = offset + 2, []
+    while len(fields) < 3:                       # width, height, maxval
+        while pos < len(blob) and blob[pos:pos + 1].isspace():
+            pos += 1
+        if blob[pos:pos + 1] == b"#":            # comment line
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1                                     # single ws after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    end = pos + w * h * 3
+    if end > len(blob):
+        raise ValueError("truncated PPM pixel data")
+    return w, h, blob[pos:end], end
+
+
+def _parse_wav(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a canonical RIFF/WAVE PCM file. Returns (sample_rate,
+    channels, bits_per_sample, data_bytes)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos:pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1:
+                raise ValueError(f"not PCM (fmt={fmt})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)             # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, bits, data
+
+
+def decode_media(blob: bytes) -> dict:
+    """REAL decode kernel: dispatch on magic bytes, parse the container
+    for true dimensions/duration, and digest the payload bytes. The
+    media type is *detected from the bytes*, never trusted from
+    metadata. Raises ValueError for unrecognized or malformed blobs."""
     import hashlib
-    digest = hashlib.sha1(blob).hexdigest()
-    n = len(blob)
-    return {
-        "n_bytes": n,
-        "checksum": digest[:16],
-        "width": (n * 7) % 1920 + 1 if media_type == "image" else 0,
-        "height": (n * 13) % 1080 + 1 if media_type == "image" else 0,
-        "duration_s": round((n % 3000) / 10.0, 1)
-        if media_type in ("audio", "video") else 0.0,
+    out = {
+        "n_bytes": len(blob),
+        "checksum": hashlib.sha1(blob).hexdigest()[:16],
+        "width": 0, "height": 0, "duration_s": 0.0,
     }
+    if blob[:2] == b"P6":
+        w, h, pix, _ = _parse_ppm(blob)
+        out.update(media_type="image", width=w, height=h,
+                   pixel_sum=sum(pix), n_vals=len(pix))
+    elif blob[:4] == b"RIFF":
+        rate, channels, bits, data = _parse_wav(blob)
+        n_frames = len(data) // (channels * (bits // 8))
+        out.update(media_type="audio", duration_s=n_frames / rate,
+                   pixel_sum=sum(data), n_vals=len(data))
+    elif blob[:4] == b"PV01":
+        (k,) = struct.unpack_from(">I", blob, 4)
+        pos, psum, nvals, w, h = 8, 0, 0, 0, 0
+        for _ in range(k):
+            w, h, pix, pos = _parse_ppm(blob, pos)
+            psum += sum(pix)
+            nvals += len(pix)
+        out.update(media_type="video", width=w, height=h,
+                   duration_s=k / VIDEO_FPS, pixel_sum=psum, n_vals=nvals)
+    else:
+        raise ValueError(f"unrecognized media magic {blob[:4]!r}")
+    return out
+
+
+def synthetic_media_table(docs: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Real-format media table: one deterministic PPM/WAV/PV01 blob per
+    document, generated Arrow-batch-at-a-time (the generation itself is
+    a mapInPandas stage, so blob bytes are born on the executors and
+    never pass through the driver)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            made = [encode_media(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "media_type": [m for m, _ in made],
+                "content": [b for _, b in made],
+            })
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="doc_id long, media_type string, content binary")
 
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     ``mapInPandas``: each task receives pandas batches (bytes already
-    Arrow-transferred, zero-copy where possible), applies the decode
-    kernel vectorized-per-batch, and emits the typed feature schema.
-    """
+    Arrow-transferred, zero-copy where possible), runs the decode
+    kernel per blob, and emits the typed feature schema. ``media_type``
+    in the output is what the PARSER detected from the magic bytes —
+    comparing it against the metadata column (or an oracle) catches
+    mislabeled blobs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_bytes(mt, blob)
-                for mt, blob in zip(pdf["media_type"], pdf["content"])
-            ]
+            feats = [decode_media(blob) for blob in pdf["content"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
-            out.insert(1, "media_type", pdf["media_type"].values)
             yield out[[f.name for f in FEATURE_SCHEMA.fields]]
 
-    return media.select("doc_id", "media_type", "content").mapInPandas(
+    return media.select("doc_id", "content").mapInPandas(
         run, schema=FEATURE_SCHEMA)
 
 
