@@ -72,6 +72,39 @@ def test_shingle_df_pruning(planted):
         F.max("count")).first()[0] == 1
 
 
+def test_lsh_hot_bucket_cap(spark, planted):
+    """Planted mega-bucket: 120 identical boilerplate docs collide into
+    one band bucket per band (d² = 14k pairs each). The bucket cap must
+    drop those buckets (their pairs vanish — they are exact duplicates,
+    exact_dedup's job) WITHOUT losing the genuine near-dup pairs, whose
+    buckets are far under the cap."""
+    boiler = [(100 + i,
+               "standard site navigation header copyright notice terms "
+               "of service privacy policy all rights reserved forever")
+              for i in range(120)]
+    corpus = planted.unionByName(
+        spark.createDataFrame(boiler, ["doc_id", "text"]))
+    kw = dict(n=3, num_hashes=32, bands=8, threshold=0.3,
+              max_shingle_df=None)
+
+    capped = {(r["id1"], r["id2"])
+              for r in dedup.minhash_lsh_pairs(
+                  corpus, "doc_id", "text",
+                  max_bucket_size=50, **kw).collect()}
+    # genuine near-dup recall survives the cap
+    assert (0, 1) in capped and (0, 2) in capped
+    # the mega-bucket's quadratic pair set is gone
+    assert not any(a >= 100 and b >= 100 for a, b in capped)
+
+    # control: with the cap off the same pairs DO surface, proving the
+    # cap (not the planting) is what removed them
+    uncapped = {(r["id1"], r["id2"])
+                for r in dedup.minhash_lsh_pairs(
+                    corpus, "doc_id", "text",
+                    max_bucket_size=None, **kw).collect()}
+    assert (100, 101) in uncapped and capped < uncapped
+
+
 def test_ann_recall_floor(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]

@@ -42,6 +42,18 @@ from pyspark.sql import functions as F
 #: documents, which exact_dedup already catches.
 DEFAULT_MAX_SHINGLE_DF = 256
 
+#: Default size cap for one LSH band bucket, the same d² argument as
+#: the shingle DF cap one level up: a band bucket holding d documents
+#: emits d² candidate pairs in the band self-join, so one degenerate
+#: bucket (e.g. the shared signature of near-empty or boilerplate
+#: documents) is quadratic damage with only AQE task-splitting as a
+#: defense — the work still happens, it is merely spread out. Buckets
+#: over the cap are DROPPED whole: genuinely similar pairs inside a
+#: mega-bucket almost always collide in another (smaller) band too,
+#: and signature-degenerate duplicates (identical text) are exact
+#: duplicates, which exact_dedup catches without LSH.
+DEFAULT_MAX_BAND_BUCKET = 256
+
 
 def tokens(col):
     """Lowercased whitespace tokens (engine-standard tokenizer, C4/C5)."""
@@ -233,6 +245,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
                       max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+                      max_bucket_size: int | None = DEFAULT_MAX_BAND_BUCKET,
                       cleanup: list | None = None) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -242,11 +255,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     candidate set, which is the whole point: candidates ≪ n²).
 
     The band self-join shuffles on (band_id, band_hash); a bucket with
-    d docs yields d² candidates, which AQE's skew-join splitting keeps
-    balanced. Verification reuses ngram_jaccard_pairs' plan restricted
-    via a semi-join on the candidate pair set. The shingle DF cap
-    applies to the shared inverted index, so signatures, candidates
-    and verification all see the same capped shingle sets.
+    d docs yields d² candidates. Two defenses: buckets larger than
+    ``max_bucket_size`` are dropped whole BEFORE the join (the hard
+    bound — see DEFAULT_MAX_BAND_BUCKET for why dropping is safe), and
+    AQE's skew-join splitting balances whatever skew remains under the
+    cap. Verification reuses ngram_jaccard_pairs' plan restricted via
+    a semi-join on the candidate pair set. The shingle DF cap applies
+    to the shared inverted index, so signatures, candidates and
+    verification all see the same capped shingle sets.
 
     ``cleanup``: optional list the two internally persisted DataFrames
     (shingle index, candidate pairs) are appended to; the caller can
@@ -272,6 +288,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             for b in range(bands)
         ])).alias("bk"),
     ).select("doc", "bk.band", "bk.bh")
+
+    if max_bucket_size is not None:
+        # Hot-bucket guard: count per (band, bh) — map-side partial
+        # agg, same shuffle key the self-join uses — and anti-join the
+        # (tiny, by construction) over-cap key set. Broadcast: the hot
+        # set has at most |corpus|·bands/cap keys and in practice a
+        # handful, so the guard costs one cheap agg, never a shuffle
+        # of the banded table itself.
+        hot = (banded.groupBy("band", "bh")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_bucket_size)
+               .select("band", "bh"))
+        banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
 
     # The candidate set feeds three consumers (doc pruning twice, the
     # final pair filter); persist the narrow (id1, id2) table so its
