@@ -1876,18 +1876,32 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frequency is vocabulary-sized, so it broadcasts; the corpus-wide
     # doc count rides along as a broadcast scalar. Only the scored
     # subset pays the per-doc window.
+    # Two independent corpus passes, each minimal for what it needs:
+    # document frequency = "docs containing the term", computed by
+    # dedup'ing terms WITHIN each doc array-side (array_distinct — a
+    # per-row operation, no shuffle) then one groupBy(term) with
+    # map-side partials. That replaces the former corpus-wide
+    # groupBy(doc_id, term) shuffle, which this plan previously
+    # executed TWICE (once under dfreq, once under the scored subset
+    # — self-join on an unpersisted subtree). The scoring-side tf
+    # filters to the target docs BEFORE the explode, so its shuffle
+    # is 20 documents, not the corpus.
     docs = _t(spark, sf_dir, "documents")
+    dfreq = (
+        docs.select(F.explode(F.array_distinct(F.split("text", " ")))
+                    .alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        docs.where(F.col("doc_id") < 20)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
-        tf.where(F.col("doc_id") < 20)
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score",
                     (F.col("tf").cast("double") * F.col("n_docs").cast("double"))
