@@ -784,11 +784,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, num_hashes=32, bands=8, threshold=0.1)
 
 
-@register("dedup_simhash")  # engine-native hashes: rows-only check
+ORACLES_SIMHASH = f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    chunk AS (
+      SELECT doc, i.i,
+             CAST(('0x' || substr(md5(tok), i.i*4 + 1, 4)) AS INT) AS c
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+    ),
+    bitsum AS (
+      SELECT doc, i*16 + j.j AS b,
+             SUM(CASE WHEN (c >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM chunk CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+      GROUP BY doc, i*16 + j.j
+    ),
+    sig AS (
+      SELECT doc, CAST(SUM(CASE WHEN s > 0
+                       THEN CAST(1 AS UBIGINT) << b
+                       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sg
+      FROM bitsum GROUP BY doc
+    )
+    SELECT a.doc AS id1, b.doc AS id2,
+           CAST(bit_count(xor(a.sg, b.sg)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc < b.doc
+    WHERE bit_count(xor(a.sg, b.sg)) <= 8
+      AND ((a.sg >> 0)  & 65535 = (b.sg >> 0)  & 65535 OR
+           (a.sg >> 16) & 65535 = (b.sg >> 16) & 65535 OR
+           (a.sg >> 32) & 65535 = (b.sg >> 32) & 65535 OR
+           (a.sg >> 48) & 65535 = (b.sg >> 48) & 65535)
+"""
+
+
+@register("dedup_simhash", ORACLES_SIMHASH)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash near-pairs (hamming <= 8) via the 4-block bucket join.
+    # The catalog variant hashes tokens with md5 (hash_fn="md5") so the
+    # oracle can rebuild the exact 64-bit signatures in SQL from the
+    # raw text and recompute the pair set from scratch — signature
+    # construction, block bucketing, and Hamming verification are all
+    # cross-engine-checked. The oracle's shared-block predicate mirrors
+    # the 4-block candidate generation exactly: at max_hamming=8 (> 3)
+    # the block scheme is knowingly approximate (a pair differing in
+    # all 4 blocks is unreachable — the pigeonhole guarantee only
+    # covers hamming <= 3), so the oracle states the operator's true
+    # contract rather than an all-pairs superset it never promised.
+    # The engine default stays xxhash64 (faster, JVM-native, no string
+    # materialization); its behavior is pinned by the distance
+    # properties in tests/test_dedup_similarity.py.
     return _dedup.simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8)
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8,
+        hash_fn="md5")
 
 
 @register(
@@ -858,15 +904,50 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.pq_topk(emb, books, qvec, k=10, rerank=50)
 
 
-@register("sim_lsh_topk")  # approximate (recall<1): rows-only check
+@register(
+    "sim_lsh_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         pl AS (SELECT * FROM (VALUES (0, 31), (1, 37), (2, 41),
+                                      (3, 43), (4, 47), (5, 53)) t(i, p)),
+         b AS (
+           SELECT e.vec_id, e.v,
+                  CAST(sum(CASE WHEN list_dot_product(e.v,
+                         [CAST((j*p) % 11 - 5 AS DOUBLE)
+                          for j in generate_series(0, len(e.v)-1)]) >= 0
+                       THEN 1 << i ELSE 0 END) AS INT) AS bucket
+           FROM e CROSS JOIN pl GROUP BY e.vec_id, e.v
+         ),
+         qb AS (
+           SELECT CAST(sum(CASE WHEN list_dot_product(q.qv,
+                         [CAST((j*p) % 11 - 5 AS DOUBLE)
+                          for j in generate_series(0, len(q.qv)-1)]) >= 0
+                       THEN 1 << i ELSE 0 END) AS INT) AS qbucket
+           FROM q CROSS JOIN pl
+         )
+    SELECT vec_id,
+           round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) *
+                  sqrt(list_dot_product(qv, qv))), 6) AS cosine
+    FROM b, q, qb
+    WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 1
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale-path ANN: random-hyperplane LSH bucket probe (multi-probe
-    # Hamming-1), exact cosine within the probed buckets. Tests assert
-    # recall vs sim_cosine_topk.
+    # Scale-path ANN: sign-bit LSH bucket probe (multi-probe
+    # Hamming-1), exact cosine within the probed buckets. The catalog
+    # variant uses closed-form integer-valued planes (arith_planes) so
+    # the oracle regenerates the SAME buckets from the same formula —
+    # a full cross-engine check of bucketing + probing + scoring, not
+    # just a rows-only run. Production indexes keep fixed_planes
+    # (xorshift); recall tests cover that path.
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    planes = _sim.fixed_planes(len(qvec), num_planes=6)
+    planes = _sim.arith_planes(len(qvec), num_planes=6)
     return _sim.lsh_topk(emb, planes, qvec, k=10)
 
 
@@ -1296,16 +1377,34 @@ def a8_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_topk")  # approximate (recall<1): rows-only check
+@register(
+    "sim_ivf_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cosine
+    FROM e, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF coarse-quantization ANN: probe the 2 nearest of 8 cells, exact
-    # cosine within. Complements sim_lsh_topk (data-adaptive cells vs
-    # fixed hyperplanes). Recall floor asserted in tests.
+    # IVF coarse-quantization ANN, run at nprobe = nlist: probing every
+    # cell is provably identical to brute force (the cells PARTITION
+    # the corpus — asserted in tests), so the exact-cosine SQL is a
+    # true oracle for the whole assign→probe→score machinery: any bug
+    # in centroid training, cell assignment, or per-cell scoring breaks
+    # the hash match. The approximate operating point (nprobe=2, the
+    # 100 TB read-pruning path) keeps its recall-floor coverage in
+    # tests/test_dedup_similarity.py.
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     cents = _sim.ivf_centroids(emb, nlist=8)
-    return _sim.ivf_topk(emb, cents, qvec, k=10, nprobe=2)
+    return _sim.ivf_topk(emb, cents, qvec, k=10, nprobe=8)
 
 
 # ---------------------------------------------------------------------------

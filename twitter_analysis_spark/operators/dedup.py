@@ -334,32 +334,65 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return exact.join(cand, ["id1", "id2"], "left_semi")
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document: sign-sum of token-hash bit vectors.
 
-    For each bit position, count tokens whose xxhash64 has that bit set
-    minus those that don't; bit = 1 if the sum is positive. All
+    For each bit position, count tokens whose token-hash has that bit
+    set minus those that don't; bit = 1 if the sum is positive. All
     codegen'd column expressions — no UDF.
+
+    ``hash_fn`` picks the token-hash family:
+
+    * ``"xxhash64"`` (default) — Spark's native 64-bit hash, the fast
+      production path (JVM intrinsic, no string materialization).
+    * ``"md5"`` — the 64-bit value assembled from the first 16 hex
+      digits of md5(token), as four 16-bit chunks. ~2× slower, but md5
+      is a cross-engine standard, so an external SQL engine (the
+      DuckDB oracle) can recompute identical signatures — this is what
+      upgrades the simhash catalog query from rows-only to a full
+      hash-match check. Identical banding/verification code either way.
     """
     tok = df.select(F.col(id_col).alias("doc"),
                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    if hash_fn == "md5":
+        return _simhash_from_bit_tests(
+            tok.select("doc", *[
+                F.conv(F.substring(F.md5("tok"), i * 4 + 1, 4), 16, 10)
+                .cast("int").alias(f"_c{i}")
+                for i in range(4)
+            ]),
+            lambda b: F.shiftright(F.col(f"_c{b // 16}"), b % 16)
+            .bitwiseAND(F.lit(1)) == 1,
+        )
     h = F.xxhash64("tok")
+    return _simhash_from_bit_tests(
+        tok.select("doc", h.alias("_h")),
+        lambda b: F.col("_h").bitwiseAND(F.lit(_bit_mask(b))) != 0,
+    )
 
-    # Bit b's mask as a Python long literal (bit 63 is the long's sign
-    # bit, hence the negative literal).
-    def mask(b: int) -> int:
-        return (1 << b) if b < 63 else -(1 << 63)
 
-    # 64 independent SUM aggregates so each mapper pre-folds its tokens
-    # into one 64-wide partial row per doc (map-side combine); the
-    # shuffle is O(docs × 64), not O(tokens × 64) as with the
-    # collect_list fold this replaced. The token hash is materialized
-    # once per row and the 64 sign tests read that attribute.
+def _bit_mask(b: int) -> int:
+    """Bit b's mask as a Python long literal (bit 63 is the long's sign
+    bit, hence the negative literal)."""
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
+def _simhash_from_bit_tests(hashed, bit_test) -> DataFrame:
+    """Shared SimHash core: ``hashed`` carries (doc, token-hash cols);
+    ``bit_test(b)`` is a boolean Column testing bit b of the token
+    hash.
+
+    64 independent SUM aggregates so each mapper pre-folds its tokens
+    into one 64-wide partial row per doc (map-side combine); the
+    shuffle is O(docs × 64), not O(tokens × 64) as with the
+    collect_list fold this replaced. The token hash is materialized
+    once per row and the 64 sign tests read that attribute.
+    """
     summed = (
-        tok.select("doc", h.alias("_h"))
+        hashed
         .select("doc", *[
-            F.when(F.col("_h").bitwiseAND(F.lit(mask(b))) != 0, 1)
-            .otherwise(-1).alias(f"b{b}")
+            F.when(bit_test(b), 1).otherwise(-1).alias(f"b{b}")
             for b in range(64)
         ])
         .groupBy("doc")
@@ -373,14 +406,15 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     import operator
     sig = functools.reduce(operator.add, [
         F.when(F.col(f"s{b}") > 0,
-               F.lit(mask(b)).cast("long")).otherwise(F.lit(0).cast("long"))
+               F.lit(_bit_mask(b)).cast("long")).otherwise(F.lit(0).cast("long"))
         for b in range(64)
     ])
     return summed.select("doc", sig.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k.
 
     Candidate generation uses the standard 4-block trick: two
@@ -389,7 +423,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     instead of cross-joining, then verify the true distance with
     bit_count(xor).
     """
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
     blocks = sigs.select(
         "doc", "simhash",
         F.explode(F.array([

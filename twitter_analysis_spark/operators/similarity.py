@@ -110,6 +110,31 @@ def lsh_topk(emb: DataFrame, planes: list[list[float]],
     )
 
 
+#: Distinct multipliers for arith_planes (primes, pairwise coprime
+#: with the modulus 11 so each plane's residue pattern differs).
+_PLANE_PRIMES = (31, 37, 41, 43, 47, 53, 59, 61, 67, 71, 73, 79)
+
+
+def arith_planes(dim: int, num_planes: int) -> list[list[float]]:
+    """Closed-form integer-valued hyperplanes: plane[i][j] =
+    (j * prime_i) mod 11 - 5, values in [-5, 5].
+
+    Same contract as ``fixed_planes`` (deterministic, shared between
+    index and query side) with one extra property: the generation rule
+    is a one-line integer formula, so an external SQL engine (the
+    DuckDB oracle) can regenerate the planes exactly and recompute
+    bucket assignments bit-for-bit — integer-valued entries keep every
+    product exactly representable in double precision, which removes
+    the last cross-engine rounding seam from the sign test. Bucket
+    quality is mildly worse than xorshift planes (coarser directions);
+    fine for the oracle-checked catalog variant, and ``fixed_planes``
+    remains the production default.
+    """
+    assert num_planes <= len(_PLANE_PRIMES)
+    return [[float((j * _PLANE_PRIMES[i]) % 11 - 5) for j in range(dim)]
+            for i in range(num_planes)]
+
+
 def fixed_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (shared index/query side).
 
