@@ -87,3 +87,36 @@ def test_refresh_touches_only_listed_partitions(spark, sf_dir, tmp_path):
     want = spark.read.parquet(rebuilt)
     cols = sorted(got.columns)
     assert _rows(R.present(got.select(cols))) == _rows(R.present(want.select(cols)))
+
+
+def test_refresh_drops_fully_deleted_partition(spark, sf_dir, tmp_path):
+    """A listed date whose source rows were ALL deleted must not leave
+    a stale partition behind (dynamic overwrite alone would skip it)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup_del")
+    R.refresh_rollup(spark, ev, path)
+    day = sorted(_partition_files(path))[1].split("=", 1)[1]
+
+    ev2 = ev.where(F.to_date("ts") != day)     # the whole day is gone
+    R.refresh_rollup(spark, ev2, path, dates=[day])
+    assert f"grain_date={day}" not in _partition_files(path)
+    # remaining data still equals a from-scratch rebuild
+    rebuilt = str(tmp_path / "rollup_del_full")
+    R.refresh_rollup(spark, ev2, rebuilt)
+    got, want = spark.read.parquet(path), spark.read.parquet(rebuilt)
+    cols = sorted(got.columns)
+    assert _rows(R.present(got.select(cols))) == \
+        _rows(R.present(want.select(cols)))
+
+
+def test_refresh_rejects_malformed_dates(spark, sf_dir, tmp_path):
+    """Malformed date strings must raise for EVERY grain, not coerce
+    to NULL and silently no-op the refresh."""
+    import pytest
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup_bad")
+    for grain in ("hour", "day", "month"):
+        with pytest.raises(ValueError):
+            R.refresh_rollup(spark, ev, path, grain=grain,
+                             dates=["not-a-date"])

@@ -44,6 +44,21 @@ def test_placement_partitioning_invariant(spark, sf_dir):
     assert a == b
 
 
+def test_unpersist_before_materialize_is_safe(spark, sf_dir):
+    """The persist contract: bucket offsets are derived from row
+    CONTENT (md5-prefix buckets), not from a sampled physical
+    partitioning, so unpersisting the internal frame before the result
+    is ever materialized must still yield the correct placement."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _placements(global_shuffle_order(docs, "doc_id", seed=11))
+
+    cleanup: list = []
+    out = global_shuffle_order(docs, "doc_id", seed=11, cleanup=cleanup)
+    for df in cleanup:
+        df.unpersist(blocking=True)            # BEFORE any materialization
+    assert _placements(out) == truth
+
+
 def test_seed_changes_order(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     a = _placements(global_shuffle_order(docs, "doc_id", seed=1))

@@ -143,21 +143,35 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str,
     aggregate). Spark's *dynamic* partition overwrite then replaces
     exactly the partitions present in the refreshed frame — every other
     partition's files are untouched, which tests assert by file set.
-    At scale the raw table is date-partitioned, so the prune reads only
-    the affected partitions.
+    A listed date whose source rows were ALL deleted produces no
+    refreshed rows, which dynamic overwrite would silently skip — so
+    those partitions are explicitly deleted afterwards (the rollup
+    must not serve data whose raw rows are gone).
+
+    Scale note: the prune predicate is an expression over ``ts``, so a
+    plain date-partitioned raw layout will NOT partition-prune from it
+    alone — at 100 TB, pass a source frame already filtered on the
+    physical partition column (e.g. ``events.where(col("event_date")
+    .isin(dates))``) and this function's ``ts``-bucket filter then
+    merely trims the boundary rows inside those partitions.
     """
+    from datetime import date as _date
+
     src = events
     if dates is not None:
-        if grain == "month":
-            from datetime import date as _date
-            for d in dates:
-                dd = d if isinstance(d, _date) else _date.fromisoformat(str(d))
-                if dd.day != 1:
-                    raise ValueError(
-                        "month-grain refresh dates must be month starts "
-                        f"(YYYY-MM-01 grain_date partition values); got {d!r}")
+        # Fail loudly on malformed inputs for EVERY grain: a bad date
+        # string would otherwise coerce to NULL inside isin() and turn
+        # the refresh into a silent no-op for that date.
+        parsed = []
+        for d in dates:
+            dd = d if isinstance(d, _date) else _date.fromisoformat(str(d))
+            if grain == "month" and dd.day != 1:
+                raise ValueError(
+                    "month-grain refresh dates must be month starts "
+                    f"(YYYY-MM-01 grain_date partition values); got {d!r}")
+            parsed.append(dd)
         bucket_date = F.to_date(F.date_trunc(grain, F.col("ts")))
-        src = src.where(bucket_date.isin(list(dates)))
+        src = src.where(bucket_date.isin(parsed))
     rolled = rollup(src, grain=grain)
     mode = "static" if dates is None else "dynamic"
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -167,3 +181,17 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str,
          .partitionBy("grain_date").parquet(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if dates is not None:
+        # Drop listed partitions the refreshed frame no longer covers
+        # (all their source rows were deleted). Bounded driver work:
+        # distinct grain_date over an already-aggregated frame.
+        alive = {r["grain_date"]
+                 for r in rolled.select("grain_date").distinct().collect()}
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for dd in parsed:
+            if dd not in alive:
+                p = jvm.org.apache.hadoop.fs.Path(f"{path}/grain_date={dd}")
+                fs = p.getFileSystem(conf)
+                if fs.exists(p):
+                    fs.delete(p, True)

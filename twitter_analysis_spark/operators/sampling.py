@@ -100,14 +100,21 @@ def global_shuffle_order(df: DataFrame, id_col: str, seed: int = 42,
     sizes differ by at most one row.
 
     The global position is computed the scalable way (the DataFrame
-    equivalent of ``zipWithIndex``): range-repartition on the hash key
-    so partitions are totally ordered, count rows per partition (one
-    driver collect bounded by the partition count, like the IVF
-    centroid collect), then ``partition offset + local row_number``.
-    No single-task global sort at any scale — the window partitions by
-    ``spark_partition_id``. The ranged frame feeds both the count job
-    and the final plan, so it is persisted; pass ``cleanup`` to
-    unpersist after materialization (dedup.py convention).
+    equivalent of ``zipWithIndex``): rows are assigned to one of
+    ``n_parts`` CONTENT-DERIVED buckets — the bucket index is a
+    monotone function of the hash key's leading 16 bits, so bucket
+    boundaries align with the global sort order — then one bounded
+    driver collect of per-bucket counts yields bucket offsets, and
+    position = bucket offset + local row_number within the bucket. No
+    single-task global sort at any scale.
+
+    Because the bucket is a pure function of the row's content (NOT
+    ``spark_partition_id`` of a sampled range partitioning, which an
+    earlier version used), the offsets stay valid across recomputation:
+    unpersisting ``ranged`` before materializing the result is safe —
+    the persist is purely a performance choice (it lets the count job
+    and the final plan share one scan). Pass ``cleanup`` to unpersist
+    after materialization (dedup.py convention).
 
     The DuckDB oracle states the same thing declaratively:
     ``row_number() OVER (ORDER BY md5(...), id) - 1``.
@@ -119,24 +126,29 @@ def global_shuffle_order(df: DataFrame, id_col: str, seed: int = 42,
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Leading 16 bits of the hex key, scaled to n_parts buckets. The
+    # scaling is monotone (floor of a nondecreasing map), so
+    # bucket asc, then (_key, id) asc within bucket, IS the global
+    # (_key, id) order; equal keys share a prefix hence a bucket.
+    prefix = F.conv(F.substring("_key", 1, 4), 16, 10).cast("bigint")
     ranged = (df.select(F.col(id_col)).withColumn("_key", key)
-              .repartitionByRange(n_parts, F.asc("_key"), F.asc(id_col))
-              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_pfx", prefix)
+              .withColumn("_bkt",
+                          F.expr(f"(_pfx * {n_parts}) div 65536").cast("int"))
+              .drop("_pfx")
               .persist())
     if cleanup is not None:
         cleanup.append(ranged)
-    # Bounded driver collect: one (pid, count) row per partition. The
-    # persist above pins the partitioning so the offsets stay valid
-    # for the returned (lazy) plan.
-    counts = ranged.groupBy("_pid").count().collect()
+    # Bounded driver collect: one (bucket, count) row per bucket.
+    counts = ranged.groupBy("_bkt").count().collect()
     offsets, acc = [], 0
-    for r in sorted(counts, key=lambda r: r["_pid"]):
-        offsets.append((r["_pid"], acc))
+    for r in sorted(counts, key=lambda r: r["_bkt"]):
+        offsets.append((r["_bkt"], acc))
         acc += r["count"]
-    odf = spark.createDataFrame(offsets, schema="_pid int, _off bigint")
-    w = Window.partitionBy("_pid").orderBy(F.asc("_key"), F.asc(id_col))
+    odf = spark.createDataFrame(offsets, schema="_bkt int, _off bigint")
+    w = Window.partitionBy("_bkt").orderBy(F.asc("_key"), F.asc(id_col))
     pos = F.row_number().over(w).cast("bigint") + F.col("_off") - F.lit(1)
-    return (ranged.join(F.broadcast(odf), "_pid")
+    return (ranged.join(F.broadcast(odf), "_bkt")
             .withColumn("_pos", pos)
             .select(F.col(id_col),
                     (F.col("_pos") % n_shards).cast("bigint").alias("shard"),
