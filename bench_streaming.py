@@ -1,0 +1,136 @@
+"""Streaming-tier benchmark: drain-time of each Structured Streaming
+shape over drop-dir inputs at sf0.1 rates.
+
+Prints ONE JSON line:
+  {"metric": "streaming_queries_total", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ...}
+
+What is measured: wall time for an ``availableNow`` drain of the whole
+drop dir into a memory sink — the batch-equivalent workload the
+streaming engine would spread over a day of micro-batches. Each shape
+gets an untimed warmup drain (classload + codegen) and the timed run
+uses min-of-2, mirroring bench.py methodology.
+
+Inputs are materialized once per run from the standard test data:
+  - events.parquet (sf dir, 100k rows at sf0.1) -> JSONL drop files,
+    feeding sessionization and the stream-stream attribution join.
+  - the synthetic raw Twitter capture (tests/fixtures/gen_tweets.py,
+    20k statuses) -> one drop file, feeding windowed keyword counts.
+
+Environment knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (as bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests", "fixtures"))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_TWEETS = 20_000
+N_DROP_FILES = 8          # simulate several micro-batch arrivals
+
+
+def _prep_event_drop(spark, root: str) -> str:
+    """Events table -> JSONL drop dir (ISO timestamps, typed columns)."""
+    from pyspark.sql import functions as F
+
+    from twitter_analysis_spark.sources.io import load_table
+
+    drop = os.path.join(root, "events_drop")
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id",
+                F.date_format(F.col("ts").cast("timestamp"),
+                              "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+                "user_id", "event_type", "value")
+    )
+    ev.coalesce(N_DROP_FILES).write.mode("overwrite").json(drop)
+    return drop
+
+
+def _prep_tweet_drop(root: str) -> str:
+    from gen_tweets import make_raw_stream
+
+    lines, _ = make_raw_stream(N_TWEETS)
+    drop = os.path.join(root, "tweets_drop")
+    os.makedirs(drop, exist_ok=True)
+    per = len(lines) // N_DROP_FILES + 1
+    for i in range(0, len(lines), per):
+        with open(os.path.join(drop, f"part{i}.jsonl"), "w") as f:
+            f.write("\n".join(lines[i:i + per]) + "\n")
+    return drop
+
+
+def main() -> None:
+    from twitter_analysis_spark.session import get_spark
+    from twitter_analysis_spark.streaming import joins as SJ
+    from twitter_analysis_spark.streaming import sessionize as SS
+    from twitter_analysis_spark.streaming.keyword_counts import (
+        streaming_keyword_counts,
+    )
+
+    spark = get_spark(app_name="bench_streaming", master=f"local[{CPUS}]",
+                      extra_conf={"spark.driver.memory": "16g",
+                                  "spark.ui.enabled": "false",
+                                  "spark.sql.ui.retainedExecutions": "2"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="bench_streaming_")
+    ev_drop = _prep_event_drop(spark, root)
+    tw_drop = _prep_tweet_drop(root)
+
+    def drain(df, name: str, mode: str) -> None:
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode(mode).trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+
+    shapes = {
+        "stream_windowed_counts": lambda tag: drain(
+            streaming_keyword_counts(spark, tw_drop, window="10 minutes"),
+            f"kw_{tag}", "complete"),
+        "stream_sessionize": lambda tag: drain(
+            SS.streaming_sessions(SS.read_event_stream(spark, ev_drop),
+                                  gap="30 minutes"),
+            f"sess_{tag}", "append"),
+        "stream_stream_join": lambda tag: drain(
+            SJ.attribution_join(SJ.read_typed_event_stream(spark, ev_drop),
+                                horizon="12 hours"),
+            f"attr_{tag}", "append"),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in shapes.items():
+        fn(f"{name}_warm")                         # untimed warmup
+        for p in range(2):
+            t0 = time.perf_counter()
+            fn(f"{name}_t{p}")
+            el = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, el), el)
+
+    shutil.rmtree(root, ignore_errors=True)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "streaming_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()
