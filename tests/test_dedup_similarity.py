@@ -43,16 +43,30 @@ def test_jaccard_finds_near_dups(planted):
     assert not any({a, b} & {4, 5} for a, b in pairs)
 
 
-def test_minhash_lsh_subset_and_recall(planted):
-    exact = {(r["id1"], r["id2"])
-             for r in dedup.ngram_jaccard_pairs(
-                 planted, "doc_id", "text", n=3, threshold=0.3).collect()}
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_minhash_lsh_subset_and_recall(planted, hash_fn):
+    """Both hash families (native xxhash64 and the oracle-reproducible
+    md5/Carter-Wegman family) must keep candidates ⊆ exact, and must
+    find every pair above the banding s-curve threshold — with r=4
+    rows per band the collision s-curve midpoint is (1/8)^(1/4)≈0.6,
+    so J ≥ 0.7 pairs are in the guarantee zone (find probability ≈0.9
+    per family; both deterministic families do find them), while
+    J≈0.5 pairs are legitimately coin flips that exact verification
+    cannot resurrect."""
+    jac = {(r["id1"], r["id2"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(
+               planted, "doc_id", "text", n=3, threshold=0.3).collect()}
     lsh = {(r["id1"], r["id2"])
            for r in dedup.minhash_lsh_pairs(
                planted, "doc_id", "text", n=3, num_hashes=32, bands=8,
-               threshold=0.3).collect()}
-    assert lsh <= exact
-    assert len(lsh) >= len(exact) - 1          # high recall on dups
+               threshold=0.3, hash_fn=hash_fn).collect()}
+    assert lsh <= set(jac)
+    sure = {p for p, j in jac.items() if j >= 0.7}
+    assert sure <= lsh                         # guarantee-zone recall
+    if hash_fn == "xxhash64":
+        # regression pin for the deterministic production family: it
+        # currently also catches all but one borderline pair
+        assert len(lsh) >= len(jac) - 1
 
 
 def test_simhash_exact_dup_distance_zero(planted):

@@ -774,14 +774,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.1)
 
 
-@register("dedup_minhash_lsh")  # engine-native hashes: rows-only check
+#: Full MinHash+LSH pipeline in SQL: the portable Carter-Wegman
+#: minhash family h_j = (a_j*m1 + b_j*m2) mod 2^31-1 over one md5 per
+#: shingle (mirrors dedup._signatures_from hash_fn="md5"; constants
+#: from dedup.km_constants inlined as a VALUES table), raw-tuple band
+#: keys, the hot-bucket cap, candidate generation, and exact-Jaccard
+#: verification over the capped shingle sets.
+_KM_VALUES_SQL = ", ".join(
+    f"({j}, {a}, {b})"
+    for j, (a, b) in enumerate(_dedup.km_constants(32)))
+
+ORACLE_MINHASH = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ), sh AS (
+      {_SH_CAPPED_SQL}
+    ), km AS (
+      SELECT * FROM (VALUES {_KM_VALUES_SQL}) t(j, a, b)
+    ), hashed AS (
+      SELECT doc, km.j,
+             (km.a * CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT)
+              + km.b * CAST(('0x' || substr(md5(shingle), 9, 7)) AS BIGINT))
+             % 2147483647 AS h
+      FROM sh CROSS JOIN km
+    ), sig AS (
+      SELECT doc, j, min(h) AS m FROM hashed GROUP BY doc, j
+    ), bands AS (
+      SELECT doc, j // 4 AS band,
+             string_agg(m, ',' ORDER BY j) AS bh
+      FROM sig GROUP BY doc, j // 4
+    ), bsz AS (
+      SELECT band, bh, count(*) AS c FROM bands GROUP BY band, bh
+    ), capped AS (
+      SELECT bands.* FROM bands JOIN bsz USING (band, bh)
+      WHERE c <= {_dedup.DEFAULT_MAX_BAND_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT a.doc AS id1, b.doc AS id2
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ), sizes AS (
+      SELECT doc, count(*) AS n FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS id1, b.doc AS id2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT id1, id2,
+           round(n_common::DOUBLE / (s1.n + s2.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc = id1 JOIN sizes s2 ON s2.doc = id2
+    JOIN cand USING (id1, id2)
+    WHERE n_common::DOUBLE / (s1.n + s2.n - n_common) >= 0.1
+"""
+
+
+@register("dedup_minhash_lsh", ORACLE_MINHASH)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # MinHash+LSH candidates verified by exact Jaccard. xxhash64 isn't
-    # reproducible in DuckDB, so no SQL oracle; tests instead assert
-    # candidates ⊆ exact pairs + recall vs dedup_ngram_jaccard.
+    # MinHash+LSH candidates verified by exact Jaccard. The catalog
+    # variant uses the md5/KM double-hash family (hash_fn="md5": one
+    # md5 per shingle + integer ops, see dedup._signatures_from) plus
+    # raw-tuple band keys so the oracle rebuilds the ENTIRE pipeline
+    # in SQL — signatures, band buckets, the hot-bucket cap, candidate
+    # pairs, and the Jaccard verification all cross-engine-checked;
+    # any drift anywhere breaks the hash match. Library callers
+    # default to xxhash64 (no string hex round-trip); both families
+    # keep the candidates-⊆-exact + recall tests in
+    # tests/test_dedup_similarity.py.
     return _dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, num_hashes=32, bands=8, threshold=0.1)
+        n=3, num_hashes=32, bands=8, threshold=0.1, hash_fn="md5")
 
 
 ORACLES_SIMHASH = f"""

@@ -55,6 +55,21 @@ DEFAULT_MAX_SHINGLE_DF = 256
 DEFAULT_MAX_BAND_BUCKET = 256
 
 
+def km_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic per-permutation constants for the portable minhash
+    family: (a_j, b_j) odd 30-bit ints derived from md5 of a fixed
+    label, so Spark code, the DuckDB oracle, and any other engine can
+    regenerate them identically."""
+    import hashlib
+
+    def c(label: str) -> int:
+        return (int(hashlib.md5(label.encode()).hexdigest()[:8], 16)
+                & 0x3FFFFFFF) | 1
+
+    return [(c(f"minhash-a-{j}"), c(f"minhash-b-{j}"))
+            for j in range(num_hashes)]
+
+
 def tokens(col):
     """Lowercased whitespace tokens (engine-standard tokenizer, C4/C5)."""
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
@@ -211,28 +226,64 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         num_hashes)
 
 
-def _signatures_from(ds: DataFrame, num_hashes: int) -> DataFrame:
+def _signatures_from(ds: DataFrame, num_hashes: int,
+                     hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash signatures from a distinct (doc, shingle) table.
 
-    h_j(shingle) = xxhash64(j, shingle) — Spark's built-in 64-bit hash
-    with the permutation index mixed in as a literal, one column per
-    permutation. k independent MIN aggregates get map-side partial
+    ``hash_fn="xxhash64"`` (default): h_j(shingle) = xxhash64(j,
+    shingle) — Spark's built-in 64-bit hash with the permutation index
+    mixed in as a literal, one column per permutation.
+    ``hash_fn="md5"``: a portable Carter-Wegman family over one md5
+    per shingle — m1 = hex digits 1-7, m2 = digits 9-15 (28 bits
+    each), h_j = (a_j*m1 + b_j*m2) mod (2^31 - 1) with
+    per-permutation odd 30-bit constants (km_constants). One
+    standard-hash call plus k multiply-add-mods, every intermediate
+    under 2^59 (64-bit arithmetic never overflows), all exactly
+    reproducible in any SQL engine — the DuckDB oracle recomputes
+    identical signatures. The MOD-PRIME REDUCTION IS LOAD-BEARING:
+    without it the argmin of a positive linear form is confined to
+    the lower-convex-hull shingles of the (m1, m2) point cloud, so
+    all k permutations pick their minima from the same ~30 shingles —
+    measured 37-53× the candidate volume (7.5-13.7k vs 256 pairs at
+    sf0.1) across several no-mod variants (plain KM m1+j*m2, random
+    2-source and 4-source combinations), doubling pipeline wall
+    clock. The wrap-around of the modulus scrambles the per-j
+    ordering, restoring candidate volume to exactly the xxhash64
+    level (256 at sf0.1). Exact-Jaccard verification downstream means
+    family quality only moves candidate volume/recall, never output
+    correctness; the planted-corpus recall test covers this family
+    explicitly.
+
+    Either way, k independent MIN aggregates get map-side partial
     aggregation (each mapper emits one k-wide row per doc), so the
     shuffle is O(docs × k), not O(shingles × k) — the collect_list
     formulation this replaced shipped every shingle's hash array to the
     reducer and was the dominant cost of the LSH pipeline.
     """
-    # k independent xxhash64 families (permutation index mixed in as a
+    # k independent hash families (permutation index mixed in as a
     # literal). A cheaper double-hashing family (h1 ^ rotl(h2, j)) was
     # tried and REJECTED: the rotated permutations are correlated, and
     # measured LSH recall dropped from 5/6 to 3/6 planted near-dup
     # pairs with no wall-clock win — hash independence is what the
     # banding math assumes, and it is worth k string hashes.
-    hashed = ds.select(
-        "doc",
-        *[F.xxhash64(F.lit(j), F.col("shingle")).alias(f"h{j}")
-          for j in range(num_hashes)],
-    )
+    if hash_fn == "md5":
+        P31 = (1 << 31) - 1                      # Mersenne prime 2^31-1
+        ab = km_constants(num_hashes)
+        base = ds.select(
+            "doc",
+            F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
+            .cast("long").alias("_m1"),
+            F.conv(F.substring(F.md5("shingle"), 9, 7), 16, 10)
+            .cast("long").alias("_m2"),
+        )
+        hashed = base.select(
+            "doc", *[((F.lit(a) * F.col("_m1") + F.lit(b) * F.col("_m2"))
+                      % F.lit(P31)).alias(f"h{j}")
+                     for j, (a, b) in enumerate(ab)])
+    else:
+        hashed = ds.select(
+            "doc", *[F.xxhash64(F.lit(j), F.col("shingle")).alias(f"h{j}")
+                     for j in range(num_hashes)])
     return (
         hashed.groupBy("doc")
         .agg(*[F.min(f"h{j}").alias(f"m{j}") for j in range(num_hashes)])
@@ -246,6 +297,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5,
                       max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
                       max_bucket_size: int | None = DEFAULT_MAX_BAND_BUCKET,
+                      hash_fn: str = "xxhash64",
                       cleanup: list | None = None) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -278,13 +330,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     ds = doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df).persist()
     if cleanup is not None:
         cleanup.append(ds)
-    sigs = _signatures_from(ds, num_hashes)
+    sigs = _signatures_from(ds, num_hashes, hash_fn)
+    # Band bucket key: xxhash64 of the band's r minhashes (a cheap
+    # 8-byte key) on the fast path; the md5 family instead joins on
+    # the raw comma-joined minhash tuple, which an external SQL engine
+    # can reproduce exactly (string_agg over the same values) — the
+    # hash here is only a key-size optimization, never semantics.
+    if hash_fn == "md5":
+        def band_key(b: int):
+            return F.concat_ws(",", *[F.col("sig")[b * r + i].cast("string")
+                                      for i in range(r)])
+    else:
+        def band_key(b: int):
+            return F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)])
     banded = sigs.select(
         "doc",
         F.explode(F.array([
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)])
-                     .alias("bh"))
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
             for b in range(bands)
         ])).alias("bk"),
     ).select("doc", "bk.band", "bk.bh")
