@@ -29,29 +29,32 @@ from twitter_analysis_spark import catalog  # noqa: E402
 # everything else in registration order.  Python dicts preserve
 # insertion order, so this is the order the driver iterates.
 _PRIORITY = [
-    # -- round-4 rotation: the 44 queries whose latest driver evidence
-    # is r1/r2 (stalest first — these four have only an r1 row), so no
-    # query's evidence ends the round older than 2 sweeps --
-    "c_scalar_suite", "a8_salted_skew_agg", "a9_rollup_revenue",
-    "q13_order_distribution",
-    # r2-latest, registration order
-    "a10_grouped_distinct", "a13_grouping_sets", "a14_multi_distinct",
-    "a1_count_star", "a2_top_keywords", "a4_conditional_counts",
-    "a6_distinct_cardinality", "corpus_split_assign", "dedup_clusters",
-    "f11_exists_subquery", "f12_scalar_subquery", "f13_not_in_subquery",
-    "f1_keyword_regex", "f2_array_membership", "f3_equality_filter",
-    "f5_point_lookup", "f6_disjunctive_filter", "f7_prefix_filter",
-    "f8_date_range", "f9_conjunctive_filter", "flagship_search",
-    "j1_broadcast_user_join", "j2_dim_chain_join", "j3_collect_assembly",
-    "j4_semi_join", "j5_union_harvest", "j6_asof_join", "j7_range_join",
-    "p1_projection", "q18_large_orders", "q2_groupwise_argmin",
-    "q5_local_supplier_volume", "t10_window_suite", "t1_topk_multisort",
-    "t6_group_topk", "t8_moving_avg", "t9_cumulative_daily",
-    "text_bigram_topk", "text_tfidf_topk", "u3_intersect_except",
-    # -- round-5 sweep slots: code or oracle changed this round
-    # (Q4/Q8 landed; decode kernel; rows-only→oracle conversions) --
-    "mm_decode_features", "dedup_simhash", "sim_ivf_topk",
-    "sim_lsh_topk", "q4_order_priority", "q8_market_share",
+    # -- round-5 rotation. First: the 9 queries whose implementation
+    # or oracle CHANGED this round (new Q4/Q8; decode kernel rewrite;
+    # rows-only→oracle conversions incl. the full minhash pipeline
+    # oracle; tfidf plan rewrite; shuffle-order bucket rewrite) —
+    # these need fresh r5 evidence more than anything else --
+    "dedup_minhash_lsh", "dedup_simhash", "sim_ivf_topk",
+    "sim_lsh_topk", "mm_decode_features", "q4_order_priority",
+    "q8_market_share", "text_tfidf_topk", "corpus_shuffle_order",
+    # -- then the 44 queries whose latest driver evidence is r3 (the
+    # r4 sweep covered the other half), stalest-first rotation so no
+    # evidence ends the round older than 2 sweeps --
+    "f2_nested_hashtag_path", "t7_pagination", "c1_c2_date_format",
+    "c10_page_count", "q1_pricing_summary", "q3_top_revenue_orders",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "sim_cosine_topk", "sim_pq_topk", "text_token_counts",
+    "text_quality_features", "text_lang_id", "text_fingerprint",
+    "mm_media_metadata", "w1_tumbling_window_agg", "s9_sessionization",
+    "u2_union_results", "a7_percentiles", "f4_absence_filter",
+    "t2_top5_sidebar", "a11_approx_sketches", "corpus_curation",
+    "c13_json_extract", "a12_pivot_matrix", "c14_array_hof_suite",
+    "sim_knn_join", "j8_snapshot_diff", "q6_forecast_revenue",
+    "q10_returned_items", "q14_promo_effect", "q22_dormant_customers",
+    "text_pii_scrub", "text_decontaminate", "text_repetition_quality",
+    "corpus_pack_sequences", "corpus_domain_mix", "sim_kmeans_ivf",
+    "corpus_training_set", "q15_top_supplier", "q21_waiting_suppliers",
+    "ts_hourly_rollup", "ts_rollup_reagg",
 ]
 
 
