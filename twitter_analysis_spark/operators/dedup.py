@@ -343,13 +343,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     else:
         def band_key(b: int):
             return F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)])
+    # Persist the banded key table: it feeds the hot-bucket count AND
+    # both sides of the self-join, so without it the whole
+    # tokenize→hash→min-aggregate signature lineage executes three
+    # times. Narrow (docs × bands rows) — cheap to hold.
     banded = sigs.select(
         "doc",
         F.explode(F.array([
             F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
             for b in range(bands)
         ])).alias("bk"),
-    ).select("doc", "bk.band", "bk.bh")
+    ).select("doc", "bk.band", "bk.bh").persist()
+    if cleanup is not None:
+        cleanup.append(banded)
 
     if max_bucket_size is not None:
         # Hot-bucket guard: count per (band, bh) — map-side partial
