@@ -37,13 +37,14 @@ _PRIORITY = [
     "dedup_minhash_lsh", "dedup_simhash", "sim_ivf_topk",
     "sim_lsh_topk", "mm_decode_features", "q4_order_priority",
     "q8_market_share", "text_tfidf_topk", "corpus_shuffle_order",
+    "sim_pq_topk",
     # -- then the 44 queries whose latest driver evidence is r3 (the
     # r4 sweep covered the other half), stalest-first rotation so no
     # evidence ends the round older than 2 sweeps --
     "f2_nested_hashtag_path", "t7_pagination", "c1_c2_date_format",
     "c10_page_count", "q1_pricing_summary", "q3_top_revenue_orders",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "sim_cosine_topk", "sim_pq_topk", "text_token_counts",
+    "sim_cosine_topk", "text_token_counts",
     "text_quality_features", "text_lang_id", "text_fingerprint",
     "mm_media_metadata", "w1_tumbling_window_agg", "s9_sessionization",
     "u2_union_results", "a7_percentiles", "f4_absence_filter",

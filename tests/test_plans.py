@@ -217,3 +217,23 @@ def test_training_set_pipeline_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(split" in plan
+
+
+def test_q4_semi_join_on_pruned_orders(spark, sf_dir):
+    # The quarter predicate must reach the orders scan BEFORE the
+    # EXISTS semi join; the correlated EXISTS must plan as LeftSemi.
+    plan = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_q8_dims_broadcast_no_cartesian(spark, sf_dir):
+    # The 8-table market-share join: every dimension side broadcasts
+    # (the only shuffle-eligible join is lineitem-orders), the part
+    # filter reaches its scan, and nothing degenerates to a cross
+    # join.
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan

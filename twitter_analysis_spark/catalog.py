@@ -948,20 +948,82 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.cosine_topk(emb, qvec, k=10)
 
 
-@register("sim_pq_topk")  # approximate (lossy codes): rows-only check
+def _pq_dists_sql(vec: str) -> str:
+    """DuckDB list of 16 per-code L2² distances for subspace s (0-based
+    in scope), mirroring similarity._l2sq's sequential fold."""
+    return (f"[list_sum([({vec}[s*8+i] - seeds[k][s*8+i]) * "
+            f"({vec}[s*8+i] - seeds[k][s*8+i]) "
+            f"for i in generate_series(1, 8)]) "
+            f"for k in generate_series(1, 16)]")
+
+
+#: PQ ANN with seed (iters=0) codebooks: the entire
+#: normalize→codebook→encode→ADC-shortlist→exact-rerank chain in SQL.
+ORACLE_PQ = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 [x / sqrt(list_dot_product(v, v)) for x in v] AS uv
+          FROM e),
+    cb AS (SELECT list(uv ORDER BY vec_id) AS seeds
+           FROM (SELECT vec_id, uv FROM u ORDER BY vec_id LIMIT 16)),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    qh AS (SELECT [x / sqrt(list_dot_product(qv, qv)) for x in qv] AS qhat
+           FROM q),
+    lut AS (
+      SELECT [[list_sum([qhat[s*8 + i] * seeds[k][s*8 + i]
+                         for i in generate_series(1, 8)])
+               for k in generate_series(1, 16)]
+              for s in generate_series(0, 7)] AS l
+      FROM qh, cb
+    ),
+    codes AS (
+      SELECT u.vec_id,
+             [CAST(list_position({_pq_dists_sql('uv')},
+                                 list_min({_pq_dists_sql('uv')})) AS INT)
+              for s in generate_series(0, 7)] AS c
+      FROM u, cb
+    ),
+    adc AS (
+      SELECT codes.vec_id,
+             round(l[1][c[1]] + l[2][c[2]] + l[3][c[3]] + l[4][c[4]]
+                 + l[5][c[5]] + l[6][c[6]] + l[7][c[7]] + l[8][c[8]],
+                   6) AS shortlist_score
+      FROM codes, lut
+      ORDER BY shortlist_score DESC, vec_id
+      LIMIT 50
+    )
+    SELECT e.vec_id,
+           round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) *
+                  sqrt(list_dot_product(qv, qv))), 6) AS adc_score
+    FROM e JOIN adc USING (vec_id), q
+    ORDER BY adc_score DESC, vec_id
+    LIMIT 10
+"""
+
+
+@register("sim_pq_topk", ORACLE_PQ)
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Product-quantization ANN: train per-subspace codebooks (one scan
-    # per Lloyd round, bounded m*ksub*dsub driver collect), encode the
+    # Product-quantization ANN: per-subspace codebooks, encode the
     # corpus to m small ints per vector, ADC-scan the compressed index
     # for a 50-candidate shortlist, exact-rerank the shortlist. The
     # memory-compression scale path: the full scan touches 64x-smaller
-    # codes; raw vectors are read for only C=50 rows. Tests pin recall
-    # vs the exact ranking and exactness on codebook-expressible
-    # corpora.
+    # codes; raw vectors are read for only C=50 rows.
+    #
+    # The catalog variant uses SEED codebooks (iters=0: unit slices of
+    # the ksub lowest-id vectors — the trainer's deterministic
+    # initialization), which makes every stage closed-form: the oracle
+    # rebuilds normalization, codebooks, argmin encoding (first-min
+    # tie-break = list_position), the ADC lookup-table scoring in the
+    # same fixed addition order, the rounded shortlist cut, and the
+    # exact rerank — the entire PQ serving path cross-engine-checked.
+    # Lloyd TRAINING (iters>0, driver-bounded collects) is exercised
+    # by tests/test_pq.py: recall floors, exactness on
+    # codebook-expressible corpora, and reconstruction-error descent.
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    books = _sim.pq_train(emb, m=8, ksub=16, iters=2)
+    books = _sim.pq_train(emb, m=8, ksub=16, iters=0)
     return _sim.pq_topk(emb, books, qvec, k=10, rerank=50)
 
 
