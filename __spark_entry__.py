@@ -37,7 +37,8 @@ _PRIORITY = [
     "dedup_minhash_lsh", "dedup_simhash", "sim_ivf_topk",
     "sim_lsh_topk", "mm_decode_features", "q4_order_priority",
     "q8_market_share", "text_tfidf_topk", "corpus_shuffle_order",
-    "sim_pq_topk",
+    "sim_pq_topk", "q7_volume_shipping", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
     # -- then the 44 queries whose latest driver evidence is r3 (the
     # r4 sweep covered the other half), stalest-first rotation so no
     # evidence ends the round older than 2 sweeps --

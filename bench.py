@@ -73,6 +73,11 @@ HEADLINE = [
     # Q4 (EXISTS agg) + Q8 (8-table market share) — round 5
     "q4_order_priority",
     "q8_market_share",
+    # Q7 (bilateral volume), Q17 (correlated avg), Q19 (disjunctive
+    # join predicate) — round 5, late
+    "q7_volume_shipping",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
 ]
 
 

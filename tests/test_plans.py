@@ -237,3 +237,23 @@ def test_q8_dims_broadcast_no_cartesian(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan
     assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_q17_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
+    # The correlated scalar AVG must plan as a per-part aggregate
+    # joined back (two lineitem scans, partial+final agg), never a
+    # per-row subquery.
+    plan = plan_of(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "partial_avg" in plan or "partial_" in plan
+    assert plan.count("FileScan parquet") >= 2
+    assert "EqualTo(p_size,1)" in plan
+
+
+def test_q19_derives_side_local_filters(spark, sf_dir):
+    # The cross-side OR can only evaluate post-join, but Catalyst must
+    # derive side-local residuals: brand/size reach the part scan and
+    # the quantity envelope reaches the lineitem scan.
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "p_brand" in plan.split("Scan parquet")[1] or "In(p_brand" in plan
+    assert "l_quantity" in plan
+    assert "CartesianProduct" not in plan

@@ -3226,6 +3226,154 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q7_volume_shipping",
+    """
+    WITH shipping AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+             (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: bilateral trade volume between two nations by
+    # ship year. The nation-pair disjunction is applied AFTER both
+    # broadcast nation joins (it references both sides), but the
+    # two nation dims, supplier, and customer all broadcast, so the
+    # only shuffle is lineitem⋈orders — the Q8 fact-fact pattern.
+    # Date pruning reaches the lineitem scan. Decimal partials, double
+    # only at output.
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    cust_n = (cust.join(F.broadcast(nat.alias("n2")),
+                        F.col("c_nationkey") == F.col("n2.n_nationkey"))
+              .select("c_custkey", F.col("n2.n_name").alias("cust_nation")))
+    sup_n = (sup.join(F.broadcast(nat.alias("n1")),
+                      F.col("s_nationkey") == F.col("n1.n_nationkey"))
+             .select("s_suppkey", F.col("n1.n_name").alias("supp_nation")))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    return (
+        li.where((F.col("l_shipdate") >=
+                  F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+                 & (F.col("l_shipdate") <
+                    F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size = 1
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) <
+          (SELECT CAST(0.2 AS DECIMAL(3,1)) *
+                  avg(CAST(l2.l_quantity AS DECIMAL(18,2)))
+           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape (adapted: p_size=1 stands in for the container
+    # filter this schema lacks): correlated scalar AVG subquery —
+    # Catalyst decorrelates it into a per-part aggregate joined back
+    # on l_partkey, so the plan is two scans of lineitem (one
+    # aggregated) plus a broadcast part filter, never a per-row
+    # subquery execution. Quantities are integral doubles; the decimal
+    # cast makes the 0.2*avg threshold exact cross-engine (decimal
+    # avg = exact sum / exact count at fixed scale).
+    li = _t(spark, sf_dir, "lineitem")
+    prt = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = (li.groupBy(F.col("l_partkey").alias("_pk"))
+                .agg((F.lit(0.2).cast("decimal(3,1)")
+                      * F.avg(qty)).alias("_thresh")))
+    return (
+        li.join(F.broadcast(prt.where(F.col("p_size") == 1)),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .where(qty < F.col("_thresh"))
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double") / F.lit(7.0)).cast("double")
+             .alias("avg_yearly"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: a disjunction of (brand, size-range,
+    # quantity-range) conjuncts spanning both join sides. Catalyst
+    # derives the side-local residuals (p_brand IN (...) and the size
+    # upper bound push to the part scan; the quantity envelope pushes
+    # to lineitem), so each side is pre-filtered before the broadcast
+    # join even though the full OR can only be evaluated after it.
+    li = _t(spark, sf_dir, "lineitem")
+    prt = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+
+    def arm(brand: str, smax: int, qlo: int, qhi: int):
+        return ((F.col("p_brand") == brand)
+                & F.col("p_size").between(1, smax)
+                & F.col("l_quantity").between(qlo, qhi))
+
+    return (
+        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .where(arm("Brand#1", 15, 1, 11)
+               | arm("Brand#2", 25, 10, 20)
+               | arm("Brand#3", 35, 20, 30))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+             .alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pre-aggregated time-series rollups (operators/rollup.py): the
 # materialized-aggregate tier. ts_hourly_rollup is the stored grain;
