@@ -48,6 +48,7 @@ HEADLINE = [
     "text_quality_features",
     "text_bigram_topk",
     "text_tfidf_topk",
+    "text_unit_dedup",
     "sim_cosine_topk",
     "sim_knn_join",
     "c13_json_extract",

@@ -164,3 +164,26 @@ def test_pack_sequences_conservation(spark, sf_dir):
             assert seq_id == start // 512, (src, doc_id)
             assert off == start % 512, (src, doc_id)
             start += n_tok
+
+
+def test_unit_dedup_stats_planted(spark):
+    """Sentence-level corpus dedup on a planted multi-sentence corpus:
+    the globally FIRST occurrence of a sentence is never flagged;
+    every later occurrence is, across and within documents."""
+    rows = [
+        (0, "The sky is blue. Water is wet. Unique zero."),
+        (1, "The sky is blue. Totally fresh sentence."),     # 1 dup
+        (2, "water is wet.   THE SKY IS BLUE. Another one."),  # 2 dups
+        (3, "Repeat me. Repeat me. Repeat me."),             # self-dups
+        (4, "Nothing shared here at all."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_units"], r["n_dup_units"])
+           for r in cur.unit_dedup_stats(df, "doc_id").collect()}
+    assert got[0] == (3, 0)          # all first occurrences
+    assert got[1] == (2, 1)          # 'the sky is blue' seen in doc 0
+    assert got[2] == (3, 2)          # case/whitespace-normalized dups
+    # last unit keeps its trailing '.' (no separator follows), so it
+    # normalizes differently: 2 of 3 units equal, 1 within-doc dup
+    assert got[3] == (3, 1)
+    assert got[4] == (1, 0)

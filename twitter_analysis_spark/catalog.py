@@ -1894,6 +1894,52 @@ ORACLES["corpus_curation"] = _build_curate_oracle()
 
 
 @register(
+    "text_unit_dedup",
+    r"""
+    WITH arr AS (
+      SELECT doc_id, list_filter(list_transform(
+               string_split_regex(lower(replace(text, ' a ', '. ')),
+                                  '\.\s+'),
+               s -> trim(s)), s -> s <> '') AS us
+      FROM documents
+    ),
+    units AS (
+      SELECT doc_id,
+             unnest([{'pos': i-1, 'u': us[i]}
+                     for i in generate_series(1, len(us))],
+                    recursive := true)
+      FROM arr
+    ),
+    flagged AS (
+      SELECT doc_id,
+             CASE WHEN row_number() OVER (PARTITION BY u
+                                          ORDER BY doc_id, pos) > 1
+                  THEN 1 ELSE 0 END AS dup
+      FROM units
+    )
+    SELECT doc_id, count(*) AS n_units,
+           CAST(sum(dup) AS BIGINT) AS n_dup_units,
+           round(sum(dup)::DOUBLE / count(*), 6) AS dup_ratio
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def text_unit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-level duplicate-unit statistics (Dolma/C4-style paragraph
+    # dedup, curation.unit_dedup_stats). The synthetic corpus has no
+    # sentence punctuation, so the catalog adapter synthesizes unit
+    # boundaries by rewriting the filler token ' a ' to '. ' —
+    # IDENTICALLY on both engines — before the real operator runs;
+    # on a real corpus the operator consumes natural sentence/
+    # paragraph breaks directly (planted-fixture tests cover that
+    # path). First-occurrence detection is a min(struct) aggregate,
+    # not a window — the skew-safe 100 TB shape (see operator doc).
+    docs = _t(spark, sf_dir, "documents")
+    adapted = docs.select(
+        "doc_id", F.regexp_replace("text", " a ", ". ").alias("text"))
+    return _cur.unit_dedup_stats(adapted, "doc_id", "text")
+
+
+@register(
     "c13_json_extract",
     """
     SELECT event_type,

@@ -176,3 +176,55 @@ def pack_sequences(df: DataFrame, id_col: str, part_col: str,
                 F.floor(F.col("_start") / budget).alias("seq_id"),
                 (F.col("_start") % budget).alias("tok_offset"))
     )
+
+
+def unit_dedup_stats(df: DataFrame, id_col: str, text_col: str = "text",
+                     sep: str = r"\.\s+") -> DataFrame:
+    """Corpus-level duplicate-UNIT statistics (Dolma/C4-style
+    paragraph- or sentence-level dedup): split each document into
+    units on ``sep`` (a Java/RE2-common regex), normalize
+    (lower+trim, empties dropped), and flag every unit occurrence
+    that is not the globally FIRST occurrence of that unit (first =
+    lowest (doc_id, position)).
+
+    Output: (id, n_units, n_dup_units, dup_ratio) per document.
+
+    Scale shape: first-occurrence detection is a ``min(struct(doc,
+    pos))`` AGGREGATE keyed by unit — partial aggregation collapses
+    each mapper's occurrences of a hot unit to one row, so a
+    boilerplate sentence repeated 10^8 times costs its reducer ONE
+    row per upstream partition, where the window/row_number
+    formulation would sort all 10^8 rows on a single key. The join
+    back on unit hits the same partitioning Catalyst just produced
+    (exchange reuse), and the final stats aggregate keys by doc id —
+    the natural parallel key.
+    """
+    units = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.posexplode(
+                F.filter(
+                    F.transform(F.split(F.lower(F.col(text_col)), sep),
+                                lambda s: F.trim(s)),
+                    lambda s: s != "",
+                )
+            ).alias("_pos", "_unit"),
+        )
+    )
+    firsts = units.groupBy("_unit").agg(
+        F.min(F.struct(F.col("_doc"), F.col("_pos"))).alias("_first"))
+    flagged = (
+        units.join(firsts, "_unit")
+        .select("_doc",
+                ((F.col("_first._doc") != F.col("_doc"))
+                 | (F.col("_first._pos") != F.col("_pos")))
+                .cast("int").alias("_dup"))
+    )
+    return (
+        flagged.groupBy(F.col("_doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_units"),
+             F.sum("_dup").cast("bigint").alias("n_dup_units"))
+        .withColumn("dup_ratio",
+                    F.round(F.col("n_dup_units").cast("double")
+                            / F.col("n_units").cast("double"), 6))
+    )
