@@ -49,6 +49,7 @@ HEADLINE = [
     "text_bigram_topk",
     "text_tfidf_topk",
     "text_unit_dedup",
+    "text_chunk_windows",
     "sim_cosine_topk",
     "sim_knn_join",
     "c13_json_extract",
@@ -116,6 +117,7 @@ def main() -> None:
     # (one long per row to the driver-side sum, no wide collect).
     FORCE_ALL_COLUMNS = {
         "text_pii_scrub", "text_decontaminate", "text_repetition_quality",
+        "text_chunk_windows",
         "corpus_pack_sequences", "corpus_domain_mix",
         "corpus_training_set",
         # count() would prune the rollup's agg columns / the shuffle

@@ -187,3 +187,27 @@ def test_unit_dedup_stats_planted(spark):
     # normalizes differently: 2 of 3 units equal, 1 within-doc dup
     assert got[3] == (3, 1)
     assert got[4] == (1, 0)
+
+
+def test_chunk_text_windows(spark):
+    """Chunk arithmetic: full windows at each stride, a short final
+    window, reconstruction of the token stream from stride-aligned
+    chunks, and no chunks for empty docs."""
+    rows = [(0, " ".join(f"t{i}" for i in range(80))),   # 80 tokens
+            (1, "only four little tokens"),
+            (2, "   ")]                                  # empty
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = cur.chunk_text(df, "doc_id", size=32, stride=24)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc                               # empty -> none
+    assert [r["start_tok"] for r in sorted(by_doc[0],
+            key=lambda r: r["chunk_id"])] == [0, 24, 48, 72]
+    last = max(by_doc[0], key=lambda r: r["chunk_id"])
+    assert last["n_chunk_toks"] == 8                     # 80 - 72
+    assert last["chunk_text"].split() == [f"t{i}" for i in range(72, 80)]
+    assert by_doc[1][0]["n_chunk_toks"] == 4
+    # stride-aligned prefixes reconstruct the stream
+    first = min(by_doc[0], key=lambda r: r["chunk_id"])
+    assert first["chunk_text"].split()[:24] == [f"t{i}" for i in range(24)]

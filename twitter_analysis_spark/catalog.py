@@ -1894,6 +1894,37 @@ ORACLES["corpus_curation"] = _build_curate_oracle()
 
 
 @register(
+    "text_chunk_windows",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) > 0
+               THEN [{{'chunk_id': CAST((s / 24) AS BIGINT),
+                      'start_tok': CAST(s AS BIGINT),
+                      'n_chunk_toks': CAST(least(32, len(tk) - s) AS BIGINT),
+                      'chunk_text': array_to_string(tk[s+1:s+32], ' ')}}
+                     for s in generate_series(0, len(tk) - 1, 24)]
+               ELSE [] END, recursive := true)
+      FROM toks
+    )
+    SELECT doc_id, chunk_id, start_tok, n_chunk_toks, chunk_text
+    FROM chunks
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Overlapping token-window chunking (size 32, stride 24) with
+    # provenance — curation.chunk_text. Map-only: the plan is scan →
+    # tokenize → per-row explode, zero shuffles (the oracle hash-match
+    # covers window boundaries, the short final window, and the
+    # chunk-id/offset arithmetic).
+    return _cur.chunk_text(_t(spark, sf_dir, "documents"), "doc_id",
+                           size=32, stride=24)
+
+
+@register(
     "text_unit_dedup",
     r"""
     WITH arr AS (

@@ -228,3 +228,40 @@ def unit_dedup_stats(df: DataFrame, id_col: str, text_col: str = "text",
                     F.round(F.col("n_dup_units").cast("double")
                             / F.col("n_units").cast("double"), 6))
     )
+
+
+def chunk_text(df: DataFrame, id_col: str, text_col: str = "text",
+               size: int = 32, stride: int = 24) -> DataFrame:
+    """Split each document into overlapping token-window chunks with
+    provenance — the RAG-indexing / long-document-splitting
+    counterpart to ``pack_sequences`` (which assigns whole docs to
+    training sequences; this SPLITS one doc into many windows).
+
+    Output: (id, chunk_id, start_tok, n_chunk_toks, chunk_text) —
+    chunk i covers tokens [i*stride, i*stride + size); the final
+    window may be short; empty documents emit no chunks.
+
+    Entirely map-only (tokenize → per-row start sequence → explode →
+    slice/join): no shuffle at any scale, and the explode fan-out per
+    row is ceil(n_tok/stride), bounded by document length. The token
+    array is materialized before the explode so the higher-order
+    slice reads an attribute, not a re-evaluated split (the
+    word_shingles lesson, dedup.py).
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    n = F.size("_tk")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
+              .otherwise(F.array().cast("array<int>"))
+    return (
+        toked.select(F.col(id_col), "_tk",
+                     F.posexplode(starts).alias("chunk_id", "start_tok"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint"),
+            F.col("start_tok").cast("bigint"),
+            F.least(F.lit(size), n - F.col("start_tok")).cast("bigint")
+            .alias("n_chunk_toks"),
+            F.array_join(F.slice("_tk", F.col("start_tok") + 1, size), " ")
+            .alias("chunk_text"),
+        )
+    )
