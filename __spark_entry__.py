@@ -38,7 +38,8 @@ _PRIORITY = [
     "sim_lsh_topk", "mm_decode_features", "q4_order_priority",
     "q8_market_share", "text_tfidf_topk", "corpus_shuffle_order",
     "sim_pq_topk", "q7_volume_shipping", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "text_unit_dedup", "text_chunk_windows",
+    "q19_disjunctive_revenue", "q16_supplier_count",
+    "text_unit_dedup", "text_chunk_windows",
     # -- then the 44 queries whose latest driver evidence is r3 (the
     # r4 sweep covered the other half), stalest-first rotation so no
     # evidence ends the round older than 2 sweeps --

@@ -80,6 +80,7 @@ HEADLINE = [
     "q7_volume_shipping",
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
+    "q16_supplier_count",
 ]
 
 

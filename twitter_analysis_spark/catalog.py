@@ -3410,6 +3410,44 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q16_supplier_count",
+    """
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape (adapted: supplier-part relationships come from
+    # lineitem since this schema has no partsupp, and negative acctbal
+    # stands in for the complaints exclusion): filtered part dim
+    # broadcast onto lineitem, a NOT IN exclusion that Catalyst plans
+    # as a null-aware anti join against the (tiny, broadcast)
+    # blocklist, then a count-distinct grouped by part attributes —
+    # the distinct is a two-phase aggregate (partial dedup map-side),
+    # never a corpus re-shuffle per group.
+    li = _t(spark, sf_dir, "lineitem")
+    prt = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    bad = sup.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(prt.where((F.col("p_brand") != "Brand#1")
+                                      & F.col("p_size").isin(1, 5, 9, 13))),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@register(
     "q19_disjunctive_revenue",
     """
     SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
