@@ -106,6 +106,10 @@ def main() -> None:
             SJ.attribution_join(SJ.read_typed_event_stream(spark, ev_drop),
                                 horizon="12 hours"),
             f"attr_{tag}", "append"),
+        "stream_dedup": lambda tag: drain(
+            SS.streaming_dedup(SS.read_event_stream(spark, ev_drop),
+                               watermark="1 hour"),
+            f"dedup_{tag}", "append"),
     }
 
     timings: dict[str, float] = {}
