@@ -38,7 +38,7 @@ _PRIORITY = [
     "sim_lsh_topk", "mm_decode_features", "q4_order_priority",
     "q8_market_share", "text_tfidf_topk", "corpus_shuffle_order",
     "sim_pq_topk", "q7_volume_shipping", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q16_supplier_count",
+    "q19_disjunctive_revenue", "q16_supplier_count", "q11_important_nations",
     "text_unit_dedup", "text_chunk_windows",
     # -- then the 44 queries whose latest driver evidence is r3 (the
     # r4 sweep covered the other half), stalest-first rotation so no

@@ -81,6 +81,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q16_supplier_count",
+    "q11_important_nations",
 ]
 
 

@@ -3410,6 +3410,63 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q11_important_nations",
+    """
+    WITH by_nation AS (
+      SELECT n.n_name,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, CAST(value_dec AS DOUBLE) AS value
+    FROM by_nation
+    WHERE value_dec > (SELECT CAST(0.04 AS DECIMAL(3,2)) * SUM(value_dec)
+                       FROM by_nation)
+    ORDER BY value DESC, n_name
+    """,
+)
+def q11_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape (adapted: supplier-nation value share from
+    # lineitem, since this schema has no partsupp): a grouped
+    # aggregate filtered by a GLOBAL scalar threshold over the same
+    # aggregate. The per-nation frame is nation-cardinality (tiny), so
+    # the global re-aggregate and the threshold join are broadcast
+    # one-row operations; the only big-data work is the single
+    # lineitem scan-agg. Decimal partials make the 4% threshold
+    # comparison exact cross-engine.
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    sup_n = (sup.join(F.broadcast(nat),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+             .select("s_suppkey", "n_name"))
+    by_nation = (
+        li.join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).alias("value_dec"))
+    )
+    # Global threshold via an unpartitioned window over the ALREADY
+    # AGGREGATED frame: one pass over lineitem total. A scalar-agg +
+    # join-back formulation re-executed the whole scan-agg subtree
+    # (measured 2×); the single-partition window is safe because the
+    # frame is nation-cardinality (fixed ~25 rows) at ANY corpus size.
+    w = Window.partitionBy()
+    return (
+        by_nation
+        .withColumn("_t", F.lit(0.04).cast("decimal(3,2)")
+                    * F.sum("value_dec").over(w))
+        .where(F.col("value_dec") > F.col("_t"))
+        .select("n_name", F.col("value_dec").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "n_name")
+    )
+
+
+@register(
     "q16_supplier_count",
     """
     SELECT p.p_brand, p.p_size,
