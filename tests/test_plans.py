@@ -257,3 +257,39 @@ def test_q19_derives_side_local_filters(spark, sf_dir):
     assert "p_brand" in plan.split("Scan parquet")[1] or "In(p_brand" in plan
     assert "l_quantity" in plan
     assert "CartesianProduct" not in plan
+
+
+def _analyzed(spark, sf_dir, name: str) -> str:
+    df = catalog.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_maybe_broadcast_gate(spark, sf_dir, monkeypatch):
+    """The broadcast hint on sf-SCALING tables (customer/part) is
+    size-gated: present while Catalyst's estimate is small (so the
+    sf0.1 plan is unchanged), ABSENT when the estimate exceeds the
+    gate — simulating a 100x scale-up — so AQE decides from runtime
+    sizes instead of a forced multi-GB build side."""
+    # default gate: hint attached, dimension join broadcasts
+    assert "ResolvedHint" in _analyzed(spark, sf_dir, "flagship_search")
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "flagship_search")
+    baseline = {tuple(r) for r in
+                catalog.QUERIES["flagship_search"](spark, sf_dir).collect()}
+
+    # simulated 100x: every maybe_broadcast frame exceeds the gate
+    monkeypatch.setattr(catalog, "_BROADCAST_GATE_BYTES", 0)
+    assert "ResolvedHint" not in _analyzed(spark, sf_dir, "flagship_search")
+    scaled = {tuple(r) for r in
+              catalog.QUERIES["flagship_search"](spark, sf_dir).collect()}
+    assert scaled == baseline  # join strategy never changes results
+
+
+def test_bounded_dims_keep_unconditional_hint(spark, sf_dir, monkeypatch):
+    """nation/region are schema-bounded (25/5 rows at ANY sf): their
+    broadcast hints must survive the simulated scale-up while the
+    supplier-derived frame in the same query loses its hint."""
+    monkeypatch.setattr(catalog, "_BROADCAST_GATE_BYTES", 0)
+    # j2 chains supplier -> nation -> region: both dim hints unconditional
+    assert _analyzed(spark, sf_dir, "j2_dim_chain_join").count("ResolvedHint") == 2
+    # q10 joins customer (sf-scaling): no forced hint left anywhere
+    assert "ResolvedHint" not in _analyzed(spark, sf_dir, "q10_returned_items")

@@ -67,6 +67,42 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: Planner-estimate gate for :func:`maybe_broadcast`. Catalyst's
+#: estimates are conservative without CBO (filters keep the child's
+#: size, joins multiply), so anything under this bound is provably
+#: small enough for an executor build side; tests shrink it to 0 to
+#: simulate a 100x scale-up.
+_BROADCAST_GATE_BYTES = 64 << 20
+
+
+def maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Size-gated broadcast hint for frames that SCALE with data volume.
+
+    An unconditional ``F.broadcast`` overrides
+    ``spark.sql.autoBroadcastJoinThreshold`` *and* AQE's runtime size
+    check — a hint that is harmless at sf0.1 (customer = 15k rows)
+    forces a multi-GB build side into every executor (and the driver)
+    at sf100. This helper consults Catalyst's own size estimate for
+    the optimized subplan and attaches the hint only when the estimate
+    fits well under executor memory; otherwise it returns the frame
+    UNHINTED so ``autoBroadcastJoinThreshold`` / AQE decide the join
+    strategy from *runtime* sizes. Because the static estimate never
+    shrinks through filters/aggregates, the failure mode is benign:
+    an over-estimate merely defers a still-small frame to AQE, which
+    re-broadcasts it at runtime; an under-estimate (forced OOM) cannot
+    happen.
+
+    Use plain ``F.broadcast`` only for frames whose size is bounded by
+    a schema constant regardless of scale factor: nation (25 rows),
+    region (5), and one-row scalar aggregates.
+    """
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # Connect / stats unavailable -> defer to AQE
+        return df
+    return F.broadcast(df) if est <= _BROADCAST_GATE_BYTES else df
+
+
 # ---------------------------------------------------------------------------
 # Flagship: the reference's results_page search pipeline
 # (filter chain F1/F3/F9 -> broadcast user join J1 -> multi-key sort T1
@@ -96,7 +132,7 @@ def flagship_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # users table is a true dimension (19k rows in the reference):
         # broadcast instead of the reference's N+1 per-row MySQL lookups
         # (app.py:204-205 -> cache.py:164-178).
-        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"), "left")
+        .join(maybe_broadcast(customer), F.col("user_id") == F.col("c_custkey"), "left")
         .select("event_id", "ts_sec", "user_id", "event_type", "value", "c_name")
         # TakeOrderedAndProject: distributed top-k, no global sort
         # (reference truncates a Mongo cursor at 50, cache.py:155-159).
@@ -304,7 +340,7 @@ def j1_broadcast_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer),
+        orders.join(maybe_broadcast(customer),
                     orders.o_custkey == customer.c_custkey, "left")
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
     )
@@ -689,7 +725,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
@@ -1691,7 +1727,7 @@ def q2_groupwise_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn = (part.groupBy(F.col("p_brand").alias("mn_brand"))
           .agg(F.min("p_retailprice").alias("min_price")))
     return (
-        part.join(F.broadcast(mn),
+        part.join(maybe_broadcast(mn),
                   (F.col("p_brand") == F.col("mn_brand"))
                   & (F.col("p_retailprice") == F.col("min_price")))
         .select("p_brand", "p_partkey", "p_name", "p_retailprice")
@@ -1740,10 +1776,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem
-        .join(F.broadcast(asia_suppliers),
+        .join(maybe_broadcast(asia_suppliers),
               lineitem.l_suppkey == F.col("s_suppkey"))
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("n_name")
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
     )
@@ -2200,7 +2236,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(maybe_broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score",
                     (F.col("tf").cast("double") * F.col("n_docs").cast("double"))
@@ -2640,7 +2676,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -2681,7 +2717,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = price * (F.lit(1) - disc)
     zero = F.lit(0).cast("decimal(18,2)")
     s = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
              .alias("promo"),
              F.sum(rev).alias("total"))
@@ -3099,7 +3135,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("rev_dec").alias("_mx"))
     return (
         rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("_mx"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name",
                 F.col("rev_dec").cast("double").alias("total_revenue"))
     )
@@ -3161,7 +3197,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti")
     return (
         sole_blame
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -3279,12 +3315,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     vols = (
-        li.join(F.broadcast(prt.where(F.col("p_type") == "ECONOMY")),
+        li.join(maybe_broadcast(prt.where(F.col("p_type") == "ECONOMY")),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(ords_w, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"),
+        .join(maybe_broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"),
               "left_semi")
-        .join(F.broadcast(sup_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(sup_nat), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.year("o_orderdate").cast("int").alias("o_year"),
                 (price * (F.lit(1) - disc)).alias("volume"),
                 "supp_nation")
@@ -3360,8 +3396,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & (F.col("l_shipdate") <
                     F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")))
         .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))
@@ -3399,7 +3435,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg((F.lit(0.2).cast("decimal(3,1)")
                       * F.avg(qty)).alias("_thresh")))
     return (
-        li.join(F.broadcast(prt.where(F.col("p_size") == 1)),
+        li.join(maybe_broadcast(prt.where(F.col("p_size") == 1)),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part, F.col("l_partkey") == F.col("_pk"))
         .where(qty < F.col("_thresh"))
@@ -3446,7 +3482,7 @@ def q11_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("s_nationkey") == F.col("n_nationkey"))
              .select("s_suppkey", "n_name"))
     by_nation = (
-        li.join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(maybe_broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name")
         .agg(F.sum(price * (F.lit(1) - disc)).alias("value_dec"))
     )
@@ -3493,10 +3529,10 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     bad = sup.where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(prt.where((F.col("p_brand") != "Brand#1")
+        li.join(maybe_broadcast(prt.where((F.col("p_brand") != "Brand#1")
                                       & F.col("p_size").isin(1, 5, 9, 13))),
                 F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad),
+        .join(maybe_broadcast(bad),
               F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -3537,7 +3573,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & F.col("l_quantity").between(qlo, qhi))
 
     return (
-        li.join(F.broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
         .where(arm("Brand#1", 15, 1, 11)
                | arm("Brand#2", 25, 10, 20)
                | arm("Brand#3", 35, 20, 30))
