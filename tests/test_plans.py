@@ -293,3 +293,33 @@ def test_bounded_dims_keep_unconditional_hint(spark, sf_dir, monkeypatch):
     assert _analyzed(spark, sf_dir, "j2_dim_chain_join").count("ResolvedHint") == 2
     # q10 joins customer (sf-scaling): no forced hint left anywhere
     assert "ResolvedHint" not in _analyzed(spark, sf_dir, "q10_returned_items")
+
+
+def test_q9_part_filter_prunes_fact_before_shuffle(spark, sf_dir):
+    # The part-name predicate must reach the part scan so the lineitem
+    # slice is pruned through the broadcast join before any shuffle.
+    plan = plan_of(spark, sf_dir, "q9_product_profit")
+    assert "Contains(p_name,bolt)" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_window_pushes_and_residual_rides_join(spark, sf_dir):
+    # The ship-date window prunes the lineitem scan; the late-ship
+    # comparison is a residual on the equi join, never a filter after
+    # a wider join; CASE counters collapse map-side.
+    plan = plan_of(spark, sf_dir, "q12_shipmode_priority")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan
+
+
+def test_q20_nested_in_decorrelates(spark, sf_dir):
+    # The three-level IN chain must decorrelate: part-name IN and both
+    # outer INs become semi joins, and the correlated 0.5*SUM HAVING
+    # threshold becomes a per-part aggregate joined back on the
+    # grouping key — never a per-row re-scan of lineitem.
+    plan = plan_of(spark, sf_dir, "q20_excess_suppliers")
+    assert plan.count("LeftSemi") >= 3
+    assert "StartsWith(p_name,small)" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan

@@ -3582,6 +3582,160 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey  = l.l_partkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 shape (adapted: this schema has no partsupp, so
+    # p_retailprice*quantity stands in for ps_supplycost*quantity):
+    # product-type profit by supplier nation x order year. Join
+    # topology at scale: the part filter prunes lineitem FIRST via a
+    # size-gated broadcast (name predicate reaches the part scan), the
+    # supplier->nation chain rides a second small build side, and the
+    # only shuffle-eligible join is the pre-filtered lineitem slice
+    # against orders — one fact shuffle, like q8. Profit stays exact
+    # DECIMAL until the final cast so partial aggregation is
+    # order-independent cross-engine.
+    li = _t(spark, sf_dir, "lineitem")
+    prt = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    ords = _t(spark, sf_dir, "orders")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    cost = (F.col("p_retailprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)"))
+    sup_n = (sup.join(F.broadcast(nat),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+             .select("s_suppkey", "n_name"))
+    return (
+        li.join(maybe_broadcast(prt.where(F.col("p_name").contains("bolt"))
+                                .select("p_partkey", "p_retailprice")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(price * (F.lit(1) - disc) - cost).cast("double")
+             .alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_returnflag AS shipmode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate >  o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY shipmode
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape (adapted: l_returnflag stands in for the missing
+    # l_shipmode, and 'late' = shipped >30 days after the order date,
+    # the same receipt-vs-commit surrogate family as q4): two-way
+    # conditional counting over the lineitem-orders join. The ship
+    # window prunes the lineitem scan before the join; the late-ship
+    # comparison is a residual on the equi key; the CASE counters
+    # collapse map-side (partial agg over 3 groups), so the join is
+    # the only shuffle.
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    win = li.where(
+        (F.col("l_shipdate") >=
+         F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") <
+           F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")))
+    return (
+        win.join(ords.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+                 (F.col("l_orderkey") == F.col("o_orderkey"))
+                 & (F.col("l_shipdate") >
+                    F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")))
+        .groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+             .alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).cast("bigint")
+             .alias("low_line_count"))
+        .orderBy("shipmode")
+    )
+
+
+# Q20's nested-IN chain is register()ed with engine-native timestamp
+# literals on each side; the texts are otherwise identical so BOTH
+# engines decorrelate the same three-level subquery.
+_Q20_BODY = """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+          AND l_shipdate >= {t0}
+          AND l_shipdate <  {t1}
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >
+          (SELECT CAST(0.5 AS DECIMAL(2,1))
+                  * SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+           FROM lineitem l2
+           WHERE l2.l_partkey = lineitem.l_partkey
+             AND l2.l_shipdate >= {t0}
+             AND l2.l_shipdate <  {t1}))
+      AND s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_name IN ('NATION_3', 'NATION_7'))
+    ORDER BY s_name, s_suppkey
+"""
+
+
+@register(
+    "q20_excess_suppliers",
+    _Q20_BODY.format(t0="TIMESTAMP '1996-01-01 00:00:00'",
+                     t1="TIMESTAMP '1997-01-01 00:00:00'"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 shape (adapted: lineitem is the supplier-part relation
+    # since this schema has no partsupp; 'excess stock' = the supplier
+    # shipped more than half of a part's windowed volume): a
+    # three-level nested IN chain with a correlated HAVING aggregate,
+    # run through spark.sql so CATALYST does the decorrelation — the
+    # part-name IN becomes a semi join build side, the correlated
+    # 0.5*SUM threshold becomes a per-part aggregate joined back on
+    # the grouping key (never a per-row re-scan), and the outer INs
+    # become left-semi hash joins. Exact-decimal threshold comparison
+    # so boundary rows classify identically cross-engine.
+    from .sources.io import load_tables
+    load_tables(spark, sf_dir, ("supplier", "lineitem", "part", "nation"))
+    return spark.sql(_Q20_BODY.format(
+        t0="TIMESTAMP_NTZ '1996-01-01 00:00:00'",
+        t1="TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+
+
 # ---------------------------------------------------------------------------
 # Pre-aggregated time-series rollups (operators/rollup.py): the
 # materialized-aggregate tier. ts_hourly_rollup is the stored grain;
