@@ -39,10 +39,12 @@ _PRIORITY = [
     "ts_hourly_rollup", "ts_rollup_reagg",
     # -- new this round (never swept): TPC-H Q9/Q12/Q20 shapes --
     "q9_product_profit", "q12_shipmode_priority", "q20_excess_suppliers",
-    # -- changed this round: broadcast hints size-gated
-    # (maybe_broadcast) across the TPC-H suite, q17 oracle decimal
+    # -- changed this round: a11 converted from rows-only to a
+    # tolerance-contract oracle; broadcast hints size-gated
+    # (maybe_broadcast) across the TPC-H suite; q17 oracle decimal
     # hardening — results should be identical, but the changed plans
     # need fresh evidence --
+    "a11_approx_sketches",
     "flagship_search", "j1_broadcast_user_join", "q3_top_revenue_orders",
     "q2_groupwise_argmin", "q5_local_supplier_volume", "text_tfidf_topk",
     "q10_returned_items", "q14_promo_effect", "q8_market_share",
@@ -54,7 +56,8 @@ _PRIORITY = [
     # j4_semi_join j5_union_harvest j6_asof_join j7_range_join
     # p1_projection q13_order_distribution q18_large_orders
     # t10_window_suite t1_topk_multisort t6_group_topk t8_moving_avg
-    # t9_cumulative_daily text_bigram_topk u3_intersect_except --
+    # t9_cumulative_daily text_bigram_topk u3_intersect_except
+    # f9_conjunctive_filter --
     "a10_grouped_distinct", "a13_grouping_sets", "a14_multi_distinct",
     "a1_count_star", "a2_top_keywords", "a4_conditional_counts",
     "a6_distinct_cardinality", "a8_salted_skew_agg", "a9_rollup_revenue",
@@ -62,7 +65,7 @@ _PRIORITY = [
     "f11_exists_subquery", "f12_scalar_subquery", "f13_not_in_subquery",
     "f1_keyword_regex", "f2_array_membership", "f3_equality_filter",
     "f5_point_lookup", "f6_disjunctive_filter", "f7_prefix_filter",
-    "f8_date_range", "f9_conjunctive_filter",
+    "f8_date_range",
 ]
 
 

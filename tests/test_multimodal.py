@@ -58,6 +58,23 @@ def test_decode_kernel_rejects_malformed():
     with pytest.raises(ValueError):
         M.decode_media(b"RIFF\x00\x00\x00\x00WAVE")    # no fmt/data
 
+    def wav(fmt=1, channels=1, rate=8000, bits=8, fmt_len=16):
+        import struct
+        body = struct.pack("<HHIIHH", fmt, channels, rate,
+                           rate * channels * (bits // 8 or 1),
+                           channels * (bits // 8 or 1), bits)[:fmt_len]
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(body) + 8 + 4)
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(body)) + body
+                + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04")
+
+    assert M.decode_media(wav())["media_type"] == "audio"  # template sane
+    # every malformed-fmt shape must be the DOCUMENTED ValueError, not
+    # ZeroDivisionError / struct.error escaping a mapInPandas task
+    for bad in (wav(channels=0), wav(bits=0), wav(bits=4),
+                wav(rate=0), wav(fmt_len=10)):
+        with pytest.raises(ValueError):
+            M.decode_media(bad)
+
 
 def test_extract_features_schema_and_identity(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)

@@ -31,7 +31,7 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
     from twitter_analysis_spark import catalog
 
     approx = {r["l_returnflag"]: r for r in
-              catalog.QUERIES["a11_approx_sketches"](spark, sf_dir).collect()}
+              catalog.a11_sketch_detail(spark, sf_dir).collect()}
     exact = {r["l_returnflag"]: r for r in
              catalog.QUERIES["a10_grouped_distinct"](spark, sf_dir).collect()}
     import duckdb

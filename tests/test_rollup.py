@@ -120,3 +120,46 @@ def test_refresh_rejects_malformed_dates(spark, sf_dir, tmp_path):
         with pytest.raises(ValueError):
             R.refresh_rollup(spark, ev, path, grain=grain,
                              dates=["not-a-date"])
+
+
+def test_partition_col_prune_reaches_scan(spark, sf_dir, tmp_path):
+    """With partition_col set, the refresh's source scan carries real
+    PartitionFilters (the ts-bucket predicate alone can't prune a
+    date-partitioned layout), and the refreshed partition is identical
+    to one refreshed without physical pruning."""
+    import datetime as dt
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = str(tmp_path / "events_by_date")
+    (ev.withColumn("event_date", F.to_date("ts"))
+       .write.partitionBy("event_date").parquet(raw))
+    back = spark.read.parquet(raw)
+
+    day = ev.select(F.to_date("ts").alias("d")).distinct() \
+            .orderBy("d").limit(1).collect()[0]["d"]
+
+    # the pruned source plan must show non-empty PartitionFilters
+    pruned = R.prune_to_dates(back, "day", [day], "event_date")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    filt = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert filt.strip(), f"PartitionFilters empty in:\n{plan}"
+    assert "event_date" in filt
+
+    # month grain covers the whole month's date partitions
+    m0 = day.replace(day=1)
+    month_pruned = R.prune_to_dates(back, "month", [m0], "event_date")
+    days_in = {r["event_date"] for r in
+               month_pruned.select("event_date").distinct().collect()}
+    assert days_in and all(d.month == m0.month and d.year == m0.year
+                           for d in days_in)
+
+    # end-to-end: physically-pruned refresh == unpruned refresh
+    p1, p2 = str(tmp_path / "r_pruned"), str(tmp_path / "r_plain")
+    R.refresh_rollup(spark, back, p1, grain="day", dates=[day],
+                     partition_col="event_date")
+    R.refresh_rollup(spark, ev, p2, grain="day", dates=[day])
+    got = spark.read.parquet(p1).drop("users_hll")
+    want = spark.read.parquet(p2).drop("users_hll")
+    cols = sorted(got.columns)
+    assert _rows(got.select(cols)) == _rows(want.select(cols))

@@ -1660,24 +1660,63 @@ def a10_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a11_approx_sketches")  # approximate (HLL/t-digest): rows-only check
-def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The 100 TB forms of a6/a7: HyperLogLog++ cardinality and t-digest
-    # percentiles — fixed-size sketches, mergeable across partitions,
-    # no exact-sort/dedup cost. Error bounds asserted in tests against
-    # the exact answers (oracle hash-compare is impossible by design).
+def a11_sketch_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch estimates next to their exact twins and tolerance
+    bands — the frame the a11 row and its property test both consume."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
+            F.countDistinct("l_suppkey").alias("n_supps_exact"),
             F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
-            # Scalar columns (not one array) so the driver's canonicalizer
-            # can hash the frame for its rows-only record.
             F.percentile_approx("l_quantity", F.lit(0.5), 10000)
             .alias("qty_p50"),
             F.percentile_approx("l_quantity", F.lit(0.95), 10000)
             .alias("qty_p95"),
+            # Exact quantiles +-0.01 around each target: the tolerance
+            # band. percentile_approx(accuracy=10000) guarantees rank
+            # error <= n/10000 (relative 1e-4), so a 1e-2 band is 100x
+            # slack — if it ever trips, the sketch is genuinely broken.
+            F.expr("percentile(l_quantity, 0.49)").alias("_p50_lo"),
+            F.expr("percentile(l_quantity, 0.51)").alias("_p50_hi"),
+            F.expr("percentile(l_quantity, 0.94)").alias("_p95_lo"),
+            F.expr("percentile(l_quantity, 0.96)").alias("_p95_hi"),
         )
+    )
+
+
+@register(
+    "a11_approx_sketches",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supps_exact,
+           TRUE AS supps_in_tol, TRUE AS p50_in_tol, TRUE AS p95_in_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB forms of a6/a7: HyperLogLog++ cardinality and t-digest
+    # percentiles — fixed-size sketches, mergeable across partitions,
+    # no exact-sort/dedup cost. Sketch VALUES are engine-internal (no
+    # SQL engine can recompute them), so the row carries the TOLERANCE
+    # CONTRACT instead: exact distinct counts (hash-compared against
+    # DuckDB) plus in-tolerance booleans the oracle asserts as TRUE —
+    # HLL at rsd=0.02 within 5% (2.5 sigma), percentile_approx
+    # (rank error <= 1e-4 relative) inside the exact +-0.01-quantile
+    # band. A drifting sketch now FAILS the driver hash instead of
+    # sliding through a rows-only check; the raw estimates remain
+    # pinned by tests/test_oracle_parity.py::
+    # test_approx_sketches_error_bounds over a11_sketch_detail.
+    d = a11_sketch_detail(spark, sf_dir)
+    rel_err = (F.abs(F.col("n_supps_approx") - F.col("n_supps_exact"))
+               / F.col("n_supps_exact"))
+    return d.select(
+        "l_returnflag", "n_supps_exact",
+        (rel_err <= 0.05).alias("supps_in_tol"),
+        ((F.col("qty_p50") >= F.floor("_p50_lo"))
+         & (F.col("qty_p50") <= F.ceil("_p50_hi"))).alias("p50_in_tol"),
+        ((F.col("qty_p95") >= F.floor("_p95_lo"))
+         & (F.col("qty_p95") <= F.ceil("_p95_hi"))).alias("p95_in_tol"),
     )
 
 
@@ -2976,20 +3015,89 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_mix(docs, "source", "doc_id", quota)
 
 
-@register("sim_kmeans_ivf")  # iterative training: rows-only check
+def _kmeans_cos_sql(vec: str, cent: str) -> str:
+    """DuckDB cosine between a vector and a centroid expression,
+    mirroring similarity.cosine's sequential folds."""
+    return (f"list_dot_product({vec}, {cent}) / "
+            f"(sqrt(list_dot_product({vec}, {vec})) * "
+            f"sqrt(list_dot_product({cent}, {cent})))")
+
+
+#: One bit-reproducible Lloyd round (similarity.kmeans_fit_exact):
+#: seed = 8 lowest-id raw vectors; assign = lexicographic struct max
+#: (cos, cell) exactly like ivf_assign's sort_array trick; update =
+#: exact BIGINT sums of 1e6-quantized unit components (commutative, so
+#: partition/scan order can't matter); re-assign; occupancy + mean
+#: cosine with the mean ALSO routed through an integer sum so no float
+#: reduction anywhere is order-dependent.
+ORACLE_KMEANS = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT list(v ORDER BY vec_id) AS s
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    a0 AS (
+      SELECT vec_id, v,
+             (list_max([{{'c': {_kmeans_cos_sql('v', 's[k]')},
+                         'cell': k - 1}}
+                        for k in generate_series(1, 8)])).cell AS cell
+      FROM e, seeds
+    ),
+    qt AS (
+      SELECT cell, pos,
+             CAST(round(v[pos] / sqrt(list_dot_product(v, v)) * 1000000.0)
+                  AS BIGINT) AS qc
+      FROM a0 CROSS JOIN generate_series(1, 64) t(pos)
+    ),
+    trained AS (
+      SELECT cell, list(CAST(sc AS DOUBLE) ORDER BY pos) AS cv
+      FROM (SELECT cell, pos, sum(qc) AS sc FROM qt GROUP BY cell, pos)
+      GROUP BY cell
+    ),
+    cents AS (
+      SELECT g.k - 1 AS cell, COALESCE(t.cv, s[g.k]) AS cv
+      FROM generate_series(1, 8) g(k) CROSS JOIN seeds
+      LEFT JOIN trained t ON t.cell = g.k - 1
+    ),
+    cl AS (SELECT list(cv ORDER BY cell) AS cs FROM cents),
+    a1 AS (
+      SELECT vec_id,
+             list_max([{{'c': {_kmeans_cos_sql('v', 'cs[k]')},
+                        'cell': k - 1}}
+                       for k in generate_series(1, 8)]) AS best
+      FROM e, cl
+    )
+    SELECT CAST(best.cell AS INT) AS cell,
+           count(*) AS n_vecs,
+           round(CAST(sum(CAST(round(best.c * 1000000.0) AS BIGINT))
+                      AS DOUBLE) / (count(*) * 1000000.0), 3) AS mean_cos
+    FROM a1 GROUP BY best.cell
+"""
+
+
+@register("sim_kmeans_ivf", ORACLE_KMEANS)
 def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spherical k-means IVF fit (operators/similarity.py:kmeans_fit):
-    # 3 Lloyd rounds, then the trained cells' occupancy + mean cosine.
-    # Iterative float averaging isn't bit-reproducible in DuckDB SQL,
-    # so this is a rows-only driver row; tests/test_dedup_similarity.py
-    # asserts the monotone-objective and coverage properties.
+    # Spherical k-means IVF fit, cross-engine-checked END TO END: one
+    # QUANTIZED Lloyd round (similarity.kmeans_fit_exact — integer-sum
+    # centroid update, so every reduction in the fit is order-
+    # independent), then the trained cells' occupancy + mean cosine.
+    # The mean is likewise an exact integer sum divided once, so the
+    # whole row — seed selection, assignment argmax (incl. tie-break),
+    # training update, re-assignment, and the final stats — is
+    # bit-reproducible in DuckDB (ORACLE_KMEANS). The float-avg
+    # trainer kmeans_fit (slightly better centroids) stays the
+    # production default; tests/test_dedup_similarity.py asserts its
+    # monotone-objective and coverage properties.
     emb = _t(spark, sf_dir, "embeddings")
-    cents = _sim.kmeans_fit(emb, nlist=8, iters=3)
+    cents = _sim.kmeans_fit_exact(emb, nlist=8, iters=1)
+    n = F.count(F.lit(1))
+    qcos = F.round(F.col("cell_cos") * F.lit(1000000.0)).cast("long")
     return (
         _sim.ivf_assign(emb, cents, with_cos=True)
         .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_vecs"),
-             F.round(F.avg("cell_cos"), 3).alias("mean_cos"))
+        .agg(n.alias("n_vecs"),
+             F.round(F.sum(qcos).cast("double") / (n * F.lit(1000000.0)), 3)
+             .alias("mean_cos"))
     )
 
 
@@ -3413,9 +3521,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_size = 1
-      AND CAST(l.l_quantity AS DECIMAL(18,2)) <
-          (SELECT CAST(0.2 AS DECIMAL(3,1)) *
-                  avg(CAST(l2.l_quantity AS DECIMAL(18,2)))
+      -- Exact-integer replica of Spark's decimal threshold: DuckDB's
+      -- avg(DECIMAL) returns DOUBLE, but Spark's avg(decimal(18,2)) is
+      -- decimal(22,6) = round-half-up(sum*1e6/n)/1e6, and 0.2*avg is
+      -- decimal(26,7). Comparing qty*1e7 < 2*round_half_up(sum*1e6/n)
+      -- in HUGEINT reproduces that boundary bit-for-bit (quantities
+      -- are integral, so every cast below is exact).
+      AND CAST(l.l_quantity AS HUGEINT) * 10000000 <
+          (SELECT 2 * ((2 * CAST(SUM(l2.l_quantity) AS HUGEINT) * 1000000
+                        + COUNT(*)) // (2 * COUNT(*)))
            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
     """,
 )
@@ -3425,9 +3539,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst decorrelates it into a per-part aggregate joined back
     # on l_partkey, so the plan is two scans of lineitem (one
     # aggregated) plus a broadcast part filter, never a per-row
-    # subquery execution. Quantities are integral doubles; the decimal
-    # cast makes the 0.2*avg threshold exact cross-engine (decimal
-    # avg = exact sum / exact count at fixed scale).
+    # subquery execution. The threshold is decimal-exact on the Spark
+    # side (avg(decimal(18,2)) -> decimal(22,6) HALF_UP, x0.2 ->
+    # decimal(26,7)); the oracle replays that arithmetic in HUGEINT
+    # (see the SQL comment) because DuckDB's avg(DECIMAL) would
+    # otherwise degrade to DOUBLE and misclassify boundary rows.
     li = _t(spark, sf_dir, "lineitem")
     prt = _t(spark, sf_dir, "part")
     qty = F.col("l_quantity").cast("decimal(18,2)")

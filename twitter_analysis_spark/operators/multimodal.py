@@ -159,10 +159,20 @@ def _parse_wav(blob: bytes) -> tuple[int, int, int, bytes]:
         cid, size = blob[pos:pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
         body = blob[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            # Validate before unpacking/dividing so every malformed-fmt
+            # shape surfaces as the documented ValueError (not
+            # struct.error on a short body or ZeroDivisionError in the
+            # caller's frame-count arithmetic).
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk too short ({len(body)} bytes)")
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if fmt != 1:
                 raise ValueError(f"not PCM (fmt={fmt})")
+            if channels < 1 or bits < 8 or rate < 1:
+                raise ValueError(
+                    f"malformed fmt chunk (channels={channels}, "
+                    f"bits={bits}, rate={rate})")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)             # chunks are word-aligned

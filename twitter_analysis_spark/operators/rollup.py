@@ -124,9 +124,40 @@ def present(rolled: DataFrame) -> DataFrame:
     return out
 
 
+def prune_to_dates(src: DataFrame, grain: str, dates: list,
+                   partition_col: str) -> DataFrame:
+    """Constrain a date-partitioned source to the physical partitions
+    covering the listed grain buckets.
+
+    The refresh's ``ts``-bucket predicate is a *derived expression*, so
+    a date-partitioned Parquet layout cannot partition-prune from it —
+    the scan would still open every directory. This helper adds the
+    equivalent RANGE predicate on the physical partition column
+    (``[d, d+1day)`` for hour/day grain, ``[d, next month)`` for month
+    grain), which Catalyst turns into non-empty PartitionFilters —
+    the scan opens only the listed dates' directories. Assumes the
+    partition column equals ``to_date(ts)`` (boundary-exact for every
+    grain, since all three grains bucket within a calendar date).
+    """
+    from datetime import timedelta
+
+    _check_grain(grain)
+    pred = None
+    for dd in dates:
+        if grain == "month":
+            end = (dd.replace(day=28) + timedelta(days=4)).replace(day=1)
+        else:
+            end = dd + timedelta(days=1)
+        p = (F.col(partition_col) >= F.lit(dd)) & \
+            (F.col(partition_col) < F.lit(end))
+        pred = p if pred is None else (pred | p)
+    return src.where(pred)
+
+
 def refresh_rollup(spark: SparkSession, events: DataFrame, path: str,
                    grain: str = "hour",
-                   dates: list[str] | None = None) -> None:
+                   dates: list[str] | None = None,
+                   partition_col: str | None = None) -> None:
     """Materialize (or incrementally refresh) a rollup at ``path``,
     partitioned by ``grain_date``.
 
@@ -150,10 +181,11 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str,
 
     Scale note: the prune predicate is an expression over ``ts``, so a
     plain date-partitioned raw layout will NOT partition-prune from it
-    alone — at 100 TB, pass a source frame already filtered on the
-    physical partition column (e.g. ``events.where(col("event_date")
-    .isin(dates))``) and this function's ``ts``-bucket filter then
-    merely trims the boundary rows inside those partitions.
+    alone — at 100 TB, pass ``partition_col`` (the physical date
+    partition column, assumed equal to ``to_date(ts)``) and
+    ``prune_to_dates`` adds the range predicate that reaches the scan
+    as real PartitionFilters; the ``ts``-bucket filter then merely
+    re-trims rows inside those (already exact) partitions.
     """
     from datetime import date as _date
 
@@ -170,6 +202,8 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str,
                     "month-grain refresh dates must be month starts "
                     f"(YYYY-MM-01 grain_date partition values); got {d!r}")
             parsed.append(dd)
+        if partition_col is not None:
+            src = prune_to_dates(src, grain, parsed, partition_col)
         bucket_date = F.to_date(F.date_trunc(grain, F.col("ts")))
         src = src.where(bucket_date.isin(parsed))
     rolled = rollup(src, grain=grain)

@@ -572,3 +572,62 @@ def kmeans_fit(emb: DataFrame, nlist: int = 8, iters: int = 5,
                 new.append((cid, old))
         cents = new
     return cents
+
+
+def kmeans_fit_exact(emb: DataFrame, nlist: int = 8, iters: int = 1,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     scale: int = 1_000_000,
+                     ) -> list[tuple[int, list[float]]]:
+    """Bit-reproducible spherical k-means: Lloyd with QUANTIZED updates.
+
+    Same assign/update shape as ``kmeans_fit``, but the centroid update
+    is made order-independent so an external SQL engine can replay the
+    whole fit exactly (the seeded-codebook technique from ``pq_train``
+    iters=0, extended to a REAL training round):
+
+    - each vector's unit components are rounded to ``scale`` fixed-point
+      (``round(x/|x| * scale)`` as BIGINT) — the only lossy step, and a
+      deterministic one;
+    - the per-cell update is then an exact integer SUM (commutative →
+      partition-order independent, unlike float ``avg``), and the new
+      centroid is simply that integer sum vector: cosine assignment is
+      scale-invariant, so dividing by ``count*scale`` (the true mean)
+      or renormalizing would change nothing — skipping both removes
+      two cross-engine rounding seams;
+    - empty cells keep their previous centroid (seed raw vector).
+
+    Component sums stay exactly representable in doubles while
+    ``count_per_cell * scale < 2^53`` — ~9e9 vectors per cell at the
+    default scale, comfortably past 100 TB corpora; raise ``nlist`` or
+    lower ``scale`` beyond that.
+
+    Driver traffic per round is one bounded collect of nlist x dim
+    sums, identical to ``kmeans_fit``. The float-``avg`` trainer
+    remains the production default (slightly better centroids — no
+    quantization bias); this variant backs the cross-engine-checked
+    catalog row.
+    """
+    cents = ivf_centroids(emb, nlist, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        parts = (
+            assigned
+            .withColumn("_n", l2norm(F.col(vec_col)))
+            .select("cell", F.posexplode(
+                F.transform(F.col(vec_col),
+                            lambda x: F.round(x.cast("double") / F.col("_n")
+                                              * F.lit(float(scale)))
+                            .cast("long"))).alias("pos", "q"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("q").alias("s"))
+            .collect()  # bounded: nlist x dim rows
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in parts:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"]
+        cents = [
+            (cid, [float(by_cell[cid][p]) for p in sorted(by_cell[cid])])
+            if cid in by_cell else (cid, old)
+            for cid, old in cents
+        ]
+    return cents
