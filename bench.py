@@ -92,6 +92,11 @@ HEADLINE = [
     # BASELINE.md round-5 note); this row times the xxhash64 library
     # default so regressions on the REAL path stay visible.
     "dedup_minhash_lsh_xxhash64",
+    # ExactSubstr-style duplicated-span stats — round 6. The catalog
+    # row (raw-string join keys, the oracle twin) and the xxhash64
+    # production keying, same split rationale as minhash above.
+    "text_dup_spans",
+    "text_dup_spans_xxhash64",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md
@@ -119,7 +124,16 @@ def _extra_queries():
             n=3, num_hashes=32, bands=8, threshold=0.1,
             hash_fn="xxhash64")
 
-    return {"dedup_minhash_lsh_xxhash64": minhash_xxhash64}
+    def dup_spans_xxhash64(spark, sf_dir):
+        # same pipeline/parameters as catalog text_dup_spans, but the
+        # xxhash64 production join keys (8 bytes vs 8-word strings)
+        from twitter_analysis_spark.operators import curation as _cur
+        return _cur.duplicated_spans(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text",
+            window=8, use_hash_key=True)
+
+    return {"dedup_minhash_lsh_xxhash64": minhash_xxhash64,
+            "text_dup_spans_xxhash64": dup_spans_xxhash64}
 
 
 def main() -> None:
@@ -164,6 +178,9 @@ def main() -> None:
         # count() would prune the rollup's agg columns / the shuffle
         # order's window+join position arithmetic
         "ts_rollup_reagg", "corpus_shuffle_order",
+        # count() can eliminate the left join against the (unique-key)
+        # coverage aggregate and time a bare document count
+        "text_dup_spans", "text_dup_spans_xxhash64",
     }
 
     def run(name: str) -> None:

@@ -211,3 +211,52 @@ def test_chunk_text_windows(spark):
     # stride-aligned prefixes reconstruct the stream
     first = min(by_doc[0], key=lambda r: r["chunk_id"])
     assert first["chunk_text"].split()[:24] == [f"t{i}" for i in range(24)]
+
+
+def test_duplicated_spans_planted(spark):
+    """A 10-token span copied into another doc yields exactly 3
+    duplicated 8-windows whose merged coverage is 10 tokens; the
+    source occurrence (global first) is never flagged; docs shorter
+    than the window emit zeros."""
+    span = " ".join(f"w{i}" for i in range(10))          # 10 tokens
+    rows = [
+        (0, span + " tail0 tail1"),                       # first occurrence
+        (1, "lead0 lead1 " + span),                       # copy, offset 2
+        (2, "short doc"),                                 # n_tok < window
+        (3, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),             # unique, no dups
+    ]
+    out = {r["doc_id"]: r for r in
+           cur.duplicated_spans(_docs(spark, rows), "doc_id", "text",
+                                window=8).collect()}
+    assert out[0]["n_dup_windows"] == 0 and out[0]["n_dup_tokens"] == 0
+    # windows of the copy at starts 2,3,4 duplicate starts 0,1,2 of doc 0
+    assert out[1]["n_dup_windows"] == 3
+    # merged coverage: starts 2,3,4 with window 8 -> tokens [2, 12) = 10
+    assert out[1]["n_dup_tokens"] == 10
+    assert out[1]["dup_tok_ratio"] == round(10 / 12, 6)
+    assert out[2]["n_tok"] == 2 and out[2]["n_dup_tokens"] == 0
+    assert out[3]["n_dup_windows"] == 0
+
+
+def test_duplicated_spans_identical_docs(spark):
+    """An exact duplicate document is 100% covered; the first copy
+    (lowest doc_id) is untouched."""
+    text = " ".join(f"t{i}" for i in range(20))
+    out = {r["doc_id"]: r for r in
+           cur.duplicated_spans(_docs(spark, [(5, text), (9, text)]),
+                                "doc_id", "text", window=8).collect()}
+    assert out[5]["n_dup_tokens"] == 0
+    assert out[9]["n_dup_tokens"] == 20
+    assert out[9]["dup_tok_ratio"] == 1.0
+
+
+def test_duplicated_spans_hash_key_equivalent(spark, sf_dir):
+    """The xxhash64 production keying must produce identical stats to
+    raw-string keying on the real corpus (collisions are the only
+    divergence mode and must not occur here)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = cur.duplicated_spans(docs, "doc_id", "text", window=8,
+                             use_hash_key=True)
+    b = cur.duplicated_spans(docs, "doc_id", "text", window=8,
+                             use_hash_key=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -2046,6 +2046,54 @@ def text_unit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_dup_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 8 THEN
+               [{{'pos': i-1, 'win': array_to_string(tk[i:i+7], ' ')}}
+                for i in generate_series(1, len(tk) - 7)] ELSE [] END,
+               recursive := true)
+      FROM t),
+    fl AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY win
+                                      ORDER BY doc_id, pos) AS rn
+            FROM wins)
+      WHERE rn > 1),
+    cov AS (
+      SELECT doc_id, count(*) AS ndw,
+             sum(CASE WHEN nxt IS NULL THEN 8
+                      ELSE least(8, nxt - pos) END) AS ndt
+      FROM (SELECT doc_id, pos,
+                   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM fl)
+      GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+           CAST(COALESCE(ndw, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(ndt, 0) AS BIGINT) AS n_dup_tokens,
+           round(COALESCE(ndt, 0)::DOUBLE / len(tk), 6) AS dup_tok_ratio
+    FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ExactSubstr-style duplicated-span statistics (Lee et al. 2021;
+    # curation.duplicated_spans): stride-1 8-token windows, global
+    # first-occurrence flagging via the skew-safe min(struct)
+    # aggregate, merged-coverage token counts per document. The
+    # catalog variant joins on RAW window strings so the oracle
+    # replays the whole pipeline (the oracle's row_number formulation
+    # is flag-equivalent to min(struct) and fine at oracle scale); the
+    # engine default hashes keys to xxhash64 — 8-byte shuffle keys
+    # instead of 8-word strings — benched as text_dup_spans_xxhash64.
+    return _cur.duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        window=8, use_hash_key=False)
+
+
+@register(
     "c13_json_extract",
     """
     SELECT event_type,

@@ -265,3 +265,88 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str = "text",
             .alias("chunk_text"),
         )
     )
+
+
+def duplicated_spans(df: DataFrame, id_col: str, text_col: str = "text",
+                     window: int = 8, use_hash_key: bool = True) -> DataFrame:
+    """ExactSubstr-style duplicated-span statistics (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): flag
+    every fixed-length token window whose exact text occurs earlier in
+    the corpus (earlier = lower (doc, pos)), and report, per document,
+    how many tokens sit inside at least one such duplicated window —
+    the span mass an ExactSubstr cut pass would remove.
+
+    The paper builds a corpus-wide suffix array, which has no
+    distributed analogue; stride-1 windows of length ``window`` are
+    the Spark-natural approximation. It is EXACT for the question
+    "which maximal duplicated substrings of >= window tokens exist"
+    (any such substring is a run of duplicated windows, and the merged
+    coverage arithmetic below reconstructs the run's length); shorter
+    duplicates are deliberately ignored, matching the paper's
+    min-match-length knob.
+
+    Output: (id, n_tok, n_dup_windows, n_dup_tokens, dup_tok_ratio).
+
+    Scale shape, stage by stage:
+    - windows: map-only explode, fan-out = tokens per doc (identical
+      to chunk_text at stride 1) — no shuffle;
+    - first-occurrence: the min(struct(doc,pos)) AGGREGATE keyed by
+      window (the unit_dedup_stats shape) — map-side partials collapse
+      a 10^8-copy boilerplate window to one row per upstream
+      partition, where a row_number window would sort all copies on
+      one key. The flag join back reuses the partitioning Catalyst
+      just produced (exchange reuse), and fan-out per hot key is
+      occurrences x 1 (firsts is unique per key) — never d^2;
+    - coverage: merged-interval LENGTH without materializing
+      intervals: for dup window starts sorted per doc, each start
+      covers min(window, next_start - start) new tokens (the last
+      covers window). One lead() window partitioned BY DOC — the
+      natural parallel key, no skew.
+
+    ``use_hash_key=True`` (production) joins on xxhash64 of the window
+    text — fixed 8-byte shuffle keys instead of ~window-word strings,
+    the difference between shuffling 2x the corpus and ~1/8 of it at
+    100 TB. False keeps raw-string keys (what the cross-engine DuckDB
+    oracle replays; a 64-bit collision could at worst overcount one
+    window as duplicated).
+    """
+    toked = df.select(F.col(id_col).alias("_doc"),
+                      tokens(F.col(text_col)).alias("_tk"))
+    n = F.size("_tk")
+    wins = (
+        toked.where(n >= window)
+        .select("_doc", F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - window),
+                lambda s: F.array_join(
+                    F.slice("_tk", s + 1, window), " "))).alias("_pos", "_win"))
+    )
+    key = F.xxhash64("_win") if use_hash_key else F.col("_win")
+    wins = wins.select("_doc", "_pos", key.alias("_key"))
+    firsts = wins.groupBy("_key").agg(
+        F.min(F.struct(F.col("_doc"), F.col("_pos"))).alias("_first"))
+    flagged = (
+        wins.join(firsts, "_key")
+        .where((F.col("_first._doc") != F.col("_doc"))
+               | (F.col("_first._pos") != F.col("_pos")))
+        .select("_doc", F.col("_pos").alias("_s"))
+    )
+    nxt = F.lead("_s").over(Window.partitionBy("_doc").orderBy("_s"))
+    cov = (
+        flagged.withColumn(
+            "_c", F.when(nxt.isNull(), F.lit(window))
+                   .otherwise(F.least(F.lit(window), nxt - F.col("_s"))))
+        .groupBy("_doc")
+        .agg(F.count(F.lit(1)).alias("_ndw"), F.sum("_c").alias("_ndt"))
+    )
+    return (
+        toked.select("_doc", n.alias("_n")).join(cov, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("_n").cast("bigint").alias("n_tok"),
+            F.coalesce("_ndw", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.coalesce("_ndt", F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+            F.round(F.coalesce("_ndt", F.lit(0)).cast("double")
+                    / F.col("_n").cast("double"), 6).alias("dup_tok_ratio"),
+        )
+    )
