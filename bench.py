@@ -97,6 +97,9 @@ HEADLINE = [
     # production keying, same split rationale as minhash above.
     "text_dup_spans",
     "text_dup_spans_xxhash64",
+    # unigram-LM cross-entropy quality score + vocab coverage — round 6
+    "text_unigram_xent",
+    "text_vocab_coverage",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md
@@ -181,6 +184,9 @@ def main() -> None:
         # count() can eliminate the left join against the (unique-key)
         # coverage aggregate and time a bare document count
         "text_dup_spans", "text_dup_spans_xxhash64",
+        # count() would prune the unused -ln aggregate / running-sum
+        # window and time bare group counts
+        "text_unigram_xent", "text_vocab_coverage",
     }
 
     def run(name: str) -> None:

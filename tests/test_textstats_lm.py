@@ -1,0 +1,69 @@
+"""Planted-fixture tests for the unigram-LM quality score and the
+vocabulary-coverage table (operators/textstats.py)."""
+
+from __future__ import annotations
+
+import math
+
+from twitter_analysis_spark.operators import textstats as ts
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_unigram_xent_hand_math(spark):
+    """counts a:2 b:2 c:1 -> N=5 V=3 denom=9; Laplace probabilities
+    are (c+1)/9 and xent is the mean -ln."""
+    df = _docs(spark, [(0, "a a b"), (1, "b c")])
+    out = {r["doc_id"]: r for r in
+           ts.unigram_lm_xent(df, "doc_id", "text").collect()}
+    assert out[0]["n_tok"] == 3 and out[0]["n_oov"] == 0
+    assert out[0]["xent"] == round(math.log(3.0), 6)
+    want1 = round((-math.log(3 / 9) - math.log(2 / 9)) / 2, 6)
+    assert out[1]["xent"] == want1
+
+
+def test_unigram_xent_oov_mass(spark):
+    """Scoring against a model trained elsewhere: unseen tokens are
+    counted as OOV and take the reserved 1/(N+V+1) probability."""
+    model = ts.unigram_counts(_docs(spark, [(0, "a a b"), (1, "b c")]))
+    out = ts.unigram_lm_xent(_docs(spark, [(7, "a z")]), "doc_id", "text",
+                             model=model).collect()[0]
+    assert out["n_oov"] == 1
+    want = round((-math.log(3 / 9) - math.log(1 / 9)) / 2, 6)
+    assert out["xent"] == want
+
+
+def test_unigram_xent_surprise_ordering(spark, sf_dir):
+    """A doc made of the corpus' most common tokens must score lower
+    (less surprising) than a doc of rare tokens — the property the
+    quality filter relies on."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = ts.unigram_counts(docs)
+    vocab = ts.vocab_topk(docs, k=5).collect()
+    common = " ".join(r["tok"] for r in vocab)
+    probe = _docs(spark, [(1, common), (2, "zq1 zq2 zq3 zq4 zq5")])
+    out = {r["doc_id"]: r["xent"] for r in
+           ts.unigram_lm_xent(probe, "doc_id", "text", model=model).collect()}
+    assert out[1] < out[2]
+
+
+def test_vocab_topk_coverage(spark):
+    df = _docs(spark, [(0, "a a a b b c")])
+    rows = ts.vocab_topk(df, k=2).collect()
+    assert [(r["rank"], r["tok"], r["c"]) for r in rows] == \
+        [(1, "a", 3), (2, "b", 2)]
+    assert rows[0]["coverage"] == 0.5
+    assert rows[1]["coverage"] == round(5 / 6, 6)
+
+
+def test_vocab_topk_monotone(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = ts.vocab_topk(docs, k=50).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    covs = [r["coverage"] for r in rows]
+    assert all(a <= b for a, b in zip(covs, covs[1:]))
+    assert covs[-1] <= 1.0
+    cs = [r["c"] for r in rows]
+    assert all(a >= b for a, b in zip(cs, cs[1:]))

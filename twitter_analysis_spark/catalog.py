@@ -2094,6 +2094,58 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_xent",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    m AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    st AS (SELECT sum(c) AS n, count(*) AS v FROM m)
+    SELECT doc_id,
+           count(*) AS n_tok,
+           CAST(0 AS BIGINT) AS n_oov,
+           round(sum(-ln((c + 1)::DOUBLE / (n + v + 1)::DOUBLE))
+                 / count(*), 6) AS xent
+    FROM toks JOIN m USING (tok), st
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet/KenLM-style perplexity quality filter at unigram order
+    # (textstats.unigram_lm_xent): per-document cross-entropy under a
+    # Laplace-smoothed global unigram LM, self-trained on the corpus
+    # (so n_oov = 0 here; the held-out-model path with real OOV mass
+    # is covered by planted-fixture tests). Both engines compute
+    # -ln((c+1)/(N+V+1)) in the same expression shape; the per-doc sum
+    # is rounded at 1e-6, far above ln's cross-libm ulp noise.
+    docs = _t(spark, sf_dir, "documents")
+    return _ts.unigram_lm_xent(docs, "doc_id", "text")
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    m AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS t FROM m),
+    top AS (SELECT tok, c FROM m ORDER BY c DESC, tok LIMIT 100)
+    SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS rank,
+           tok, c,
+           round(CAST(sum(c) OVER (ORDER BY c DESC, tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / t::DOUBLE, 6) AS coverage
+    FROM top, tot
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer-prep vocabulary table (textstats.vocab_topk): top-100
+    # tokens by corpus frequency with cumulative coverage fraction.
+    # The ordered window runs AFTER the top-k cut (the q11 pattern —
+    # global windows are fine on provably tiny inputs); ties break by
+    # token so both engines produce one canonical ranking.
+    docs = _t(spark, sf_dir, "documents")
+    return _ts.vocab_topk(docs, k=100, text_col="text")
+
+
+@register(
     "c13_json_extract",
     """
     SELECT event_type,

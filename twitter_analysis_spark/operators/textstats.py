@@ -142,3 +142,97 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str,
         "md5_fp",
         F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_fp"),
     )
+
+
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram model: (tok, c) counts over the whitespace
+    tokenizer. One shuffle keyed by token with map-side partial
+    aggregation — hot tokens ('the') collapse to one row per upstream
+    partition before the exchange, so token skew never concentrates
+    raw occurrences on a reducer."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def unigram_lm_xent(df: DataFrame, id_col: str, text_col: str = "text",
+                    model: DataFrame | None = None) -> DataFrame:
+    """Per-document cross-entropy under a Laplace-smoothed unigram LM
+    — the CCNet/KenLM-style perplexity quality filter, reduced to the
+    model order that needs no external artifact: documents of
+    boilerplate-typical tokens score low (likely), lexically odd
+    documents score high (surprising), and the score is comparable
+    across shards because the model is global.
+
+    p(t) = (c_t + 1) / (N + V + 1); unseen tokens (scoring against a
+    ``model`` trained elsewhere) take the reserved c=0 mass
+    1 / (N + V + 1). Output: (id, n_tok, n_oov, xent) with
+    xent = round(mean -ln p, 6) (nats/token; perplexity = e^xent).
+
+    Scale shape: training is ``unigram_counts`` (one partial-agg
+    shuffle); (N, V) is a one-row aggregate broadcast-crossed onto the
+    token stream (never a driver collect); scoring joins occurrences
+    to the model on token — fan-out per hot token is occurrences x 1
+    (the model is unique per token), then one partial-agg shuffle by
+    doc id. Three shuffles total, none skew-prone. The per-doc ln-sum
+    is float addition whose order Spark doesn't pin, but addends are
+    O(10) nats and the rounding at 1e-6 absorbs reassociation noise of
+    ~1e-13 — the t8_moving_avg argument.
+    """
+    m = model if model is not None else unigram_counts(df, text_col)
+    stats = m.agg(F.sum("c").alias("_N"),
+                  F.count(F.lit(1)).alias("_V"))
+    occ = df.select(F.col(id_col).alias("_doc"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+    denom = (F.col("_N") + F.col("_V") + 1).cast("double")
+    scored = (
+        occ.join(m, "tok", "left")
+        .join(F.broadcast(stats))
+        .select(
+            "_doc",
+            F.col("c").isNull().cast("int").alias("_oov"),
+            (-F.log((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / denom)).alias("_nll"),
+        )
+    )
+    return (
+        scored.groupBy("_doc")
+        .agg(F.count(F.lit(1)).alias("n_tok"),
+             F.sum("_oov").cast("bigint").alias("n_oov"),
+             F.round(F.sum("_nll") / F.count(F.lit(1)), 6).alias("xent"))
+        .select(F.col("_doc").alias(id_col), "n_tok", "n_oov", "xent")
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """Top-k vocabulary with cumulative corpus coverage — the
+    tokenizer-training prep table ("how many tokens does a k-entry
+    vocab cover?"). Output: (rank, tok, c, coverage) where coverage =
+    cumulative c / total corpus tokens, rounded to 6.
+
+    Ordered rank and running sum run AFTER a top-k cut
+    (TakeOrderedAndProject on the aggregated counts), so the
+    single-partition window touches k rows, not the vocabulary — the
+    q11 pattern: a global window is fine when its input is provably
+    tiny. Ties broken by token for cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    counts = unigram_counts(df, text_col)
+    total = counts.agg(F.sum("c").alias("_T"))
+    top = (counts.orderBy(F.desc("c"), F.asc("tok")).limit(k))
+    w = (Window.orderBy(F.desc("c"), F.asc("tok"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("tok"))).alias("rank"),
+            "tok", "c",
+            F.round(F.sum("c").over(w).cast("double")
+                    / F.col("_T").cast("double"), 6).alias("coverage"),
+        )
+    )
