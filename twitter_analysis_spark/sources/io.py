@@ -88,3 +88,85 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema,
+               mode: str = "PERMISSIVE",
+               corrupt_col: str | None = "_corrupt_record") -> DataFrame:
+    """JSON-lines scan with an EXPLICIT schema (S1 generalized beyond
+    the tweet layout of sources/tweets_raw.py).
+
+    The schema argument is mandatory by design: without it Spark runs
+    a whole-extra inference pass over the data — at 100 TB that is a
+    second full scan before the first real job starts. PERMISSIVE +
+    a corrupt-record column keeps one malformed line from failing a
+    2000-task stage; callers split the frame on ``corrupt_col IS
+    NULL`` and quarantine the rest (the tweets_raw.py pattern).
+    """
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+        schema = _parse_datatype_string(schema)
+    if corrupt_col and corrupt_col not in schema.fieldNames():
+        schema = StructType(list(schema.fields)
+                            + [StructField(corrupt_col, StringType(), True)])
+    reader = spark.read.schema(schema).option("mode", mode)
+    if corrupt_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                compression: str | None = None,
+                partition_by: list[str] | None = None) -> None:
+    """JSON-lines sink — the interchange format for nested/array
+    columns (embeddings, entities) that CSV cannot carry.
+
+    ``compression`` defaults to None: gzip output is NOT splittable,
+    so one 10 GB .json.gz file becomes one map task on re-read — at
+    scale prefer uncompressed-but-partitioned output, or a splittable
+    columnar format (write_parquet) when the consumer speaks it.
+    """
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema,
+             header: bool = True, mode: str = "PERMISSIVE",
+             corrupt_col: str | None = "_corrupt_record",
+             **options) -> DataFrame:
+    """CSV scan with an explicit schema (same no-inference-pass and
+    quarantine arguments as ``read_jsonl``; flat columns only)."""
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+        schema = _parse_datatype_string(schema)
+    if corrupt_col and corrupt_col not in schema.fieldNames():
+        schema = StructType(list(schema.fields)
+                            + [StructField(corrupt_col, StringType(), True)])
+    reader = (spark.read.schema(schema)
+              .option("header", str(header).lower())
+              .option("mode", mode))
+    if corrupt_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True,
+              mode: str = "overwrite", compression: str | None = None,
+              partition_by: list[str] | None = None) -> None:
+    """CSV sink for flat exports (compression caveat as write_jsonl)."""
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)
