@@ -100,6 +100,8 @@ HEADLINE = [
     # unigram-LM cross-entropy quality score + vocab coverage — round 6
     "text_unigram_xent",
     "text_vocab_coverage",
+    # keep-best-per-cluster canonical selection — round 6
+    "dedup_canonical",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -376,3 +376,22 @@ def test_kmeans_fit_monotone_objective(spark, sf_dir):
     for _, v in cents:
         assert abs(sum(x * x for x in v) - 1.0) < 1e-6
     assert sim.ivf_assign(emb, cents).count() == emb.count()
+
+
+def test_canonicalize_planted(spark):
+    """Cluster {1,2,3} keeps its highest-quality member; quality tie
+    in cluster {10,11} breaks to the lowest id; singleton 20 keeps."""
+    from twitter_analysis_spark.operators.dedup import canonicalize
+
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.7), (20, 0.1)],
+        "doc_id LONG, quality_score DOUBLE")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 LONG, id2 LONG")
+    out = {r["doc_id"]: r for r in canonicalize(scored, pairs).collect()}
+    assert [out[i]["cluster"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert all(out[i]["canonical_id"] == 2 for i in (1, 2, 3))
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    assert out[10]["canonical_id"] == 10 and out[10]["keep"]
+    assert not out[11]["keep"]
+    assert out[20]["cluster"] == 20 and out[20]["keep"]

@@ -2570,6 +2570,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("node").alias("doc"), "cluster"))
 
 
+def _canonical_oracle() -> str:
+    clusters = ORACLES["dedup_clusters"].strip()
+    feat = ORACLES["text_quality_features"].strip()
+    return f"""
+    WITH cl AS ({clusters}),
+    q AS (SELECT doc_id, quality_score FROM ({feat})),
+    lab AS (
+      SELECT q.doc_id, COALESCE(cl.cluster, q.doc_id) AS cluster,
+             quality_score
+      FROM q LEFT JOIN cl ON cl.doc = q.doc_id),
+    best AS (
+      SELECT cluster, doc_id AS canonical_id
+      FROM (SELECT cluster, doc_id,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY quality_score DESC,
+                                               doc_id) AS rn
+            FROM lab)
+      WHERE rn = 1)
+    SELECT l.doc_id, CAST(l.cluster AS BIGINT) AS cluster,
+           CAST(b.canonical_id AS BIGINT) AS canonical_id,
+           l.doc_id = b.canonical_id AS keep
+    FROM lab l JOIN best b USING (cluster)
+    """
+
+
+@register("dedup_canonical", _canonical_oracle())
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keep-one-per-cluster selection (operators/dedup.py:canonicalize):
+    # near-dup clusters (same pairs/threshold as dedup_clusters) keep
+    # their HIGHEST-QUALITY member (quality_features blend, ties to
+    # the lowest doc_id), everything else is marked for dropping —
+    # the decision layer between pairwise dedup output and an actual
+    # smaller corpus. The canonical pick is a max(struct) aggregate,
+    # not a rank window, so a mega-cluster collapses map-side (the
+    # unit_dedup_stats argument); the oracle recomputes clusters
+    # (recursive CTE), quality, and the argmax with the identical
+    # tie-break.
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                       n=3, threshold=0.1)
+    scored = _ts.quality_features(docs.select("doc_id", "text"))
+    return _dedup.canonicalize(scored, pairs)
+
+
 @register(
     "corpus_split_assign",
     """

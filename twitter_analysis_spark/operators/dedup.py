@@ -701,3 +701,45 @@ def keep_one_per_cluster(df: DataFrame, pairs: DataFrame,
                .where(F.col("node") != F.col("cluster"))
                .select(F.col("node").alias(id_col)))
     return df.join(victims, id_col, "left_anti")
+
+
+def canonicalize(scored: DataFrame, pairs: DataFrame,
+                 id_col: str = "doc_id",
+                 quality_col: str = "quality_score") -> DataFrame:
+    """Keep-one-per-cluster decisions: given per-document quality
+    scores and near-duplicate pairs, pick each duplicate cluster's
+    CANONICAL document (highest quality, ties to the lowest id) and
+    mark every other member for dropping — the selection step that
+    turns pairwise dedup output into an actual smaller corpus while
+    keeping the best copy rather than an arbitrary one.
+
+    Output: (id, cluster, canonical_id, keep). Documents in no pair
+    are their own singleton cluster and always kept.
+
+    Scale shape: clusters come from ``connected_components`` (join +
+    partial-agg rounds, diameter-bounded); the canonical choice is ONE
+    max(struct(quality, -id)) aggregate per cluster — map-side partials
+    collapse a mega-cluster to one row per upstream partition, where a
+    rank-window would sort the whole cluster on one key — and the
+    decision join back on cluster fans out members x 1.
+    """
+    cc = connected_components(pairs)
+    q = scored.select(F.col(id_col).alias("_id"),
+                      F.col(quality_col).alias("_q"))
+    labeled = (
+        q.join(cc, q["_id"] == cc["node"], "left")
+        .select("_id", "_q",
+                F.coalesce(F.col("cluster"), F.col("_id")).alias("cluster"))
+    )
+    best = labeled.groupBy("cluster").agg(
+        F.max(F.struct(F.col("_q").alias("q"),
+                       (-F.col("_id")).alias("neg_id"))).alias("_b"))
+    return (
+        labeled.join(best, "cluster")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cluster").cast("bigint").alias("cluster"),
+            (-F.col("_b.neg_id")).cast("bigint").alias("canonical_id"),
+            (F.col("_id") == -F.col("_b.neg_id")).alias("keep"),
+        )
+    )
