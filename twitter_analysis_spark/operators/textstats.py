@@ -180,8 +180,16 @@ def unigram_lm_xent(df: DataFrame, id_col: str, text_col: str = "text",
     is float addition whose order Spark doesn't pin, but addends are
     O(10) nats and the rounding at 1e-6 absorbs reassociation noise of
     ~1e-13 — the t8_moving_avg argument.
+
+    A self-trained model is persisted: it feeds BOTH the (N, V)
+    scalar and the scoring join, and without the persist the static
+    plan re-aggregates the whole corpus twice (AQE stage reuse would
+    usually dedupe the identical exchanges at runtime, but one
+    ``.persist()`` makes single-computation a guarantee instead of an
+    optimizer outcome). A caller-supplied ``model`` is left untouched
+    — its lifecycle belongs to the caller.
     """
-    m = model if model is not None else unigram_counts(df, text_col)
+    m = model if model is not None else unigram_counts(df, text_col).persist()
     stats = m.agg(F.sum("c").alias("_N"),
                   F.count(F.lit(1)).alias("_V"))
     occ = df.select(F.col(id_col).alias("_doc"),
@@ -217,11 +225,14 @@ def vocab_topk(df: DataFrame, k: int = 100,
     (TakeOrderedAndProject on the aggregated counts), so the
     single-partition window touches k rows, not the vocabulary — the
     q11 pattern: a global window is fine when its input is provably
-    tiny. Ties broken by token for cross-engine determinism.
+    tiny. Ties broken by token for cross-engine determinism. The
+    counts feed both the top-k cut and the total; persisting them
+    guarantees one corpus aggregation (same argument as
+    unigram_lm_xent).
     """
     from pyspark.sql import Window
 
-    counts = unigram_counts(df, text_col)
+    counts = unigram_counts(df, text_col).persist()
     total = counts.agg(F.sum("c").alias("_T"))
     top = (counts.orderBy(F.desc("c"), F.asc("tok")).limit(k))
     w = (Window.orderBy(F.desc("c"), F.asc("tok"))
