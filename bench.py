@@ -102,6 +102,8 @@ HEADLINE = [
     "text_vocab_coverage",
     # keep-best-per-cluster canonical selection — round 6
     "dedup_canonical",
+    # batch-vs-corpus incremental exact dedup — round 6
+    "dedup_incremental",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -395,3 +395,52 @@ def test_canonicalize_planted(spark):
     assert out[10]["canonical_id"] == 10 and out[10]["keep"]
     assert not out[11]["keep"]
     assert out[20]["cluster"] == 20 and out[20]["keep"]
+
+
+def test_incremental_exact_dedup_planted(spark):
+    """Corpus holds 'x'; batch has a corpus dup (→ corpus holder), an
+    in-batch dup pair (first wins), and a genuinely new doc; xxhash64
+    and md5 keyings classify identically."""
+    from twitter_analysis_spark.operators.dedup import (
+        content_index, incremental_exact_dedup)
+
+    corpus = spark.createDataFrame([(2, "x"), (4, "y")],
+                                   "doc_id LONG, text STRING")
+    batch = spark.createDataFrame(
+        [(11, "x"), (13, "z"), (15, "z"), (17, "w")],
+        "doc_id LONG, text STRING")
+    for fn in ("xxhash64", "md5", "text"):
+        idx = content_index(corpus, "doc_id", "text", hash_fn=fn)
+        out = {r["doc_id"]: r for r in
+               incremental_exact_dedup(batch, idx, "doc_id", "text",
+                                       hash_fn=fn).collect()}
+        assert (out[11]["status"], out[11]["dup_of"]) == ("dup_of_corpus", 2)
+        assert (out[13]["status"], out[13]["dup_of"]) == ("new", None)
+        assert (out[15]["status"], out[15]["dup_of"]) == ("dup_in_batch", 13)
+        assert (out[17]["status"], out[17]["dup_of"]) == ("new", None)
+
+
+def test_incremental_dedup_index_merge_roundtrip(spark):
+    """Appending the batch's 'new' rows and re-indexing equals
+    indexing the concatenated corpus — the invariant that lets the
+    index be maintained incrementally forever."""
+    from twitter_analysis_spark.operators.dedup import (
+        content_index, incremental_exact_dedup)
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame([(2, "x"), (4, "y")],
+                                   "doc_id LONG, text STRING")
+    batch = spark.createDataFrame(
+        [(11, "x"), (13, "z"), (15, "z")], "doc_id LONG, text STRING")
+    idx = content_index(corpus, "doc_id", "text", hash_fn="md5")
+    res = incremental_exact_dedup(batch, idx, "doc_id", "text",
+                                  hash_fn="md5")
+    new_ids = [r["doc_id"] for r in res.where(F.col("status") == "new")
+               .collect()]
+    appended = corpus.unionByName(
+        batch.where(F.col("doc_id").isin(new_ids)))
+    merged = content_index(appended, "doc_id", "text", hash_fn="md5")
+    full = content_index(corpus.unionByName(batch), "doc_id", "text",
+                         hash_fn="md5")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))

@@ -783,6 +783,44 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental",
+    """
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    idx AS (SELECT md5(text) AS k, min(doc_id) AS holder
+            FROM corpus GROUP BY md5(text)),
+    bm AS (SELECT md5(text) AS k, min(doc_id) AS bf
+           FROM batch GROUP BY md5(text))
+    SELECT b.doc_id,
+           CASE WHEN idx.holder IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id <> bm.bf THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           CAST(CASE WHEN idx.holder IS NOT NULL THEN idx.holder
+                     WHEN b.doc_id <> bm.bf THEN bm.bf END
+                AS BIGINT) AS dup_of
+    FROM batch b
+    JOIN bm ON md5(b.text) = bm.k
+    LEFT JOIN idx ON md5(b.text) = idx.k
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Daily-ingest dedup (operators/dedup.py:incremental_exact_dedup):
+    # a new BATCH (odd doc_ids stand in for today's drop) is deduped
+    # against the existing corpus' content index (even doc_ids) —
+    # corpus-side work is ONLY the pre-materialized index; everything
+    # else scales with the batch. The catalog variant keys on md5 so
+    # the oracle replays index build, batch-winner selection, and
+    # status classification; the engine default is xxhash64 (8-byte
+    # keys), pinned equivalent by tests.
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    idx = _dedup.content_index(corpus, "doc_id", "text", hash_fn="md5")
+    return _dedup.incremental_exact_dedup(batch, idx, "doc_id", "text",
+                                          hash_fn="md5")
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH toks AS (

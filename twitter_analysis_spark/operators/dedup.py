@@ -743,3 +743,73 @@ def canonicalize(scored: DataFrame, pairs: DataFrame,
             (F.col("_id") == -F.col("_b.neg_id")).alias("keep"),
         )
     )
+
+
+def content_index(df: DataFrame, id_col: str,
+                  text_col: str = "text",
+                  hash_fn: str = "xxhash64") -> DataFrame:
+    """Exact-content index for incremental dedup: one (key, id) row
+    per distinct content, id = lowest holder. ``hash_fn``:
+    "xxhash64" (production, 8-byte keys) or "md5" / "text"
+    (cross-engine-replayable). Stored partitioned/bucketed by key at
+    scale so batch probes co-locate."""
+    if hash_fn == "xxhash64":
+        key = F.xxhash64(F.col(text_col))
+    elif hash_fn == "md5":
+        key = F.md5(F.col(text_col))
+    else:
+        key = F.col(text_col)
+    return (df.select(key.alias("content_key"),
+                      F.col(id_col).alias("holder_id"))
+            .groupBy("content_key")
+            .agg(F.min("holder_id").alias("holder_id")))
+
+
+def incremental_exact_dedup(batch: DataFrame, index: DataFrame,
+                            id_col: str, text_col: str = "text",
+                            hash_fn: str = "xxhash64") -> DataFrame:
+    """Dedup an ingest BATCH against an existing corpus index without
+    touching the corpus — the daily-ingestion pattern: the 100 TB
+    corpus contributes only its (already materialized) content index,
+    and all heavy work is proportional to the batch.
+
+    Output, one row per batch document:
+    (id, status, dup_of) with status ∈ {'new', 'dup_of_corpus',
+    'dup_in_batch'}; 'new' rows are what gets appended to the corpus
+    (and their keys merged into the index, min-holder semantics).
+    Within the batch, the lowest id of an unseen content is 'new' and
+    later copies are 'dup_in_batch' pointing at it; content already
+    in the index is 'dup_of_corpus' pointing at the corpus holder.
+
+    Scale shape: one batch-keyed min(struct) aggregate (winner per
+    content) + one LEFT join of batch keys against the index — which
+    at scale is bucket-pruned (index bucketed by content_key) or a
+    broadcast of the BATCH side (a day's ingest is far smaller than
+    the corpus; Catalyst/AQE picks it from sizes — no forced hint, the
+    index side scales with the corpus).
+    """
+    if hash_fn == "xxhash64":
+        key = F.xxhash64(F.col(text_col))
+    elif hash_fn == "md5":
+        key = F.md5(F.col(text_col))
+    else:
+        key = F.col(text_col)
+    keyed = batch.select(F.col(id_col).alias("_id"),
+                         key.alias("content_key"))
+    batch_min = keyed.groupBy("content_key").agg(
+        F.min("_id").alias("_batch_first"))
+    return (
+        keyed.join(batch_min, "content_key")
+        .join(index, "content_key", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("holder_id").isNotNull(), F.lit("dup_of_corpus"))
+             .when(F.col("_id") != F.col("_batch_first"),
+                   F.lit("dup_in_batch"))
+             .otherwise(F.lit("new")).alias("status"),
+            F.when(F.col("holder_id").isNotNull(), F.col("holder_id"))
+             .when(F.col("_id") != F.col("_batch_first"),
+                   F.col("_batch_first"))
+             .cast("bigint").alias("dup_of"),
+        )
+    )
