@@ -88,6 +88,24 @@ def main() -> None:
     ev_drop = _prep_event_drop(spark, root)
     tw_drop = _prep_tweet_drop(root)
 
+    from twitter_analysis_spark.sources.io import load_table
+    doc_drop = os.path.join(root, "docs_drop")
+    (load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+     .coalesce(N_DROP_FILES).write.mode("overwrite").json(doc_drop))
+
+    def ingest_run(tag: str) -> None:
+        # fresh corpus/index/checkpoint per run: each drain ingests the
+        # whole drop against an initially-empty index
+        from twitter_analysis_spark.streaming.ingest import (
+            streaming_ingest_dedup,
+        )
+        base = os.path.join(root, f"ingest_{tag}")
+        streaming_ingest_dedup(
+            spark, doc_drop,
+            corpus_path=os.path.join(base, "corpus"),
+            index_path=os.path.join(base, "index"),
+            checkpoint=os.path.join(base, "ckpt"))
+
     def drain(df, name: str, mode: str) -> None:
         q = (df.writeStream.format("memory").queryName(name)
              .outputMode(mode).trigger(availableNow=True).start())
@@ -110,6 +128,9 @@ def main() -> None:
             SS.streaming_dedup(SS.read_event_stream(spark, ev_drop),
                                watermark="1 hour"),
             f"dedup_{tag}", "append"),
+        # deduplicating ingestion: drop -> corpus append + content
+        # index maintenance inside foreachBatch (streaming/ingest.py)
+        "stream_ingest_dedup": ingest_run,
     }
 
     timings: dict[str, float] = {}

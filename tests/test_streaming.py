@@ -250,3 +250,52 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     assert truth, "fixture produced no view->click pairs"
     assert got == truth
     q.stop()
+
+
+def test_streaming_ingest_dedup(spark, tmp_path):
+    """Two drained drops: duplicates within a drop, across drops, and
+    against the growing corpus are all suppressed; the final corpus +
+    index equal a from-scratch batch build over the unique texts."""
+    import json
+    import os
+
+    from twitter_analysis_spark.streaming.ingest import streaming_ingest_dedup
+    from twitter_analysis_spark.operators.dedup import content_index
+
+    drop = tmp_path / "ingest_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "ingest_corpus")
+    index = str(tmp_path / "ingest_index")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    write_drop("d1.json", [(1, "alpha"), (2, "alpha"), (3, "beta")])
+    streaming_ingest_dedup(spark, str(drop), corpus, index,
+                           checkpoint=str(tmp_path / "ckpt"))
+    got1 = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1: "alpha", 3: "beta"}
+
+    # second drop: dup-of-corpus (alpha), new (gamma), in-drop dup pair
+    write_drop("d2.json", [(10, "alpha"), (11, "gamma"), (12, "gamma")])
+    streaming_ingest_dedup(spark, str(drop), corpus, index,
+                           checkpoint=str(tmp_path / "ckpt"))
+    got2 = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1: "alpha", 3: "beta", 11: "gamma"}
+
+    # index equals a from-scratch build over the final corpus
+    built = content_index(spark.read.parquet(corpus), "doc_id", "text")
+    assert sorted(map(tuple, spark.read.parquet(index).collect())) == \
+        sorted(map(tuple, built.collect()))
+
+    # crash-recovery guard: marker files exist, re-drain is a no-op
+    markers = os.listdir(str(tmp_path / "ckpt" / "__ingest_batches"))
+    assert markers
+    streaming_ingest_dedup(spark, str(drop), corpus, index,
+                           checkpoint=str(tmp_path / "ckpt"))
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == \
+        {1, 3, 11}
