@@ -323,3 +323,48 @@ def test_q20_nested_in_decorrelates(spark, sf_dir):
     assert "StartsWith(p_name,small)" in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_dup_spans_no_cartesian_window_keyed_by_doc(spark, sf_dir):
+    """Duplicated-span stats: the first-occurrence flag must stay a
+    key-equi join (never a cartesian), its aggregate must combine
+    map-side, and the coverage window must be partitioned by doc."""
+    plan = plan_of(spark, sf_dir, "text_dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan            # min(struct) partial agg
+    assert "windowspecdefinition(_doc" in plan
+
+
+def test_unigram_xent_model_cached_once(spark, sf_dir):
+    """The self-trained unigram model is persisted: the scoring join
+    and the (N,V) scalar both read InMemoryRelation, so the corpus is
+    token-aggregated exactly once at any scale."""
+    plan = plan_of(spark, sf_dir, "text_unigram_xent")
+    assert "InMemoryTableScan" in plan
+    assert "partial_count" in plan
+
+
+def test_vocab_window_after_topk_cut(spark, sf_dir):
+    """The coverage window runs on the k-row TakeOrderedAndProject
+    output, never on the full vocabulary."""
+    plan = plan_of(spark, sf_dir, "text_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    i_topk = plan.index("TakeOrderedAndProject")
+    i_win = plan.index("Window")
+    assert i_win < i_topk               # window is downstream (printed above)
+
+
+def test_canonical_pick_is_aggregate_not_window(spark, sf_dir):
+    """The per-cluster canonical choice must be a max(struct) partial
+    aggregate (mega-cluster safe), not a rank window over clusters."""
+    plan = plan_of(spark, sf_dir, "dedup_canonical")
+    assert "partial_max" in plan
+    assert "row_number" not in plan
+
+
+def test_incremental_dedup_probe_is_key_join(spark, sf_dir):
+    """Batch-vs-index probe stays a key-equi left join with partial
+    min aggregation for the batch winner; no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
