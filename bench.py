@@ -104,6 +104,9 @@ HEADLINE = [
     "dedup_canonical",
     # batch-vs-corpus incremental exact dedup — round 6
     "dedup_incremental",
+    # real multimodal kernels: NN image resize + PV01 frame sampling
+    "mm_resize_images",
+    "mm_frame_sample",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

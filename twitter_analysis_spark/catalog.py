@@ -1333,6 +1333,59 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.extract_features(media).drop("checksum")
 
 
+@register(
+    "mm_resize_images",
+    """
+    WITH m AS (
+      SELECT doc_id, doc_id % 16 + 1 AS iw, doc_id % 12 + 1 AS ih
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+           -- linear index i over (y, x, c) = (i//24, (i//3)%8, i%3)
+           CAST(list_sum([
+             (doc_id*31 + ((((i//24)*ih)//6 * iw
+                            + (((i//3)%8)*iw)//8)*3 + i%3)*7) % 256
+             for i in generate_series(0, 143)
+           ]) AS BIGINT) AS pixel_sum
+    FROM m
+    """,
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL nearest-neighbor resize (multimodal.py:resize): P6 parse →
+    # numpy fancy-index resample → P6 re-emit → RE-PARSE of the
+    # emitted blob. The oracle recomputes the resampled pixel sum from
+    # the closed-form source-pixel formula and the exact integer
+    # mapping src=(dst*W)//out — a bug in the resampler, the P6
+    # writer, or the parser all break the hash.
+    media = _mm.synthetic_media_table(_t(spark, sf_dir, "documents"))
+    return _mm.resize(media, out_w=8, out_h=6).drop("content")
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id, doc_id % 8 + 1 AS nf
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, f / 4.0 AS ts_s,
+           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(list_sum([(doc_id*13 + f*19 + i*7) % 256
+                          for i in generate_series(0, 47)])
+                AS BIGINT) AS pixel_sum
+    FROM m CROSS JOIN generate_series(0, 7) t(f)
+    WHERE f < nf AND f % 2 = 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL frame sampling (multimodal.py:frame_sample): PV01 parse,
+    # every 2nd frame re-emitted as a standalone P6 and re-parsed for
+    # its stats; ts = frame/4fps. The oracle regenerates each sampled
+    # frame's pixel sum from the per-frame closed-form formula.
+    media = _mm.synthetic_media_table(_t(spark, sf_dir, "documents"))
+    return _mm.frame_sample(media, stride=2).drop("content")
+
+
 # ---------------------------------------------------------------------------
 # Log-analytics shapes over the events stream table: batch event-time
 # windows, sessionization, result-set union, percentile statistics.

@@ -256,45 +256,88 @@ def extract_features(media: DataFrame) -> DataFrame:
         run, schema=FEATURE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
-    """Frame-sampling plumbing for video rows: emit one row per sampled
-    "frame" (stub: every Nth byte offset stands in for a decoded frame
-    timestamp). Demonstrates the explode-shaped (1→many) media stage
-    with bounded output per input row."""
-    n_frames = F.least(
-        (F.length("content") / every_n_bytes).cast("int") + 1, F.lit(16))
-    return (
-        media.where(F.col("media_type") == "video")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
-        )
-        .withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
-    )
+def frame_sample(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL frame sampling: parse each video row's PV01 container,
+    keep every ``stride``-th frame, and re-emit each kept frame as a
+    standalone P6 image blob — the explode-shaped (1→many) media stage
+    a vision pipeline feeds to per-frame featurizers.
 
-
-def resize(media: DataFrame, target_bytes: int = 256) -> DataFrame:
-    """Resize plumbing: normalize every blob to ``target_bytes``
-    (stub kernel: truncate or zero-pad — a real deployment swaps in
-    PIL/ffmpeg scaling; the Arrow batch path, output schema, and
-    size-invariant it must guarantee stay identical).
-
-    The post-condition the pipeline relies on: every output blob is
-    exactly ``target_bytes`` long, so downstream batch tensors have a
-    fixed row stride.
+    The emitted width/height/pixel sums come from RE-PARSING the
+    freshly written P6 blob (``decode_media``), so every output row
+    has made the full writer→parser round trip — the same
+    end-to-end-honesty contract as ``extract_features``. Fan-out per
+    input row is ceil(n_frames/stride), bounded by the container.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [
-                bytes(b)[:target_bytes].ljust(target_bytes, b"\0")
-                for b in pdf["content"]
-            ]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "content": resized,
-            })
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "frame_idx", "ts_s", "width", "height",
+                "pixel_sum", "content")}
+            for did, mt, blob in zip(pdf["doc_id"], pdf["media_type"],
+                                     pdf["content"]):
+                if mt != "video":
+                    continue
+                blob = bytes(blob)
+                (k,) = struct.unpack_from(">I", blob, 4)
+                pos = 8
+                for f in range(k):
+                    w, h, pix, pos = _parse_ppm(blob, pos)
+                    if f % stride:
+                        continue
+                    fr = b"P6\n%d %d\n255\n" % (w, h) + pix
+                    d = decode_media(fr)           # writer->parser loop
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(f)
+                    out["ts_s"].append(f / VIDEO_FPS)
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["pixel_sum"].append(d["pixel_sum"])
+                    out["content"].append(fr)
+            yield pd.DataFrame(out)
 
     return media.select("doc_id", "media_type", "content").mapInPandas(
-        run, schema="doc_id long, media_type string, content binary")
+        run, schema=("doc_id long, frame_idx int, ts_s double, "
+                     "width int, height int, pixel_sum long, "
+                     "content binary"))
+
+
+def resize(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
+    """REAL nearest-neighbor image resize: parse each image row's P6
+    pixels, resample to ``out_w``×``out_h`` with the integer mapping
+    src_x = (x*W)//out_w (exact, SQL-replayable), and re-emit a valid
+    P6 blob. The numpy fancy-index does the resample per Arrow batch —
+    no per-pixel Python in the hot loop.
+
+    Post-conditions the pipeline relies on: every output blob is a
+    parseable P6 of exactly out_w×out_h (fixed tensor stride
+    downstream), verified per row by re-parsing the emitted blob.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height", "pixel_sum", "content")}
+            for did, mt, blob in zip(pdf["doc_id"], pdf["media_type"],
+                                     pdf["content"]):
+                if mt != "image":
+                    continue
+                w, h, pix, _ = _parse_ppm(bytes(blob))
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                res = arr[ys][:, xs]
+                fr = (b"P6\n%d %d\n255\n" % (out_w, out_h)
+                      + res.tobytes())
+                d = decode_media(fr)               # writer->parser loop
+                out["doc_id"].append(did)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["pixel_sum"].append(d["pixel_sum"])
+                out["content"].append(fr)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_type", "content").mapInPandas(
+        run, schema=("doc_id long, width int, height int, "
+                     "pixel_sum long, content binary"))
