@@ -104,9 +104,11 @@ HEADLINE = [
     "dedup_canonical",
     # batch-vs-corpus incremental exact dedup — round 6
     "dedup_incremental",
-    # real multimodal kernels: NN image resize + PV01 frame sampling
+    # real multimodal kernels: NN image resize, PV01 frame sampling,
+    # PCM audio resample
     "mm_resize_images",
     "mm_frame_sample",
+    "mm_resample_audio",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -138,3 +138,25 @@ def test_resize_real_nearest_neighbor(spark, sf_dir):
                 base = (sy * w + sx) * 3
                 want += pix[base] + pix[base + 1] + pix[base + 2]
         assert r["pixel_sum"] == want
+
+
+def test_resample_audio_real(spark, sf_dir):
+    """Resampled blobs are valid 4 kHz WAVs whose samples equal a
+    reference nearest-neighbor pick from the source payload."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    media = M.synthetic_media_table(docs)
+    out = {r["doc_id"]: r for r in
+           M.resample_audio(media, target_rate=4000).collect()}
+    src = {r["doc_id"]: bytes(r["content"])
+           for r in media.where(F.col("media_type") == "audio").collect()}
+    assert set(out) == set(src)
+    for did, r in out.items():
+        d = M.decode_media(bytes(r["content"]))
+        assert d["media_type"] == "audio"
+        rate, ch, bits, data = M._parse_wav(src[did])
+        n = len(data)
+        m = (n * 4000) // rate
+        assert r["n_samples"] == m == d["n_vals"]
+        assert r["duration_s"] == m / 4000.0
+        want = sum(data[(j * n) // m] for j in range(m)) if m else 0
+        assert r["sample_sum"] == want

@@ -1362,6 +1362,35 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_resample_audio",
+    """
+    WITH m AS (
+      SELECT doc_id, doc_id % 2000 + 1 AS ns,
+             (doc_id % 2000 + 1) // 2 AS msamp
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id, CAST(4000 AS INT) AS rate,
+           CAST(msamp AS BIGINT) AS n_samples,
+           msamp / 4000.0 AS duration_s,
+           CAST(CASE WHEN msamp = 0 THEN 0 ELSE
+             list_sum([(doc_id*17 + ((j*ns)//msamp)*5) % 256
+                       for j in generate_series(0, msamp - 1)])
+           END AS BIGINT) AS sample_sum
+    FROM m
+    """,
+)
+def mm_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL audio resample (multimodal.py:resample_audio): WAV parse →
+    # nearest-neighbor sample pick at 4 kHz (m = n//2 at the 8 kHz
+    # source, src index = (j*n)//m) → WAV re-emit → re-parse. The
+    # oracle regenerates the picked samples from the closed-form
+    # payload formula, so resampler, WAV writer, and parser are all
+    # under the hash.
+    media = _mm.synthetic_media_table(_t(spark, sf_dir, "documents"))
+    return _mm.resample_audio(media, target_rate=4000).drop("content")
+
+
+@register(
     "mm_frame_sample",
     """
     WITH m AS (
