@@ -43,6 +43,7 @@ _PRIORITY = [
     "text_dup_spans", "text_unigram_xent", "text_vocab_coverage",
     "dedup_canonical", "dedup_incremental",
     "mm_resize_images", "mm_frame_sample", "mm_resample_audio",
+    "corpus_weighted_repeat",
     # -- changed this round: a11 converted from rows-only to a
     # tolerance-contract oracle; broadcast hints size-gated
     # (maybe_broadcast) across the TPC-H suite; q17 oracle decimal
@@ -63,12 +64,13 @@ _PRIORITY = [
     # t9_cumulative_daily text_bigram_topk u3_intersect_except
     # f9_conjunctive_filter f8_date_range f7_prefix_filter
     # f6_disjunctive_filter f5_point_lookup f3_equality_filter
-    # f2_array_membership f1_keyword_regex f13_not_in_subquery --
+    # f2_array_membership f1_keyword_regex f13_not_in_subquery
+    # f12_scalar_subquery --
     "a10_grouped_distinct", "a13_grouping_sets", "a14_multi_distinct",
     "a1_count_star", "a2_top_keywords", "a4_conditional_counts",
     "a6_distinct_cardinality", "a8_salted_skew_agg", "a9_rollup_revenue",
     "c_scalar_suite", "corpus_split_assign", "dedup_clusters",
-    "f11_exists_subquery", "f12_scalar_subquery",
+    "f11_exists_subquery",
 ]
 
 

@@ -109,6 +109,8 @@ HEADLINE = [
     "mm_resize_images",
     "mm_frame_sample",
     "mm_resample_audio",
+    # weighted domain upsampling (epochs-per-domain mix) — round 6
+    "corpus_weighted_repeat",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

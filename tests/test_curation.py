@@ -260,3 +260,37 @@ def test_duplicated_spans_hash_key_equivalent(spark, sf_dir):
     b = cur.duplicated_spans(docs, "doc_id", "text", window=8,
                              use_hash_key=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_weighted_repeat_multiplicity(spark):
+    """Integer weights repeat exactly; fractional weights resolve per
+    row to floor/ceil with the expected aggregate rate; zero/negative
+    weights drop; copy_idx enumerates copies."""
+    from twitter_analysis_spark.operators.sampling import weighted_repeat
+
+    rows = [(i, "a") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    out = weighted_repeat(df, "doc_id", F.lit(3.0)).collect()
+    assert len(out) == 3000
+    per = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    assert all(sorted(v) == [0, 1, 2] for v in per.values())
+
+    frac = weighted_repeat(df, "doc_id", F.lit(2.5)).collect()
+    counts = {}
+    for r in frac:
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    assert set(counts.values()) <= {2, 3}
+    # md5 buckets are uniform: expected 2500 +- a generous band
+    assert 2300 <= len(frac) <= 2700
+
+    assert weighted_repeat(df, "doc_id", F.lit(0.0)).count() == 0
+
+    # stability: same decision regardless of partitioning
+    a = sorted(map(tuple, weighted_repeat(
+        df.repartition(17), "doc_id", F.lit(1.5)).collect()))
+    b = sorted(map(tuple, weighted_repeat(
+        df.coalesce(1), "doc_id", F.lit(1.5)).collect()))
+    assert a == b

@@ -3339,6 +3339,42 @@ ORACLE_KMEANS = f"""
 """
 
 
+@register(
+    "corpus_weighted_repeat",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                  THEN 2.5 ELSE 0.5 END AS wt
+      FROM documents),
+    n AS (
+      SELECT doc_id, source,
+             CAST(floor(wt) AS BIGINT) +
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 3)) AS INT) % 1000
+                       < CAST((wt - floor(wt)) * 1000 AS BIGINT)
+                  THEN 1 ELSE 0 END AS nc
+      FROM w)
+    SELECT doc_id, source,
+           unnest(CASE WHEN nc > 0
+                  THEN [i for i in generate_series(0, nc - 1)]
+                  ELSE [] END) AS copy_idx
+    FROM n
+    """,
+)
+def corpus_weighted_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted domain UPSAMPLING (operators/sampling.py:
+    # weighted_repeat): even-numbered sources at weight 2.5 (every doc
+    # 2-3 copies), odd at 0.5 (half the docs) — the epochs-per-domain
+    # mix knob. The fractional decision is the md5-bucket device from
+    # split_assign, so the oracle reproduces every copy count exactly.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    wt = F.when(F.substring(F.col("source"), 4, 10).cast("int") % 2 == 0,
+                F.lit(2.5)).otherwise(F.lit(0.5))
+    from .operators.sampling import weighted_repeat
+    return weighted_repeat(docs, "doc_id", wt)
+
+
 @register("sim_kmeans_ivf", ORACLE_KMEANS)
 def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spherical k-means IVF fit, cross-engine-checked END TO END: one

@@ -186,3 +186,35 @@ def deterministic_mix(df: DataFrame, key_col: str, id_col: str,
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= quota_col)
             .drop("_rn"))
+
+
+def weighted_repeat(df: DataFrame, id_col: str, weight_col) -> DataFrame:
+    """Weighted domain UPSAMPLING: emit each row ``floor(w)`` or
+    ``ceil(w)`` times so the expected multiplicity equals its (possibly
+    fractional, possibly >1) weight — the "epochs per domain" knob of
+    LLM data mixes (quality domains repeated 2-3x, bulk web <1x),
+    where ``deterministic_mix`` only SUBSAMPLES.
+
+    The fractional part is resolved by a seedless content hash
+    (md5(id) bucket < frac·1000, the split_assign device), so the
+    decision is a pure function of the row id: stable under
+    repartitioning and incremental growth, and bit-reproducible by any
+    SQL engine. w <= 0 drops the row. Output adds ``copy_idx``
+    (0-based) so downstream shuffles can distinguish copies.
+
+    Map-only: weight arithmetic + sequence/explode per row, fan-out
+    bounded by ceil(max weight); no shuffle at any scale.
+    """
+    w = weight_col.cast("double")
+    frac_mill = ((w - F.floor(w)) * 1000).cast("long")
+    bucket = F.conv(F.substring(
+        F.md5(F.col(id_col).cast("string")), 1, 3), 16, 10).cast("long") % 1000
+    n = (F.floor(w).cast("long")
+         + F.when(bucket < frac_mill, F.lit(1)).otherwise(F.lit(0)))
+    return (
+        df.withColumn("_n", n)
+        .where(F.col("_n") > 0)
+        .select("*", F.explode(
+            F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy_idx"))
+        .drop("_n")
+    )
