@@ -56,3 +56,49 @@ def test_jaccard_symmetric_and_bounded(sc_spark, a, b):
     assert pairs.get((1, 3)) == pytest.approx(1.0)
     for v in pairs.values():
         assert 0.0 <= v <= 1.0
+
+
+@given(docs=st.lists(WORDS, min_size=1, max_size=5))
+@settings(max_examples=15, deadline=None)
+def test_dup_spans_coverage_bounds(sc_spark, docs):
+    """Duplicated-span invariants on arbitrary corpora: coverage never
+    exceeds the doc's token count, a window flag implies >= window
+    covered tokens, and a corpus of all-distinct single docs has zero
+    coverage."""
+    from twitter_analysis_spark.operators.curation import duplicated_spans
+
+    rows = [(i, " ".join(ws) or "x") for i, ws in enumerate(docs)]
+    df = sc_spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_spans(df, "doc_id", "text", window=3).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert 0 <= r["n_dup_tokens"] <= r["n_tok"]
+        if r["n_dup_windows"] > 0:
+            k = r["n_dup_windows"]
+            # tightest merge: one contiguous run covers k + (w-1);
+            # loosest: fully disjoint windows cover w*k (capped by doc)
+            assert k - 1 + 3 <= r["n_dup_tokens"] <= min(r["n_tok"], 3 * k)
+        else:
+            assert r["n_dup_tokens"] == 0
+
+
+@given(ws=st.lists(st.floats(min_value=0.0, max_value=4.0,
+                             allow_nan=False), min_size=1, max_size=6))
+@settings(max_examples=15, deadline=None)
+def test_weighted_repeat_floor_ceil(sc_spark, ws):
+    """Every row's multiplicity is floor(w) or ceil(w) of its own
+    weight, exact for integer weights."""
+    import math
+
+    from pyspark.sql import functions as F
+    from twitter_analysis_spark.operators.sampling import weighted_repeat
+
+    rows = [(i, float(w)) for i, w in enumerate(ws)]
+    df = sc_spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_repeat(df, "doc_id", F.col("w")).collect()
+    counts: dict[int, int] = {}
+    for r in out:
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    for i, w in rows:
+        got = counts.get(i, 0)
+        assert got in (math.floor(w), math.ceil(w)), (w, got)
