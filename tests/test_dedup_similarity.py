@@ -444,3 +444,36 @@ def test_incremental_dedup_index_merge_roundtrip(spark):
                          hash_fn="md5")
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, full.collect()))
+
+
+def test_saved_ann_indexes_prune_and_match(spark, sf_dir, tmp_path):
+    """Materialized LSH/IVF indexes: the probe's bucket/cell filter
+    reaches the scan as non-empty PartitionFilters, and probe results
+    equal the in-memory formulations exactly."""
+    from twitter_analysis_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    planes = S.arith_planes(64, 6)
+    lsh_path = str(tmp_path / "lsh_idx")
+    S.save_lsh_index(emb, planes, lsh_path)
+    probe = S.lsh_probe(spark, lsh_path, planes, qvec, k=10)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    filt = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in filt and filt.strip()
+    want = S.lsh_topk(emb, planes, qvec, k=10).collect()
+    assert sorted(map(tuple, probe.collect())) == sorted(map(tuple, want))
+
+    cents = S.ivf_centroids(emb, nlist=8)
+    ivf_path = str(tmp_path / "ivf_idx")
+    S.save_ivf_index(emb, cents, ivf_path)
+    iprobe = S.ivf_probe(spark, ivf_path, cents, qvec, k=10, nprobe=2)
+    iplan = iprobe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in iplan
+    ifilt = iplan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in ifilt and ifilt.strip()
+    iwant = S.ivf_topk(emb, cents, qvec, k=10, nprobe=2).collect()
+    assert sorted(map(tuple, iprobe.collect())) == sorted(map(tuple, iwant))
