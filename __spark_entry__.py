@@ -56,7 +56,8 @@ _PRIORITY = [
     "q7_volume_shipping", "q17_small_quantity_revenue",
     "q11_important_nations", "q16_supplier_count", "q19_disjunctive_revenue",
     # -- fill to 50 with r4-evidence rows (2 sweeps old at round end
-    # otherwise). The 16 r4 rows that do NOT fit below must head the
+    # otherwise). The 26 r4 rows that do NOT fit below (round 6 added
+    # 11 new/converted rows, displacing fill slots) must head the
     # round-7 rotation: j2_dim_chain_join j3_collect_assembly
     # j4_semi_join j5_union_harvest j6_asof_join j7_range_join
     # p1_projection q13_order_distribution q18_large_orders
