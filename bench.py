@@ -111,6 +111,9 @@ HEADLINE = [
     "mm_resample_audio",
     # weighted domain upsampling (epochs-per-domain mix) — round 6
     "corpus_weighted_repeat",
+    # NB quality classifier + budget selection — round 6
+    "text_nb_classifier",
+    "corpus_budget_select",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -294,3 +294,46 @@ def test_weighted_repeat_multiplicity(spark):
     b = sorted(map(tuple, weighted_repeat(
         df.coalesce(1), "doc_id", F.lit(1.5)).collect()))
     assert a == b
+
+
+def test_select_within_budget_matches_naive(spark):
+    """Two-phase selection == naive global greedy prefix, including
+    the boundary-group partial fill and quality ties."""
+    import random
+
+    from twitter_analysis_spark.operators.sampling import (
+        select_within_budget)
+
+    rng = random.Random(7)
+    rows = [(i, round(rng.choice([0.2, 0.5, 0.5, 0.8]), 6),
+             rng.randint(1, 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, q DOUBLE, n LONG")
+    for budget in (0, 37, 1000, 10**9):
+        got = sorted(r["doc_id"] for r in
+                     select_within_budget(df, "doc_id", "q", "n",
+                                          budget).collect())
+        cum, want = 0, []
+        for i, q, n in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if cum + n > budget:
+                break
+            cum += n
+            want.append(i)
+        assert got == sorted(want), budget
+
+
+def test_nb_classifier_separates_planted(spark):
+    """Docs built from 'high-label' tokens score positive against docs
+    of 'low-label' tokens when labels are supplied explicitly."""
+    from twitter_analysis_spark.operators.textstats import (
+        nb_quality_classifier)
+
+    rows = ([(i, "good fine great solid nice", 1) for i in range(20)]
+            + [(100 + i, "spam junk noise blah blah", 0)
+               for i in range(20)]
+            + [(500, "good great nice", None), (501, "spam junk blah", None)])
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, y INT")
+    out = {r["doc_id"]: r for r in nb_quality_classifier(
+        df, "doc_id", "text",
+        label_col=F.coalesce(F.col("y"), F.lit(0))).collect()}
+    assert out[0]["nb_score"] > out[100]["nb_score"]
+    assert out[500]["nb_score"] > out[501]["nb_score"]

@@ -2265,6 +2265,72 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.vocab_topk(docs, k=100, text_col="text")
 
 
+def _nb_classifier_oracle() -> str:
+    feat = ORACLES["text_quality_features"].strip()
+    return f"""
+    WITH lab AS (
+      SELECT f.doc_id, d.text,
+             CASE WHEN f.quality_score >= 0.5 THEN 1 ELSE 0 END AS y
+      FROM ({feat}) f JOIN documents d USING (doc_id)),
+    occ AS (SELECT doc_id, y, unnest({_TOKS_SQL}) AS tok FROM lab),
+    cnt AS (SELECT tok, sum(y) AS c1, sum(1 - y) AS c0
+            FROM occ GROUP BY tok),
+    st AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM cnt),
+    pr AS (SELECT sum(y) AS d1, sum(1 - y) AS d0 FROM lab),
+    scored AS (
+      SELECT occ.doc_id, count(*) AS n_tok,
+             round(ln((d1 + 1)::DOUBLE / (d0 + 1)::DOUBLE)
+                   + sum(ln((c1 + 1)::DOUBLE / (n1 + v)::DOUBLE)
+                         - ln((c0 + 1)::DOUBLE / (n0 + v)::DOUBLE)),
+                   6) AS nb_score
+      FROM occ JOIN cnt USING (tok), st, pr
+      GROUP BY occ.doc_id, d1, d0)
+    SELECT doc_id, n_tok, nb_score, nb_score > 0 AS pred FROM scored
+    """
+
+
+@register("text_nb_classifier", _nb_classifier_oracle())
+def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Learned quality filter, GPT-3/CC-net shape (textstats.
+    # nb_quality_classifier): multinomial Naive Bayes trained on the
+    # heuristic quality_score >= 0.5 weak labels, scoring every doc's
+    # log-odds of "high quality". The oracle retrains from scratch —
+    # labels, token-class counts, smoothing, prior — and replays the
+    # identical ln arithmetic (rounded at 1e-6, far above cross-libm
+    # ulp noise).
+    docs = _t(spark, sf_dir, "documents")
+    return _ts.nb_quality_classifier(docs, "doc_id", "text")
+
+
+def _budget_select_oracle(budget: int) -> str:
+    feat = ORACLES["text_quality_features"].strip()
+    return f"""
+    WITH r AS (
+      SELECT doc_id, quality_score AS quality,
+             CAST(n_tokens AS BIGINT) AS n_tok,
+             sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM ({feat}))
+    SELECT doc_id, quality, n_tok FROM r WHERE cum <= {budget}
+    """
+
+
+@register("corpus_budget_select", _budget_select_oracle(10_000))
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Greedy best-tokens-under-budget cut (operators/sampling.py:
+    # select_within_budget): highest quality first, 10k-token budget.
+    # The oracle is the NAIVE global cumsum formulation; the engine's
+    # two-phase plan (cumsum over bounded per-quality aggregates +
+    # one boundary-group window) is proved equivalent by the hash.
+    docs = _t(spark, sf_dir, "documents")
+    feats = (_ts.quality_features(docs.select("doc_id", "text"))
+             .select("doc_id", "quality_score", "n_tokens"))
+    from .operators.sampling import select_within_budget
+    return select_within_budget(feats, "doc_id", "quality_score",
+                                "n_tokens", budget=10_000)
+
+
 @register(
     "c13_json_extract",
     """

@@ -218,3 +218,56 @@ def weighted_repeat(df: DataFrame, id_col: str, weight_col) -> DataFrame:
             F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy_idx"))
         .drop("_n")
     )
+
+
+def select_within_budget(df: DataFrame, id_col: str, quality_col: str,
+                         tokens_col: str, budget: int) -> DataFrame:
+    """Greedy data selection under a token budget: keep the
+    highest-quality documents whose cumulative token count fits
+    ``budget`` — the "best N tokens for this training run" cut that
+    follows scoring in an LLM data pipeline.
+
+    Selection order is (quality desc, id asc) — fully deterministic.
+    Output: the selected rows (id, quality, n_tok).
+
+    Scale shape (the q11 pattern, applied twice): a naive global
+    cumsum window would single-partition the corpus. Instead:
+    (1) aggregate token totals per DISTINCT QUALITY VALUE — bounded by
+        the score's quantization (quality_score is rounded to 1e-6 in
+        [0,1], so ≤1e6+1 groups at any corpus size), never by corpus
+        rows;
+    (2) run the ordered cumsum over those bounded aggregates to find
+        the threshold quality: every strictly-better quality is taken
+        whole;
+    (3) the single BOUNDARY quality group is filled by an id-ordered
+        window restricted to that one group — the only per-row window,
+        scoped to one quality value's documents.
+    """
+    from pyspark.sql import Window
+
+    q, t = F.col(quality_col), F.col(tokens_col).cast("bigint")
+    per_q = df.groupBy(quality_col).agg(F.sum(t).alias("_qt")).persist()
+    wq = (Window.orderBy(F.desc(quality_col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per_q.withColumn("_cum", F.sum("_qt").over(wq))
+    # highest quality whose WHOLE group still fits; groups above it are
+    # fully selected, the next group below is the boundary
+    full = cum.where(F.col("_cum") <= budget)
+    boundary = (cum.where(F.col("_cum") > budget)
+                .orderBy(F.desc(quality_col)).limit(1)
+                .select(F.col(quality_col).alias("_bq"),
+                        (F.lit(budget) - (F.col("_cum") - F.col("_qt")))
+                        .alias("_remain")))
+    whole = df.join(F.broadcast(full.select(quality_col)), quality_col,
+                    "left_semi")
+    wb = (Window.partitionBy(quality_col).orderBy(F.asc(id_col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    part = (
+        df.join(F.broadcast(boundary), df[quality_col] == F.col("_bq"))
+        .withColumn("_bcum", F.sum(t).over(wb))
+        .where(F.col("_bcum") <= F.col("_remain"))
+        .drop("_bq", "_remain", "_bcum")
+    )
+    return (whole.unionByName(part)
+            .select(F.col(id_col), q.alias("quality"),
+                    t.alias("n_tok")))

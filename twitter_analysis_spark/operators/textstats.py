@@ -247,3 +247,63 @@ def vocab_topk(df: DataFrame, k: int = 100,
                     / F.col("_T").cast("double"), 6).alias("coverage"),
         )
     )
+
+
+def nb_quality_classifier(df: DataFrame, id_col: str,
+                          text_col: str = "text",
+                          label_col: Column | None = None) -> DataFrame:
+    """Learned quality filter, GPT-3/CC-net shape: train a multinomial
+    Naive Bayes on weak labels and score every document by its
+    log-odds of being "high quality". The real pipelines train
+    fastText/LR against a gold corpus; NB over token counts is the
+    deterministic, external-artifact-free form with the same serving
+    plan (per-token weight table + join-score), so swapping in real
+    weights later changes only the table.
+
+    ``label_col`` defaults to the heuristic ``quality_score >= 0.5``
+    (weak supervision from quality_features); pass a Column for real
+    labels. Laplace-smoothed: p(t|y) = (c_ty + 1)/(N_y + V), prior
+    odds = (D_1 + 1)/(D_0 + 1).
+
+    Output: (id, n_tok, nb_score, pred) with
+    nb_score = round(ln prior odds + Σ_t [ln p(t|1) − ln p(t|0)], 6).
+
+    Scale shape: one token-keyed count shuffle (map-side partials),
+    one-row class totals broadcast-crossed, scoring join fan-out
+    occurrences x 1, one doc-keyed aggregate — the unigram_lm_xent
+    plan with a two-class weight table; the label pass is map-only.
+    """
+    if label_col is None:
+        feats = quality_features(df.select(id_col, text_col))
+        labeled = feats.select(
+            F.col(id_col).alias("_doc"), F.col(text_col),
+            (F.col("quality_score") >= 0.5).cast("int").alias("_y"))
+    else:
+        labeled = df.select(F.col(id_col).alias("_doc"), F.col(text_col),
+                            label_col.cast("int").alias("_y"))
+    occ = labeled.select("_doc", "_y",
+                         F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = (occ.groupBy("tok")
+              .agg(F.sum("_y").alias("c1"),
+                   F.sum(1 - F.col("_y")).alias("c0"))
+              .persist())
+    stats = counts.agg(F.sum("c1").alias("_n1"), F.sum("c0").alias("_n0"),
+                       F.count(F.lit(1)).alias("_v"))
+    priors = labeled.agg(F.sum("_y").alias("_d1"),
+                         F.sum(1 - F.col("_y")).alias("_d0"))
+    term = (F.log((F.col("c1") + 1).cast("double")
+                  / (F.col("_n1") + F.col("_v")).cast("double"))
+            - F.log((F.col("c0") + 1).cast("double")
+                    / (F.col("_n0") + F.col("_v")).cast("double")))
+    prior = F.log((F.col("_d1") + 1).cast("double")
+                  / (F.col("_d0") + 1).cast("double"))
+    return (
+        occ.join(counts, "tok")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(priors))
+        .groupBy("_doc")
+        .agg(F.count(F.lit(1)).alias("n_tok"),
+             F.round(F.first(prior) + F.sum(term), 6).alias("nb_score"))
+        .select(F.col("_doc").alias(id_col), "n_tok", "nb_score",
+                (F.col("nb_score") > 0).alias("pred"))
+    )
