@@ -114,6 +114,8 @@ HEADLINE = [
     # NB quality classifier + budget selection — round 6
     "text_nb_classifier",
     "corpus_budget_select",
+    # the ExactSubstr CUT (actionable form of text_dup_spans) — round 6
+    "text_cut_dup_spans",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md
@@ -201,6 +203,8 @@ def main() -> None:
         # count() would prune the unused -ln aggregate / running-sum
         # window and time bare group counts
         "text_unigram_xent", "text_vocab_coverage",
+        # count() would prune the mask-reconstruction of clean_text
+        "text_cut_dup_spans",
     }
 
     def run(name: str) -> None:

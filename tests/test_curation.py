@@ -337,3 +337,36 @@ def test_nb_classifier_separates_planted(spark):
         label_col=F.coalesce(F.col("y"), F.lit(0))).collect()}
     assert out[0]["nb_score"] > out[100]["nb_score"]
     assert out[500]["nb_score"] > out[501]["nb_score"]
+
+
+def test_cut_duplicated_spans_semantics(spark):
+    """The cut preserves global first occurrences, removes later ones,
+    agrees with duplicated_spans' coverage arithmetic, and leaves
+    untouched docs byte-identical (token-joined)."""
+    span = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (0, span + " tail0 tail1"),
+        (1, "lead0 lead1 " + span),
+        (2, "short doc"),
+        (3, " ".join(f"u{i}" for i in range(12))),
+    ]
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r for r in
+           cur.cut_duplicated_spans(df, "doc_id", "text",
+                                    window=8).collect()}
+    assert out[0]["clean_text"] == span + " tail0 tail1"   # first kept
+    assert out[1]["clean_text"] == "lead0 lead1"           # copy cut
+    assert out[2]["clean_text"] == "short doc"
+    assert out[3]["n_removed"] == 0
+    stats = {r["doc_id"]: r for r in
+             cur.duplicated_spans(df, "doc_id", "text",
+                                  window=8).collect()}
+    for did, r in out.items():
+        assert r["n_removed"] == stats[did]["n_dup_tokens"], did
+
+    # an exact duplicate document is cut to empty
+    dup = _docs(spark, [(5, span + " x y z a b"), (9, span + " x y z a b")])
+    got = {r["doc_id"]: r["clean_text"] for r in
+           cur.cut_duplicated_spans(dup, "doc_id", "text",
+                                    window=8).collect()}
+    assert got[5] == span + " x y z a b" and got[9] == ""

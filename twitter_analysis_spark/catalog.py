@@ -2214,6 +2214,52 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_cut_dup_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 8 THEN
+               [{{'pos': i-1, 'win': array_to_string(tk[i:i+7], ' ')}}
+                for i in generate_series(1, len(tk) - 7)] ELSE [] END,
+               recursive := true)
+      FROM t),
+    fl AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY win
+                                      ORDER BY doc_id, pos) AS rn
+            FROM wins)
+      WHERE rn > 1),
+    ss AS (SELECT doc_id, list(pos ORDER BY pos) AS s
+           FROM fl GROUP BY doc_id),
+    cut AS (
+      SELECT t.doc_id, tk,
+             [tk[i+1] for i in generate_series(0, len(tk)-1)
+              if len(list_filter(COALESCE(s, []),
+                                 x -> x <= i AND i < x + 8)) = 0] AS kept
+      FROM t LEFT JOIN ss ON t.doc_id = ss.doc_id)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tok,
+           CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+           -- DuckDB's array_to_string([]) is NULL; Spark's is ''
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text
+    FROM cut
+    """,
+)
+def text_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ExactSubstr CUT (curation.cut_duplicated_spans): duplicated
+    # 8-token window occurrences are removed from the text (global
+    # first occurrences survive), re-emitting the cleaned corpus. The
+    # oracle replays window flagging AND the mask-reconstruction of
+    # clean_text token-for-token. Raw-string keys here (oracle twin);
+    # engine default is xxhash64 as for text_dup_spans.
+    return _cur.cut_duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        window=8, use_hash_key=False)
+
+
+@register(
     "text_unigram_xent",
     f"""
     WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),

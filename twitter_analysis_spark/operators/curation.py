@@ -350,3 +350,64 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str = "text",
                     / F.col("_n").cast("double"), 6).alias("dup_tok_ratio"),
         )
     )
+
+
+def cut_duplicated_spans(df: DataFrame, id_col: str, text_col: str = "text",
+                         window: int = 8,
+                         use_hash_key: bool = True) -> DataFrame:
+    """The ACTIONABLE form of ``duplicated_spans``: actually remove
+    every token covered by a duplicated window occurrence (global
+    first occurrences stay — one copy of each substring survives, the
+    Lee et al. ExactSubstr cut) and re-emit the cleaned text.
+
+    Output: (id, n_tok, n_removed, clean_text); documents with nothing
+    to cut pass through intact.
+
+    Scale shape: same window/first-occurrence machinery as
+    ``duplicated_spans`` (map-side min(struct), occurrences x 1 join
+    fan-out); the cut itself aggregates each doc's flagged starts into
+    ONE array row (state bounded by the doc's own length, like the
+    token array) and applies the mask as a Catalyst filter-exists
+    expression — per-doc work is O(n_tok x n_flagged) with no
+    additional shuffle beyond the doc-keyed aggregate.
+    """
+    toked = df.select(F.col(id_col).alias("_doc"),
+                      tokens(F.col(text_col)).alias("_tk"))
+    n = F.size("_tk")
+    wins = (
+        toked.where(n >= window)
+        .select("_doc", F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - window),
+                lambda s: F.array_join(
+                    F.slice("_tk", s + 1, window), " "))).alias("_pos", "_win"))
+    )
+    key = F.xxhash64("_win") if use_hash_key else F.col("_win")
+    wins = wins.select("_doc", "_pos", key.alias("_key"))
+    firsts = wins.groupBy("_key").agg(
+        F.min(F.struct(F.col("_doc"), F.col("_pos"))).alias("_first"))
+    starts = (
+        wins.join(firsts, "_key")
+        .where((F.col("_first._doc") != F.col("_doc"))
+               | (F.col("_first._pos") != F.col("_pos")))
+        .groupBy("_doc")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_ss"))
+    )
+    ss = F.coalesce(F.col("_ss"), F.array().cast("array<int>"))
+    covered = lambda i: F.exists(  # noqa: E731
+        ss, lambda s: (s <= i) & (i < s + window))
+    # guard: sequence(0, -1) would DESCEND for an empty doc
+    kept = F.when(n > 0, F.filter(F.sequence(F.lit(0), n - 1),
+                                  lambda i: ~covered(i))) \
+            .otherwise(F.array().cast("array<int>"))
+    return (
+        toked.join(starts, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            n.cast("bigint").alias("n_tok"),
+            (n - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.transform(kept, lambda i: F.element_at("_tk", i + 1)),
+                " ").alias("clean_text"),
+        )
+    )
