@@ -116,6 +116,9 @@ HEADLINE = [
     "corpus_budget_select",
     # the ExactSubstr CUT (actionable form of text_dup_spans) — round 6
     "text_cut_dup_spans",
+    # bigram stupid-backoff LM + per-source corpus card — round 6
+    "text_bigram_xent",
+    "corpus_report",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from twitter_analysis_spark.operators import textstats as ts
 
 
@@ -67,3 +69,31 @@ def test_vocab_topk_monotone(spark, sf_dir):
     assert covs[-1] <= 1.0
     cs = [r["c"] for r in rows]
     assert all(a >= b for a, b in zip(cs, cs[1:]))
+
+
+def test_bigram_xent_hand_math(spark):
+    """Train 'a b' x2: bigram (a,b) prob 1; score 'a b' -> first token
+    unigram, second exact bigram; score 'a z' -> backoff for z."""
+    import math
+
+    train = _docs(spark, [(0, "a b"), (2, "a b")])
+    # train: uni a:2 b:2 -> N=4 V=2 denom=7; big (a,b)=2; ctx a=2
+    score = _docs(spark, [(1, "a b"), (3, "a z")])
+    out = {r["doc_id"]: r for r in
+           ts.bigram_lm_xent(score, "doc_id", "text",
+                             train=train).collect()}
+    want_ab = round((-math.log(3 / 7) - math.log(2 / 2)) / 2, 6)
+    assert out[1]["n_backoff"] == 0
+    assert out[1]["xent"] == want_ab
+    # 'a z': z unseen -> backoff 0.4 * (0+1)/7
+    want_az = round((-math.log(3 / 7) - math.log(0.4 * (1 / 7))) / 2, 6)
+    assert out[3]["n_backoff"] == 1
+    assert out[3]["xent"] == want_az
+
+
+def test_bigram_xent_self_trained_no_backoff(spark, sf_dir):
+    """Scoring the training corpus itself never backs off, and seen
+    bigram sequences score lower than shuffled ones on average."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    out = ts.bigram_lm_xent(docs, "doc_id", "text")
+    assert out.where(F.col("n_backoff") > 0).count() == 0

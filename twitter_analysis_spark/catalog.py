@@ -2377,6 +2377,103 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "n_tokens", budget=10_000)
 
 
+def _corpus_report_oracle() -> str:
+    feat = ORACLES["text_quality_features"].strip()
+    return f"""
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(f.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(f.n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(f.n_tokens) AS BIGINT) AS max_tokens,
+           round(CAST(sum(CAST(round(f.quality_score * 1000000)
+                               AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0), 6) AS mean_quality,
+           count(DISTINCT d.lang) AS n_langs
+    FROM documents d JOIN ({feat}) f USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register("corpus_report", _corpus_report_oracle())
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source corpus card (the dataset-documentation stats a
+    # training run records next to the data): doc/token counts, token
+    # range, mean quality, language cardinality. The quality mean is
+    # an exact integer sum of 1e6-quantized scores divided once (the
+    # sim_kmeans_ivf device), so no float reduction is
+    # order-dependent. One partial-agg shuffle keyed by source.
+    docs = _t(spark, sf_dir, "documents")
+    feats = _ts.quality_features(docs.select("doc_id", "text")) \
+        .select("doc_id", "n_tokens", "quality_score")
+    n = F.count(F.lit(1))
+    qsum = F.sum(F.round(F.col("quality_score") * F.lit(1000000.0))
+                 .cast("long"))
+    return (
+        docs.select("doc_id", "source", "lang")
+        .join(feats, "doc_id")
+        .groupBy("source")
+        .agg(n.alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+             F.min("n_tokens").cast("bigint").alias("min_tokens"),
+             F.max("n_tokens").cast("bigint").alias("max_tokens"),
+             F.round(qsum.cast("double") / (n * F.lit(1000000.0)), 6)
+             .alias("mean_quality"),
+             F.countDistinct("lang").alias("n_langs"))
+    )
+
+
+ORACLE_BIGRAM_LM = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    occ_t AS (
+      SELECT doc_id, unnest([{{'pos': i-1, 'tok': tk[i],
+               'prev': CASE WHEN i > 1 THEN tk[i-1] END}}
+              for i in generate_series(1, len(tk))], recursive := true)
+      FROM t WHERE doc_id % 2 = 0),
+    uni AS (SELECT tok, count(*) AS c1 FROM occ_t GROUP BY tok),
+    st AS (SELECT sum(c1) AS n, count(*) AS v FROM uni),
+    big AS (SELECT prev, tok, count(*) AS c2 FROM occ_t
+            WHERE prev IS NOT NULL GROUP BY prev, tok),
+    ctx AS (SELECT prev, count(*) AS cc FROM occ_t
+            WHERE prev IS NOT NULL GROUP BY prev),
+    occ_s AS (
+      SELECT doc_id, unnest([{{'pos': i-1, 'tok': tk[i],
+               'prev': CASE WHEN i > 1 THEN tk[i-1] END}}
+              for i in generate_series(1, len(tk))], recursive := true)
+      FROM t WHERE doc_id % 2 = 1)
+    SELECT o.doc_id, count(*) AS n_tok,
+           CAST(sum(CASE WHEN o.prev IS NOT NULL AND big.c2 IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+           round(sum(CASE
+             WHEN o.prev IS NULL THEN
+               -ln((COALESCE(uni.c1, 0) + 1)::DOUBLE / (n + v + 1)::DOUBLE)
+             WHEN big.c2 IS NOT NULL THEN
+               -ln(big.c2::DOUBLE / ctx.cc::DOUBLE)
+             ELSE
+               -ln(0.4 * ((COALESCE(uni.c1, 0) + 1)::DOUBLE
+                          / (n + v + 1)::DOUBLE))
+           END) / count(*), 6) AS xent
+    FROM occ_s o
+    LEFT JOIN big ON o.prev = big.prev AND o.tok = big.tok
+    LEFT JOIN ctx ON o.prev = ctx.prev
+    LEFT JOIN uni ON o.tok = uni.tok, st
+    GROUP BY o.doc_id
+"""
+
+
+@register("text_bigram_xent", ORACLE_BIGRAM_LM)
+def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-2 stupid-backoff LM score (textstats.bigram_lm_xent):
+    # trained on the even-id half of the corpus, scoring the odd half
+    # — a real train/score split so the backoff and OOV paths carry
+    # live traffic (self-scoring would never back off). The oracle
+    # retrains both count tables and replays the three-way CASE with
+    # identical arithmetic shapes (one ln per branch, rounded 1e-6).
+    docs = _t(spark, sf_dir, "documents")
+    return _ts.bigram_lm_xent(
+        docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        train=docs.where(F.col("doc_id") % 2 == 0))
+
+
 @register(
     "c13_json_extract",
     """

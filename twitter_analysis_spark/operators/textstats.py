@@ -307,3 +307,74 @@ def nb_quality_classifier(df: DataFrame, id_col: str,
         .select(F.col("_doc").alias(id_col), "n_tok", "nb_score",
                 (F.col("nb_score") > 0).alias("pred"))
     )
+
+
+def _token_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, pos, tok, prev) occurrences, map-only: one posexplode of
+    a per-row struct array; prev is NULL at document start."""
+    toked = df.select(F.col(id_col).alias("_doc"),
+                      tokens(F.col(text_col)).alias("_tk"))
+    n = F.size("_tk")
+    pairs = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            F.element_at("_tk", i + 1).alias("tok"),
+            F.when(i > 0, F.element_at("_tk", i)).alias("prev")))) \
+        .otherwise(F.array().cast("array<struct<tok:string,prev:string>>"))
+    return (toked.select("_doc", F.posexplode(pairs).alias("_pos", "_p"))
+            .select("_doc", "_pos", F.col("_p.tok").alias("tok"),
+                    F.col("_p.prev").alias("prev")))
+
+
+def bigram_lm_xent(df: DataFrame, id_col: str, text_col: str = "text",
+                   train: DataFrame | None = None,
+                   alpha: float = 0.4) -> DataFrame:
+    """Order-2 LM quality score with STUPID BACKOFF (Brants et al.
+    2007 — the un-normalized backoff used for web-scale LMs precisely
+    because it needs no discounting state): score(t|prev) =
+    c(prev,t)/c(prev) when the bigram was seen in ``train``, else
+    alpha * unigram probability (Laplace (c+1)/(N+V+1), the
+    unigram_lm_xent model); document-initial tokens score as unigrams.
+
+    Output: (id, n_tok, n_backoff, xent) — n_backoff counts scored
+    bigrams that fell back (0 when train is df itself).
+
+    Scale shape: pair extraction is map-only (no lag window); counts
+    are token-/bigram-keyed partial-agg shuffles; scoring is three
+    left key-joins (fan-out occurrences x 1 — count tables are unique
+    per key) + one broadcast one-row stats frame; final doc-keyed
+    aggregate. ln-sum rounding argument as unigram_lm_xent.
+    """
+    tr = train if train is not None else df
+    t_occ = _token_pairs(tr, id_col, text_col)
+    uni = t_occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")).persist()
+    stats = uni.agg(F.sum("c1").alias("_n"), F.count(F.lit(1)).alias("_v"))
+    big = (t_occ.where(F.col("prev").isNotNull())
+           .groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2")))
+    ctx = (t_occ.where(F.col("prev").isNotNull())
+           .groupBy("prev").agg(F.count(F.lit(1)).alias("cc")))
+    s_occ = _token_pairs(df, id_col, text_col)
+    denom = (F.col("_n") + F.col("_v") + 1).cast("double")
+    uni_nll = -F.log(
+        (F.coalesce(F.col("c1"), F.lit(0)) + 1).cast("double") / denom)
+    back_nll = -F.log(
+        F.lit(float(alpha))
+        * ((F.coalesce(F.col("c1"), F.lit(0)) + 1).cast("double") / denom))
+    nll = (F.when(F.col("prev").isNull(), uni_nll)
+            .when(F.col("c2").isNotNull(),
+                  -F.log(F.col("c2").cast("double")
+                         / F.col("cc").cast("double")))
+            .otherwise(back_nll))
+    fell_back = (F.col("prev").isNotNull()
+                 & F.col("c2").isNull()).cast("int")
+    return (
+        s_occ.join(big, ["prev", "tok"], "left")
+        .join(ctx, "prev", "left")
+        .join(uni, "tok", "left")
+        .join(F.broadcast(stats))
+        .groupBy("_doc")
+        .agg(F.count(F.lit(1)).alias("n_tok"),
+             F.sum(fell_back).cast("bigint").alias("n_backoff"),
+             F.round(F.sum(nll) / F.count(F.lit(1)), 6).alias("xent"))
+        .select(F.col("_doc").alias(id_col), "n_tok", "n_backoff", "xent")
+    )
