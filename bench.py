@@ -119,6 +119,9 @@ HEADLINE = [
     # bigram stupid-backoff LM + per-source corpus card — round 6
     "text_bigram_xent",
     "corpus_report",
+    # hashing-trick vectorizer + train/val leakage report — round 6
+    "text_hash_bow",
+    "corpus_split_leakage",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

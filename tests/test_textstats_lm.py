@@ -97,3 +97,40 @@ def test_bigram_xent_self_trained_no_backoff(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
     out = ts.bigram_lm_xent(docs, "doc_id", "text")
     assert out.where(F.col("n_backoff") > 0).count() == 0
+
+
+def test_hash_bow_dense_round_trip(spark, sf_dir):
+    """Sparse counts conserve total tokens per doc; densified arrays
+    have the declared dim, reproduce the sparse entries, and feed the
+    embedding-cosine machinery without modification."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    sparse = ts.hash_bow(docs, "doc_id", "text", dim=64)
+    totals = {r["doc_id"]: r["s"] for r in
+              sparse.groupBy("doc_id").agg(F.sum("cnt").alias("s"))
+              .collect()}
+    want = {r["doc_id"]: r["n"] for r in
+            docs.select("doc_id",
+                        ts.token_count(F.col("text")).alias("n")).collect()}
+    assert totals == want
+
+    dense = ts.assemble_dense(sparse, "doc_id", dim=64)
+    rows = {r["doc_id"]: r["embedding"] for r in dense.collect()}
+    assert all(len(v) == 64 for v in rows.values())
+    for r in sparse.collect():
+        assert rows[r["doc_id"]][r["bucket"]] == float(r["cnt"])
+
+    # md5 and xxhash64 keyings produce the same per-doc vector NORM
+    # profile (same multiset of counts, different bucket permutation
+    # only when no within-doc collisions differ) — check total mass
+    x = ts.hash_bow(docs, "doc_id", "text", dim=64, hash_fn="xxhash64")
+    xt = {r["doc_id"]: r["s"] for r in
+          x.groupBy("doc_id").agg(F.sum("cnt").alias("s")).collect()}
+    assert xt == want
+
+    # dense vectors drive the embedding near-dup operator unchanged
+    from twitter_analysis_spark.operators.dedup import (
+        embedding_near_dup_pairs)
+    pairs = embedding_near_dup_pairs(dense, "doc_id", "embedding",
+                                     threshold=0.95)
+    for p in pairs.collect():
+        assert 0.95 <= p["cosine"] <= 1.0

@@ -2475,6 +2475,68 @@ def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_hash_bow",
+    f"""
+    WITH occ AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+           count(*) AS cnt
+    FROM occ GROUP BY doc_id, bucket
+    """,
+)
+def text_hash_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Feature-hashing vectorizer (textstats.hash_bow): tokens hashed
+    # into 64 buckets, exact integer counts — the vocabulary-free
+    # document vector that bridges the text tier to the embedding tier
+    # (assemble_dense output feeds dedup/similarity operators; pinned
+    # by tests). md5 bucketing here so the oracle rebuilds every
+    # bucket assignment; xxhash64 is the engine default.
+    return _ts.hash_bow(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                        dim=64, hash_fn="md5")
+
+
+def _split_leakage_oracle() -> str:
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 2)) AS INT) < 25
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents),
+    toks AS (SELECT doc_id, split, {_TOKS_SQL} AS tk FROM s),
+    sh AS (
+      SELECT doc_id, split,
+             unnest(CASE WHEN len(tk) >= 8 THEN
+               list_distinct([array_to_string(tk[i:i+7], ' ')
+                              for i in generate_series(1, len(tk)-7)])
+             ELSE [] END) AS shingle
+      FROM toks),
+    train_sh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train')
+    SELECT v.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM (SELECT * FROM sh WHERE split = 'val') v
+    JOIN train_sh USING (shingle)
+    GROUP BY v.doc_id
+    """
+
+
+@register("corpus_split_leakage", _split_leakage_oracle())
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Train→val n-gram leakage report (eval hygiene for the corpus'
+    # OWN splits): the content-addressed split_assign partition, then
+    # decontaminate with the TRAIN side as the "benchmark" — val docs
+    # sharing any 8-gram with train are flagged with their distinct
+    # shared-shingle counts. Same broadcast/explode shape as
+    # text_decontaminate (the val side is the small one here, but the
+    # operator is symmetric in which side explodes-distinct).
+    from .operators.sampling import split_assign
+    docs = split_assign(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "text"), "doc_id")
+    train = docs.where(F.col("split") == "train")
+    val = docs.where(F.col("split") == "val")
+    return _cur.decontaminate(val, train, "doc_id", "text", n=8)
+
+
+@register(
     "c13_json_extract",
     """
     SELECT event_type,

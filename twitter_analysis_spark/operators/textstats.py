@@ -378,3 +378,52 @@ def bigram_lm_xent(df: DataFrame, id_col: str, text_col: str = "text",
              F.round(F.sum(nll) / F.count(F.lit(1)), 6).alias("xent"))
         .select(F.col("_doc").alias(id_col), "n_tok", "n_backoff", "xent")
     )
+
+
+def hash_bow(df: DataFrame, id_col: str, text_col: str = "text",
+             dim: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """Feature-hashing bag-of-words (the hashing-trick vectorizer):
+    each token is hashed into one of ``dim`` buckets and counted —
+    a fixed-width sparse document vector with NO vocabulary artifact,
+    which is what makes it trainable-free and embarrassingly
+    distributable at 100 TB (map-only until one doc-keyed count).
+
+    Returns the SPARSE form (id, bucket, cnt) — exact integers, the
+    cross-engine-checkable representation; ``assemble_dense`` turns it
+    into the array<double> column the embedding operators
+    (dedup.embedding_near_dup_pairs, similarity.*) consume.
+
+    ``hash_fn``: "xxhash64" (production) or "md5" (oracle-replayable,
+    bucket = first 8 hex chars mod dim).
+    """
+    if hash_fn == "md5":
+        bucket = (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                  .cast("long") % dim)
+    else:
+        bucket = F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("long")
+    return (
+        df.select(F.col(id_col),
+                  F.explode(tokens(F.col(text_col))).alias("tok"))
+        .select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def assemble_dense(sparse: DataFrame, id_col: str, dim: int = 64,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Densify (id, bucket, cnt) into array<double> of length dim —
+    one doc-keyed aggregate (map_from_entries + sequence lookup), no
+    driver involvement. Feeds the ANN/near-dup embedding operators."""
+    return (
+        sparse.groupBy(id_col)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("bucket", "cnt"))).alias("_m"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda k: F.coalesce(F.element_at("_m", k.cast("long")),
+                                     F.lit(0)).cast("double"))
+            .alias(vec_col))
+    )
