@@ -477,3 +477,36 @@ def test_saved_ann_indexes_prune_and_match(spark, sf_dir, tmp_path):
     assert "cell" in ifilt and ifilt.strip()
     iwant = S.ivf_topk(emb, cents, qvec, k=10, nprobe=2).collect()
     assert sorted(map(tuple, iprobe.collect())) == sorted(map(tuple, iwant))
+
+
+def test_star_cc_matches_min_label(spark):
+    """Large-star/small-star clusters equal min-label clusters on
+    random graphs, and converge on a 120-node chain where min-label's
+    default round budget would be exhausted (diameter >> log n)."""
+    import random
+
+    from twitter_analysis_spark.operators.dedup import (
+        connected_components, connected_components_star)
+
+    rng = random.Random(11)
+    nodes = list(range(60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id1 LONG, id2 LONG")
+    a = sorted(map(tuple,
+                   connected_components(pairs, max_iter=60).collect()))
+    b = sorted(map(tuple, connected_components_star(pairs).collect()))
+    assert a == b
+
+    # deep chain: star converges well inside its O(log n) budget
+    chain = spark.createDataFrame([(i, i + 1) for i in range(120)],
+                                  "id1 LONG, id2 LONG")
+    got = connected_components_star(chain).collect()
+    assert all(r["cluster"] == 0 for r in got)
+    assert len(got) == 121
+
+    # min-label must now FAIL LOUDLY (not silently mislabel) when the
+    # diameter exceeds its round budget
+    import pytest
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(chain, max_iter=5)
