@@ -122,6 +122,8 @@ HEADLINE = [
     # hashing-trick vectorizer + train/val leakage report — round 6
     "text_hash_bow",
     "corpus_split_leakage",
+    # O(log n) star connected components on the real near-dup graph
+    "dedup_clusters_star",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

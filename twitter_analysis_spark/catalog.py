@@ -3005,6 +3005,20 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.canonicalize(scored, pairs)
 
 
+@register("dedup_clusters_star", ORACLES["dedup_clusters"])
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same pairs and the SAME recursive-CTE oracle as dedup_clusters,
+    # but clustered by the O(log n) large-star/small-star algorithm
+    # (operators/dedup.py:connected_components_star) — driver-level
+    # evidence that both algorithms produce identical components on
+    # the real near-dup graph.
+    pairs = _dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+        threshold=0.1)
+    return (_dedup.connected_components_star(pairs)
+            .select(F.col("node").alias("doc"), "cluster"))
+
+
 @register(
     "corpus_split_assign",
     """

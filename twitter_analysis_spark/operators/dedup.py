@@ -862,15 +862,26 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
                 joined.select("u", F.col("m").alias("v")))
         return out
 
+    def _sig(d: DataFrame) -> tuple:
+        # one aggregate: (count, xor of per-edge hashes) — an
+        # order-free SET signature (the edge set is distinct), no
+        # overflow (xor, unlike sum, can't trip ANSI arithmetic); a
+        # missed change needs a ~2^-64 collision, and the check costs
+        # one scan instead of exceptAll's anti-join per round
+        r = d.agg(F.count(F.lit(1)).alias("n"),
+                  F.expr("bit_xor(xxhash64(u, v))").alias("h")).first()
+        return (r["n"], r["h"])
+
+    sig = _sig(e)
     for _ in range(max_iter):
         new_e = _sym(_star(_star(e, large=True), large=False)) \
             .localCheckpoint()
-        same = (new_e.count() == e.count()
-                and new_e.exceptAll(e).limit(1).count() == 0)
+        new_sig = _sig(new_e)
         e.unpersist()
         e = new_e.persist()
-        if same:
+        if new_sig == sig:
             break
+        sig = new_sig
     else:
         e.unpersist()
         raise RuntimeError(
