@@ -124,6 +124,12 @@ HEADLINE = [
     "corpus_split_leakage",
     # O(log n) star connected components on the real near-dup graph
     "dedup_clusters_star",
+    # BPE tokenizer train (even half) + encode (odd half) — round 6.
+    # Train collects the Heaps-bounded word-TYPE table and loops in
+    # Python (the classic trainer shape); encode is one map-only
+    # replace-chain pass. The distributed-rounds trainer path is
+    # exercised in tests.
+    "text_bpe_tokenize",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -66,3 +66,36 @@ def test_bpe_deterministic_and_monotone(spark, sf_dir):
                                            F.col("n_subwords").alias("n12"))
     j = short.join(full, ["doc_id", "word_idx"])
     assert j.where(F.col("n12") > F.col("n4")).count() == 0
+
+
+def test_bpe_driver_and_distributed_paths_agree(spark):
+    """The auto/driver fast path (collected word-type table, Python
+    merge loop) and the distributed rounds are the same trainer:
+    identical merge lists, including tie-breaks and the
+    min_pair_count early stop."""
+    df = _corpus(spark, {"low": 5, "lower": 2, "newest": 6,
+                         "widest": 3, "wide": 1, "neat": 1})
+    kw = dict(num_merges=10, min_pair_count=2)
+    m_driver = bpe.bpe_train(df, strategy="driver", **kw)
+    m_dist = bpe.bpe_train(df, strategy="distributed", **kw)
+    m_auto = bpe.bpe_train(df, **kw)
+    assert m_driver == m_dist == m_auto
+    assert len(m_driver) >= 4
+
+
+def test_bpe_encode_replace_equals_fold(spark):
+    """The replace-chain hot path and the fold spec agree symbol-for-
+    symbol — including on words containing the bracket metacharacters
+    the string representation escapes."""
+    df = _corpus(spark, {"low": 5, "lower": 2, "newest": 6, "widest": 3,
+                         "aaaa": 4, "a[b]": 3, "x\\[y": 3, "[[": 2})
+    merges = bpe.bpe_train(df, num_merges=10, min_pair_count=2)
+    cols = ["doc_id", "word_idx"]
+    fast = bpe.bpe_encode(df, merges).orderBy(cols).collect()
+    spec = bpe.bpe_encode(df, merges, impl="fold").orderBy(cols).collect()
+    assert len(fast) == len(spec) > 0
+    for r1, r2 in zip(fast, spec):
+        assert r1["subwords"] == r2["subwords"], (r1, r2)
+    # escaped-metacharacter words survive the string round-trip
+    joined = {"".join(r["subwords"]) for r in fast}
+    assert "a[b]" + bpe.EOW in joined and "[[" + bpe.EOW in joined

@@ -4527,3 +4527,104 @@ def ts_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Day-grain buckets surface as DATE (DuckDB's date_trunc('day')
     # convention); the stored rollup keeps the timestamp form.
     return daily.withColumn("bucket_ts", F.to_date("bucket_ts"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training + encoding (operators/bpe.py) as a driver row.
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle(n_merges: int, out_k: int) -> str:
+    """Full cross-engine replay of BPE training AND encoding.
+
+    DuckDB has no iterative constructs we can aggregate inside, so the
+    ``n_merges`` training rounds are UNROLLED into chained MATERIALIZED
+    CTEs (plain inlining would re-expand stage k-1 four times per stage
+    — 4^n blowup; MATERIALIZED makes each stage evaluate once).
+
+    Each word is represented as a bracketed symbol string
+    ``[l][o][w][</w>]``. Applying merge (a, b) is then one
+    ``replace(s, '[a][b]', '[ab]')`` — SQL replace is leftmost
+    non-overlapping, which is EXACTLY the greedy left-to-right merge
+    fold of operators/bpe.py::_apply_merge: after a replacement the
+    scan resumes past the new token, and the fold likewise never
+    re-merges a token produced in the same round (verified against an
+    independent dict-of-word-freqs BPE in tests). Safe because the
+    corpus charset is lowercase ASCII words (no '[' / ']' / literal
+    '</w>' in any token — the row would be ill-defined otherwise).
+
+    Stage k: ``b{k}`` picks the argmax pair over frequency-weighted
+    adjacent pairs of the TRAIN word table (count desc, a asc, b asc,
+    min pair count 2 — bpe_train's exact tie-break), then ``w{k}`` /
+    ``e{k}`` apply it to the train / encode word tables. Once no pair
+    reaches the threshold, every later stage is provably a no-op
+    (pair counts are unchanged), which mirrors bpe_train's early stop.
+    """
+    rep = ("replace(s, (SELECT '['||a||']['||b||']' FROM b{k}), "
+           "(SELECT '['||a||b||']' FROM b{k}))")
+    head = f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    wf AS (SELECT tok, count(*) AS cnt, doc_id % 2 = 0 AS train
+           FROM toks GROUP BY tok, doc_id % 2 = 0),
+    sym0 AS (SELECT '[' || array_to_string(
+                [tok[i] for i in generate_series(1, len(tok))], '][')
+                || '][</w>]' AS s, cnt, train FROM wf),
+    w0 AS MATERIALIZED (SELECT s, sum(cnt) AS cnt FROM sym0
+                        WHERE train GROUP BY s),
+    e0 AS MATERIALIZED (SELECT s, sum(cnt) AS cnt FROM sym0
+                        WHERE NOT train GROUP BY s)"""
+    stages = []
+    for k in range(1, n_merges + 1):
+        r = rep.format(k=k)
+        stages.append(f"""
+    b{k} AS MATERIALIZED (
+      SELECT p.a AS a, p.b AS b, sum(cnt) AS n FROM (
+        SELECT cnt, unnest([{{'a': sym[i], 'b': sym[i+1]}}
+                            for i in generate_series(1, len(sym)-1)]) AS p
+        FROM (SELECT string_split(trim(s, '[]'), '][') AS sym, cnt
+              FROM w{k - 1}))
+      GROUP BY p.a, p.b HAVING sum(cnt) >= 2
+      ORDER BY n DESC, a, b LIMIT 1),
+    w{k} AS MATERIALIZED (
+      SELECT CASE WHEN EXISTS (SELECT 1 FROM b{k}) THEN {r}
+             ELSE s END AS s, cnt FROM w{k - 1}),
+    e{k} AS MATERIALIZED (
+      SELECT CASE WHEN EXISTS (SELECT 1 FROM b{k}) THEN {r}
+             ELSE s END AS s, cnt FROM e{k - 1})""")
+    tail = f"""
+    fin AS (SELECT unnest(string_split(trim(s, '[]'), '][')) AS subword,
+                   cnt FROM e{n_merges}),
+    agg AS (SELECT subword, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM fin GROUP BY subword
+            ORDER BY cnt DESC, subword LIMIT {out_k})
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, subword) AS INT)
+             AS rank,
+           subword, cnt FROM agg"""
+    return head + "," + ",".join(stages) + "," + tail
+
+
+@register("text_bpe_tokenize", _bpe_oracle(16, 30))
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The tokenizer-training prep step of an LLM data pipeline
+    # (operators/bpe.py): learn 16 BPE merges on the even-doc_id half
+    # of the corpus, encode the odd half with them, and report the
+    # top-30 subword vocabulary with counts. The oracle replays BOTH
+    # halves — the merge sequence (argmax pair per round, exact
+    # tie-break) and the greedy encoding — so a hash match certifies
+    # the trainer end-to-end, not just the encode fold. Spark cost
+    # per round is one partial-agg shuffle over the WORD TYPE table
+    # (vocabulary-sized, saturates long before the corpus grows), a
+    # 1-row collect, and a map-only merge fold — the corpus itself is
+    # read once regardless of merge count.
+    from .operators import bpe as _bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe.bpe_train(docs.where(F.col("doc_id") % 2 == 0),
+                            "text", num_merges=16, min_pair_count=2)
+    enc = _bpe.bpe_encode(docs.where(F.col("doc_id") % 2 == 1),
+                          merges, "doc_id", "text")
+    top = (enc.select(F.explode("subwords").alias("subword"))
+           .groupBy("subword").agg(F.count(F.lit(1)).alias("cnt"))
+           .orderBy(F.desc("cnt"), F.asc("subword")).limit(30))
+    w = Window.orderBy(F.desc("cnt"), F.asc("subword"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "subword", "cnt")

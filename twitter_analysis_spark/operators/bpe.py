@@ -86,7 +86,9 @@ def _apply_merge(sym: Column, a: str, b: str) -> Column:
 
 def bpe_train(df: DataFrame, text_col: str = "text",
               num_merges: int = 32,
-              min_pair_count: int = 2) -> list[tuple[str, str]]:
+              min_pair_count: int = 2,
+              strategy: str = "auto",
+              max_driver_vocab: int = 2_000_000) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge list — the tokenizer artifact ``bpe_encode`` (and
     any external BPE implementation) consumes.
@@ -97,8 +99,34 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     (sampling.split_assign) — the merge table saturates long before
     the full corpus is needed; the algorithm itself only ever
     re-scans the word-frequency table.
+
+    ``strategy`` picks where the merge loop runs; both paths produce
+    the IDENTICAL merge list (same counts, same tie-break; asserted
+    against each other in tests):
+
+    - ``"driver"``: ONE corpus-wide word-count shuffle, collect the
+      (word, count) table, run the merge rounds in plain Python —
+      the classic trainer shape (HF tokenizers / sentencepiece train
+      on exactly this aggregate). The collect is Heaps-law bounded
+      (word TYPES grow ~O(corpus^0.5), ≈10M types for 100 TB of
+      natural language — tens of MB), not corpus-sized; 16 driver
+      rounds of Spark job scheduling + codegen per unique merge
+      literal would cost more than the whole collect.
+    - ``"distributed"``: every round is a vocabulary-sized partial-agg
+      shuffle + 1-row collect + map-only fold. The path for corpora
+      whose TYPE table itself breaks the driver (adversarial/non-NL
+      bytes where Heaps' law fails).
+    - ``"auto"`` (default): count word types first; driver path iff
+      ``<= max_driver_vocab``.
     """
     syms = _word_symbols(df, text_col).localCheckpoint()
+    if strategy == "auto":
+        strategy = ("driver" if syms.count() <= max_driver_vocab
+                    else "distributed")
+    if strategy == "driver":
+        rows = syms.collect()           # bounded: word TYPES, not corpus
+        return _train_local([(list(r["sym"]), r["cnt"]) for r in rows],
+                            num_merges, min_pair_count)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         best = (_adjacent_pairs(syms)
@@ -113,21 +141,104 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     return merges
 
 
+def _train_local(vocab: list[tuple[list[str], int]], num_merges: int,
+                 min_pair_count: int) -> list[tuple[str, str]]:
+    """The merge loop over an in-memory (symbols, count) word table —
+    byte-for-byte the semantics of the distributed rounds: frequency-
+    weighted adjacent pair counts, argmax by (count desc, a asc,
+    b asc), greedy left-to-right application, early stop below
+    ``min_pair_count``."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, cnt in vocab:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), n = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        for sym, _ in vocab:
+            out: list[str] = []
+            for x in sym:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            sym[:] = out
+    return merges
+
+
+def _esc_str(s: str) -> str:
+    """Escape the bracket-structure metacharacters in a symbol text."""
+    return (s.replace("\\", "\\\\")
+            .replace("[", "\\[").replace("]", "\\]"))
+
+
+def _esc_char(c: Column) -> Column:
+    return (F.when(c == "\\", F.lit("\\\\"))
+            .when(c == "[", F.lit("\\["))
+            .when(c == "]", F.lit("\\]"))
+            .otherwise(c))
+
+
+def _unesc(s: Column) -> Column:
+    # Escaped text is a sequence of units {'\\\\', '\\[', '\\]', c};
+    # leftmost-first replacement in this order only ever matches
+    # whole units (a raw '[' / ']' cannot precede its own unescape
+    # pass, and after the bracket passes every remaining backslash
+    # belongs to a '\\\\' pair), so the chain is unambiguous.
+    s = F.replace(s, F.lit("\\["), F.lit("["))
+    s = F.replace(s, F.lit("\\]"), F.lit("]"))
+    return F.replace(s, F.lit("\\\\"), F.lit("\\"))
+
+
 def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
                id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               impl: str = "replace") -> DataFrame:
     """Tokenize documents with a learned merge list: chars+EOW per
     word, merges applied in learned order — map-only (the merge list
     is a plan constant), fan-out bounded by words per doc.
 
-    Output: (id, word_idx, subwords array<string>, n_subwords)."""
+    Output: (id, word_idx, subwords array<string>, n_subwords).
+
+    ``impl="replace"`` (default) runs each word as a bracketed symbol
+    STRING (``[l][o][w][</w>]``, metacharacters escaped) and applies
+    each merge as one literal ``replace(s, '[a][b]', '[ab]')`` —
+    leftmost non-overlapping replacement IS the greedy left-to-right
+    merge (the scan resumes past each new token, which can therefore
+    never re-merge within its own round — exactly the fold's rule).
+    ``impl="fold"`` is the direct ``aggregate``-fold transcription of
+    that rule, kept as the executable semantics spec: equivalence is
+    asserted in tests, but 2·len array copies per element make the
+    nested folds ~20x slower per merge, and Catalyst's nested-HOF
+    analysis cost grows with the merge count.
+    """
     words = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("word_idx", "_w"))
-    sym = F.concat(F.filter(F.split(F.col("_w"), ""), lambda c: c != ""),
-                   F.array(F.lit(EOW)))
-    for a, b in merges:
-        sym = _apply_merge(sym, a, b)
+    chars = F.filter(F.split(F.col("_w"), ""), lambda c: c != "")
+    if impl == "fold":
+        sym = F.concat(chars, F.array(F.lit(EOW)))
+        for a, b in merges:
+            sym = _apply_merge(sym, a, b)
+    elif impl == "replace":
+        s = F.concat(F.lit("["),
+                     F.array_join(F.transform(chars, _esc_char), "]["),
+                     F.lit("][" + _esc_str(EOW) + "]"))
+        for a, b in merges:
+            ea, eb = _esc_str(a), _esc_str(b)
+            s = F.replace(s, F.lit(f"[{ea}][{eb}]"),
+                          F.lit(f"[{ea}{eb}]"))
+        inner = F.regexp_replace(s, r"^\[|\]$", "")
+        sym = F.transform(F.split(inner, r"\]\["), _unesc)
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
     return words.select(
         id_col, "word_idx", sym.alias("subwords"),
         F.size(sym).cast("bigint").alias("n_subwords"))
