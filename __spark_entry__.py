@@ -46,7 +46,7 @@ _PRIORITY = [
     "corpus_weighted_repeat", "text_nb_classifier", "corpus_budget_select",
     "text_cut_dup_spans", "text_bigram_xent", "corpus_report",
     "text_hash_bow", "corpus_split_leakage", "dedup_clusters_star",
-    "text_bpe_tokenize",
+    "text_bpe_tokenize", "dedup_semantic",
     # -- changed this round: a11 converted from rows-only to a
     # tolerance-contract oracle; broadcast hints size-gated
     # (maybe_broadcast) across the TPC-H suite; q17 oracle decimal
@@ -59,9 +59,10 @@ _PRIORITY = [
     "q7_volume_shipping", "q17_small_quantity_revenue",
     "q11_important_nations", "q16_supplier_count", "q19_disjunctive_revenue",
     # -- fill to 50 with r4-evidence rows (2 sweeps old at round end
-    # otherwise). The 35 r4 rows that do NOT fit below (round 6 added
-    # 20 new/converted rows, displacing fill slots) must head the
-    # round-7 rotation: a2_top_keywords j2_dim_chain_join j3_collect_assembly
+    # otherwise). The 36 r4 rows that do NOT fit below (round 6 added
+    # 21 new/converted rows, displacing fill slots) must head the
+    # round-7 rotation: a1_count_star a2_top_keywords
+    # j2_dim_chain_join j3_collect_assembly
     # j4_semi_join j5_union_harvest j6_asof_join j7_range_join
     # p1_projection q13_order_distribution q18_large_orders
     # t10_window_suite t1_topk_multisort t6_group_topk t8_moving_avg
@@ -73,7 +74,6 @@ _PRIORITY = [
     # corpus_split_assign a9_rollup_revenue c_scalar_suite
     # a8_salted_skew_agg a6_distinct_cardinality a4_conditional_counts --
     "a10_grouped_distinct", "a13_grouping_sets", "a14_multi_distinct",
-    "a1_count_star",
 ]
 
 

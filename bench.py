@@ -130,6 +130,8 @@ HEADLINE = [
     # replace-chain pass. The distributed-rounds trainer path is
     # exercised in tests.
     "text_bpe_tokenize",
+    # SemDeDup: k-means clusters + in-cell cosine pruning — round 6
+    "dedup_semantic",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -510,3 +510,42 @@ def test_star_cc_matches_min_label(spark):
     import pytest
     with pytest.raises(RuntimeError, match="no convergence"):
         connected_components(chain, max_iter=5)
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup keep/drop set obeys its defining rules: the rank-min
+    vector of every cell survives, every dropped vector has a
+    before-ranked in-cell neighbor at cosine >= eps, and raising eps
+    never drops more."""
+    from twitter_analysis_spark.operators.dedup import semantic_dedup
+    from twitter_analysis_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, nlist=4, eps=0.3).collect()}
+    assert set(r["kept"] for r in out.values()) == {True, False}
+
+    cents = sim.kmeans_fit_exact(emb, nlist=4, iters=1)
+    asg = sim.ivf_assign(emb, cents, with_cos=True).collect()
+    by_cell: dict[int, list] = {}
+    for r in asg:
+        by_cell.setdefault(r["cell"], []).append(r)
+
+    import math
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+
+    for cell, rows in by_cell.items():
+        rows.sort(key=lambda r: (r["cell_cos"], r["vec_id"]))
+        head = rows[0]
+        assert out[head["vec_id"]]["kept"], "rank-min of a cell dropped"
+        for idx, r in enumerate(rows):
+            if not out[r["vec_id"]]["kept"]:
+                assert any(cos(p["embedding"], r["embedding"]) >= 0.3
+                           for p in rows[:idx]), "dropped w/o witness"
+
+    strict = semantic_dedup(emb, nlist=4, eps=0.9).where("NOT kept").count()
+    loose = sum(1 for r in out.values() if not r["kept"])
+    assert strict <= loose

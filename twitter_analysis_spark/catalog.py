@@ -3579,7 +3579,7 @@ def _kmeans_cos_sql(vec: str, cent: str) -> str:
 #: partition/scan order can't matter); re-assign; occupancy + mean
 #: cosine with the mean ALSO routed through an integer sum so no float
 #: reduction anywhere is order-dependent.
-ORACLE_KMEANS = f"""
+_KMEANS_ASSIGN_PREFIX = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (
       SELECT list(v ORDER BY vec_id) AS s
@@ -3610,17 +3610,39 @@ ORACLE_KMEANS = f"""
     ),
     cl AS (SELECT list(cv ORDER BY cell) AS cs FROM cents),
     a1 AS (
-      SELECT vec_id,
+      SELECT vec_id, v,
              list_max([{{'c': {_kmeans_cos_sql('v', 'cs[k]')},
                         'cell': k - 1}}
                        for k in generate_series(1, 8)]) AS best
       FROM e, cl
-    )
+    )"""
+
+ORACLE_KMEANS = _KMEANS_ASSIGN_PREFIX + """
     SELECT CAST(best.cell AS INT) AS cell,
            count(*) AS n_vecs,
            round(CAST(sum(CAST(round(best.c * 1000000.0) AS BIGINT))
                       AS DOUBLE) / (count(*) * 1000000.0), 3) AS mean_cos
     FROM a1 GROUP BY best.cell
+"""
+
+#: SemDeDup tail over the shared trained-assignment prefix: rank =
+#: (cos-to-centroid asc, id asc) inside each cell; j is dropped when a
+#: before-ranked i in the same cell has cosine >= eps to it. The pair
+#: cosine replays Spark's sequential zip_with/aggregate folds
+#: (list_dot_product — same left-fold order, identical IEEE doubles),
+#: so the >= eps decision is bit-identical cross-engine.
+ORACLE_SEMANTIC_DEDUP = _KMEANS_ASSIGN_PREFIX + """,
+    asg AS (SELECT vec_id, v, best.cell AS cell, best.c AS cc FROM a1),
+    drp AS (
+      SELECT DISTINCT j.vec_id FROM asg j JOIN asg i
+      ON i.cell = j.cell
+     AND (i.cc < j.cc OR (i.cc = j.cc AND i.vec_id < j.vec_id))
+     AND list_dot_product(i.v, j.v)
+         / (sqrt(list_dot_product(i.v, i.v))
+            * sqrt(list_dot_product(j.v, j.v))) >= 0.35)
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           d.vec_id IS NULL AS kept
+    FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id
 """
 
 
@@ -4628,3 +4650,18 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("cnt"), F.asc("subword"))
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"), "subword", "cnt")
+
+
+@register("dedup_semantic", ORACLE_SEMANTIC_DEDUP)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (operators/dedup.py:semantic_dedup): cluster the
+    # embedding space with the quantized bit-reproducible k-means,
+    # then prune cosine-near-identical vectors WITHIN each cluster,
+    # keeping the one farthest from its centroid. The oracle replays
+    # the whole chain — seeding, quantized Lloyd update, assignment
+    # argmax, the in-cell pair search, and the keep-the-outlier rank
+    # rule — on top of the same trained-assignment SQL prefix the
+    # sim_kmeans_ivf row already proves.
+    emb = _t(spark, sf_dir, "embeddings")
+    return _dedup.semantic_dedup(emb, "vec_id", "embedding",
+                                 nlist=8, eps=0.35)

@@ -892,3 +892,83 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
            .select(F.col("u").alias("node"),
                    F.least("_mn", F.col("u")).alias("cluster")))
     return out
+
+
+def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   nlist: int = 8, eps: float = 0.35,
+                   cleanup: list | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning near-identical
+    pairs WITHIN each cluster only — the lossy-by-design scale
+    trick that avoids the all-pairs (or even cell-pair) join of
+    :func:`embedding_near_dup_pairs`.
+
+    Procedure: fit spherical k-means (the quantized bit-reproducible
+    trainer, similarity.kmeans_fit_exact), assign every vector to its
+    max-cosine cell, and inside each cell drop any vector that has
+    cosine ≥ ``eps`` to a vector that ranks before it. Rank order is
+    (cosine-to-centroid asc, id asc): the paper's keep-the-outlier
+    rule — among semantic duplicates the one FARTHEST from the
+    centroid survives, deterministic tie-break by id.
+
+    Returns one row per vector: (id, cell, kept). The pair search is
+    an equi-join on cell — at 100 TB, ``nlist`` scales with corpus
+    size so the expected cluster stays bounded (the paper uses 50k
+    clusters for LAION), keeping the per-cell quadratic verify flat
+    and the join's AQE-splittable skew bounded; driver state is still
+    only the nlist centroid rows.
+
+    Every float in the decision is a sequential fold identical in
+    DuckDB (list_dot_product), so kept/dropped is bit-reproducible
+    cross-engine — no boundary ambiguity at cos == eps.
+    """
+    from . import similarity as sim
+
+    cents = sim.kmeans_fit_exact(emb, nlist=nlist, iters=1,
+                                 id_col=id_col, vec_col=vec_col)
+
+    def norm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, x: a + x))
+
+    # assigned feeds three consumers (two join sides + the output
+    # spine); persist so the scan + nlist-wide argmax runs once. The
+    # L2 norm is materialized per VECTOR here, so the in-cell pair
+    # test below is one dot fold + a scalar divide instead of three
+    # folds — same sqrt(dot(v,v)) arithmetic, bit-identical cosines.
+    asg = (sim.ivf_assign(emb, cents, id_col, vec_col, with_cos=True)
+           .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+                   "cell", F.col("cell_cos").alias("cc"),
+                   norm(F.col(vec_col)).alias("nrm"))
+           .persist())
+    if cleanup is not None:
+        cleanup.append(asg)
+
+    def side(tag: str) -> DataFrame:
+        return asg.select(F.col("vid").alias(f"{tag}_id"),
+                          F.col("v").alias(f"{tag}_v"),
+                          F.col("cell").alias(f"{tag}_cell"),
+                          F.col("cc").alias(f"{tag}_cc"),
+                          F.col("nrm").alias(f"{tag}_nrm"))
+
+    i, j = side("i"), side("j")
+    dot = F.aggregate(
+        F.zip_with("i_v", "j_v",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+
+    ranked_before = (F.col("i_cc") < F.col("j_cc")) | (
+        (F.col("i_cc") == F.col("j_cc")) & (F.col("i_id") < F.col("j_id")))
+    dropped = (
+        j.join(i, F.col("i_cell") == F.col("j_cell"), "inner")
+        .where(ranked_before)
+        .where(dot / (F.col("i_nrm") * F.col("j_nrm")) >= eps)
+        .select(F.col("j_id").alias("vid")).distinct()
+    )
+    return (
+        asg.join(dropped.withColumn("_d", F.lit(1)), "vid", "left")
+        .select(F.col("vid").alias(id_col), "cell",
+                F.col("_d").isNull().alias("kept"))
+    )
