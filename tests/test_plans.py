@@ -368,3 +368,25 @@ def test_incremental_dedup_probe_is_key_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan
+
+
+def test_bpe_encode_is_map_only_replace_chain(spark, sf_dir):
+    """The encode half of text_bpe_tokenize is scan -> explode ->
+    string replaces; the only exchange is the final top-k aggregate
+    (partial+final), and no Python UDF appears anywhere."""
+    plan = plan_of(spark, sf_dir, "text_bpe_tokenize")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+    # top-30 cut must not global-sort the subword table
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_dedup_pair_join_keyed_by_cell(spark, sf_dir):
+    """SemDeDup's in-cell pair search is a key-equi self-join on the
+    persisted assignment (InMemoryTableScan reused on both sides),
+    never a cartesian; kept-flag attach stays a key join."""
+    plan = plan_of(spark, sf_dir, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
