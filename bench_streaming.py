@@ -106,6 +106,19 @@ def main() -> None:
             index_path=os.path.join(base, "index"),
             checkpoint=os.path.join(base, "ckpt"))
 
+    def neardup_run(tag: str) -> None:
+        # near-dup analogue: band-index probe + exact-Jaccard verify
+        # per micro-batch (streaming/ingest.py:streaming_ingest_neardup)
+        from twitter_analysis_spark.streaming.ingest import (
+            streaming_ingest_neardup,
+        )
+        base = os.path.join(root, f"neardup_{tag}")
+        streaming_ingest_neardup(
+            spark, doc_drop,
+            corpus_path=os.path.join(base, "corpus"),
+            band_index_path=os.path.join(base, "index"),
+            checkpoint=os.path.join(base, "ckpt"))
+
     def drain(df, name: str, mode: str) -> None:
         q = (df.writeStream.format("memory").queryName(name)
              .outputMode(mode).trigger(availableNow=True).start())
@@ -131,6 +144,9 @@ def main() -> None:
         # deduplicating ingestion: drop -> corpus append + content
         # index maintenance inside foreachBatch (streaming/ingest.py)
         "stream_ingest_dedup": ingest_run,
+        # near-duplicate ingestion: banded MinHash index probe +
+        # exact-Jaccard verification of collisions, per micro-batch
+        "stream_ingest_neardup": neardup_run,
     }
 
     timings: dict[str, float] = {}

@@ -299,3 +299,62 @@ def test_streaming_ingest_dedup(spark, tmp_path):
                            checkpoint=str(tmp_path / "ckpt"))
     assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == \
         {1, 3, 11}
+
+
+def test_streaming_ingest_neardup(spark, tmp_path):
+    """Near-duplicate ingestion: exact copies AND high-Jaccard
+    variants are suppressed within a drop, across drops, and against
+    the corpus; genuinely novel texts land. The band index stays
+    bands-rows-per-corpus-doc."""
+    import json
+
+    from twitter_analysis_spark.streaming.ingest import (
+        streaming_ingest_neardup)
+
+    drop = tmp_path / "nd_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "nd_corpus")
+    index = str(tmp_path / "nd_index")
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the cat sleeps by the warm fire every evening")
+    near = base.replace("warm fire", "cozy stove")   # high-Jaccard variant
+    novel = ("completely different subject matter about spark "
+             "physical plans shuffles partitions and codegen stages")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    # in-drop: 2 is an exact dup of 1, 3 a near-dup of 1, 4 novel
+    # bands=16 (r=2): recall for the J=0.62 planted variant is
+    # 1-(1-J^2)^16 > 0.999 — the default 8x4 banding is tuned for
+    # J>=0.7 and would miss it half the time.
+    kw = dict(num_hashes=32, bands=16, threshold=0.5)
+    write_drop("d1.json", [(1, base), (2, base), (3, near), (4, novel)])
+    streaming_ingest_neardup(spark, str(drop), corpus, index,
+                             checkpoint=str(tmp_path / "nd_ckpt"), **kw)
+    got1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 4}
+
+    # across drops: 10 near-dups the corpus, 11 is new
+    write_drop("d2.json", [(10, base.replace("lazy", "idle")),
+                           (11, "unrelated short text entirely its own")])
+    streaming_ingest_neardup(spark, str(drop), corpus, index,
+                             checkpoint=str(tmp_path / "nd_ckpt"), **kw)
+    got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1, 4, 11}
+
+    # band index: exactly `bands` rows per surviving corpus doc
+    idx = spark.read.parquet(index)
+    per_doc = {r["doc"]: r["n"] for r in
+               idx.groupBy("doc").count().withColumnRenamed(
+                   "count", "n").collect()}
+    assert per_doc == {1: 16, 4: 16, 11: 16}
+
+    # re-drain is a no-op (markers)
+    streaming_ingest_neardup(spark, str(drop), corpus, index,
+                             checkpoint=str(tmp_path / "nd_ckpt"), **kw)
+    assert {r["doc_id"] for r in
+            spark.read.parquet(corpus).collect()} == {1, 4, 11}

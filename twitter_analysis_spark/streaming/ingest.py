@@ -103,3 +103,136 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def _empty_band_index(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "band INT, bh LONG, doc LONG")
+
+
+def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
+                             corpus_path: str, band_index_path: str,
+                             schema: str = "doc_id LONG, text STRING",
+                             n: int = 3, num_hashes: int = 32,
+                             bands: int = 8, threshold: float = 0.5,
+                             checkpoint: str | None = None):
+    """NEAR-duplicate streaming ingestion: the MinHash+LSH analogue of
+    :func:`streaming_ingest_dedup`. The persistent artifact is a BAND
+    INDEX (band, bh, doc) — ``bands`` rows per corpus document — so a
+    micro-batch probes the corpus with one key-equi join on
+    (band, bh), never a corpus rescan.
+
+    Per batch: signature + band keys for the batch docs; candidates =
+    band collisions against the index PLUS intra-batch collisions;
+    candidates are verified with EXACT n-gram Jaccard, the corpus side
+    of the verification reading only the candidate partner docs
+    (a key semi-join into the corpus — bucketed by doc_id at deploy
+    scale, a pruned read). Batch docs drop when a verified pair ties
+    them to the corpus or to a lower-id batch doc (first copy
+    survives); duplicate CHAINS resolve across triggers the same
+    one-pass way each trigger. Survivors append to the corpus and
+    their band rows to the index; the batch marker commits last, with
+    exactly the torn-batch recovery contract documented on
+    :func:`streaming_ingest_dedup`.
+
+    doc_ids are assumed globally unique across drops (they key both
+    the corpus and the index). Signatures use the xxhash64 family and
+    band keys; the hot-bucket cap is inherited from the banded
+    self-join defaults — a mega-bucket in the INDEX costs the probe
+    join, so the cap applies to the index side too at deploy scale.
+    """
+    from ..operators.dedup import (_jaccard_pairs_from, _signatures_from,
+                                   doc_shingle_pairs)
+
+    marker_dir = (os.path.join(checkpoint, "__ingest_batches")
+                  if checkpoint else f"{band_index_path}__batches")
+    os.makedirs(marker_dir, exist_ok=True)
+    r = num_hashes // bands
+    assert num_hashes % bands == 0
+
+    def banded_of(df: DataFrame) -> DataFrame:
+        ds = doc_shingle_pairs(df, "doc_id", "text", n)
+        sigs = _signatures_from(ds, num_hashes)
+        return sigs.select(
+            "doc",
+            F.explode(F.array([
+                F.struct(F.lit(b).alias("band"),
+                         F.xxhash64(*[F.col("sig")[b * r + i]
+                                      for i in range(r)]).alias("bh"))
+                for b in range(bands)
+            ])).alias("bk"),
+        ).select("doc", "bk.band", "bk.bh")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(drop_dir)
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):            # re-delivered after crash
+            return
+        batch_df = batch_df.persist()
+        banded = banded_of(batch_df).persist()
+        index = (spark.read.parquet(band_index_path)
+                 if os.path.exists(band_index_path)
+                 else _empty_band_index(spark))
+
+        # candidate pairs, normalized to (batch doc, partner doc)
+        vs_corpus = (
+            banded.alias("b")
+            .join(index.alias("i"), ["band", "bh"])
+            .select(F.col("b.doc").alias("bdoc"),
+                    F.col("i.doc").alias("pdoc"))
+            .distinct())
+        in_batch = (
+            banded.alias("l").join(banded.alias("r"), ["band", "bh"])
+            .where(F.col("l.doc") > F.col("r.doc"))
+            .select(F.col("l.doc").alias("bdoc"),
+                    F.col("r.doc").alias("pdoc"))
+            .distinct())
+        cand = vs_corpus.unionByName(in_batch).persist()
+
+        # exact-Jaccard verify over batch docs + candidate partners
+        # only (uncapped shingle sets: band collision is the recall
+        # device, the verify is the truth)
+        partners = cand.select(F.col("pdoc").alias("doc_id")).distinct()
+        corpus_part = (
+            spark.read.parquet(corpus_path)
+            .join(partners, "doc_id", "left_semi")
+            if os.path.exists(corpus_path)
+            else batch_df.limit(0))
+        vdocs = batch_df.select("doc_id", "text").unionByName(
+            corpus_part.select("doc_id", "text"))
+        vset = doc_shingle_pairs(vdocs, "doc_id", "text", n,
+                                 max_shingle_df=None)
+        pair_keys = cand.select(
+            F.least("bdoc", "pdoc").alias("id1"),
+            F.greatest("bdoc", "pdoc").alias("id2")).distinct()
+        verified = (_jaccard_pairs_from(vset, threshold)
+                    .join(pair_keys, ["id1", "id2"], "left_semi"))
+        dropped = (
+            cand.select("bdoc",
+                        F.least("bdoc", "pdoc").alias("id1"),
+                        F.greatest("bdoc", "pdoc").alias("id2"))
+            .join(verified.select("id1", "id2"), ["id1", "id2"],
+                  "left_semi")
+            .select(F.col("bdoc").alias("doc_id")).distinct())
+
+        new_docs = (batch_df.join(dropped, "doc_id", "left_anti")
+                    .persist())
+        new_docs.write.mode("append").parquet(corpus_path)
+        (banded_of(new_docs)
+         .write.mode("append").parquet(band_index_path))
+        for d in (new_docs, cand, banded, batch_df):
+            d.unpersist()
+        open(marker, "w").close()             # commit point, written last
+
+    writer = stream.writeStream.foreachBatch(ingest) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
