@@ -72,8 +72,9 @@ _PRIORITY = [
     # f2_array_membership f1_keyword_regex f13_not_in_subquery
     # f12_scalar_subquery f11_exists_subquery dedup_clusters
     # corpus_split_assign a9_rollup_revenue c_scalar_suite
-    # a8_salted_skew_agg a6_distinct_cardinality a4_conditional_counts --
-    "a10_grouped_distinct", "a13_grouping_sets", "a14_multi_distinct",
+    # a8_salted_skew_agg a6_distinct_cardinality a4_conditional_counts
+    # a10_grouped_distinct a13_grouping_sets a14_multi_distinct --
+    "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 
 

@@ -132,6 +132,11 @@ HEADLINE = [
     "text_bpe_tokenize",
     # SemDeDup: k-means clusters + in-cell cosine pruning — round 6
     "dedup_semantic",
+    # exact-integer PageRank over event-derived interaction edges
+    "graph_pagerank",
+    # salted skew JOIN (a8 covers the agg half) + Morton layout key
+    "j9_salted_skew_join",
+    "layout_zorder_key",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

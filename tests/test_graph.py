@@ -1,0 +1,109 @@
+"""PageRank semantics: hand-checkable graphs, a pure-Python replay of
+the exact-integer spec, dangling redistribution, and mass bounds."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from twitter_analysis_spark.operators import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(s), int(d)) for s, d in pairs], "src long, dst long")
+
+
+def _ranks(spark, pairs, iters):
+    df = G.pagerank_exact(_edges(spark, pairs), iters=iters)
+    return {r["node"]: r["rank_q"] for r in df.collect()}
+
+
+def _python_pagerank(pairs, iters):
+    """Pure-Python replay of the operator's integer iteration spec."""
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    n = len(nodes)
+    out = {}
+    for s, _ in pairs:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: G.SCALE // n for v in nodes}
+    tele = (15 * G.SCALE) // (100 * n)
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for s, d in pairs:
+            contrib[d] += rank[s] // out[s]
+        dang = sum(rank[v] for v in nodes if v not in out)
+        rank = {v: tele + (85 * (contrib[v] + dang // n)) // 100
+                for v in nodes}
+    return rank
+
+
+def test_cycle_is_uniform(spark):
+    # 3-cycle: perfect symmetry, every node keeps mass/3 every round.
+    got = _ranks(spark, [(0, 1), (1, 2), (2, 0)], iters=4)
+    assert len(set(got.values())) == 1
+    assert abs(got[0] - G.SCALE // 3) <= 4  # floor loss only
+
+
+def test_hub_outranks_spokes(spark):
+    # All spokes point at the hub; hub points back at one spoke.
+    pairs = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)]
+    got = _ranks(spark, pairs, iters=5)
+    assert got[0] == max(got.values())
+    # Spoke 1 receives the hub's whole mass; spokes 2-4 only teleport.
+    assert got[1] > got[2] == got[3] == got[4]
+
+
+def test_matches_python_replay(spark):
+    # Irregular graph with a dangling node (5 has no out-edges).
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 5), (4, 5),
+             (2, 4)]
+    got = _ranks(spark, pairs, iters=6)
+    assert got == _python_pagerank(pairs, iters=6)
+
+
+def test_dangling_mass_redistributes(spark):
+    # 0 -> 1 -> (sink). Without redistribution the sink would hoard
+    # mass; with it, node 0 still receives a share above bare teleport.
+    pairs = [(0, 1), (1, 2)]
+    got = _ranks(spark, pairs, iters=3)
+    tele = (15 * G.SCALE) // (100 * 3)
+    assert got[0] > tele  # got a slice of the dangling pool
+    assert got == _python_pagerank(pairs, iters=3)
+
+
+@pytest.mark.parametrize("iters", [1, 4])
+def test_mass_conserved_up_to_floor_loss(spark, iters):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (2, 0)]
+    got = _ranks(spark, pairs, iters=iters)
+    total = sum(got.values())
+    n = len(got)
+    # Each iteration loses < 1 unit per floor op: per-node contrib
+    # divisions (<= |E|), the dang share, damping, and teleport.
+    max_loss = (iters + 1) * (len(pairs) + 2 * n + 2)
+    assert G.SCALE - max_loss <= total <= G.SCALE
+
+
+def test_interaction_edges_extraction(spark):
+    events = spark.createDataFrame(
+        [(1, '{"k": 7}'), (1, '{"k": 7}'),    # parallel edge collapses
+         (2, '{"k": 2}'),                      # self-loop dropped
+         (3, '{"k": 160}'),                    # 160 % 150 == 10
+         (4, None), (5, '{"x": 1}')],          # no k -> dropped
+        "user_id long, props string")
+    got = {(r["src"], r["dst"])
+           for r in G.interaction_edges(events).collect()}
+    assert got == {(1, 7), (3, 10)}
+
+
+def test_partitioning_invariance(spark):
+    # The exact-integer spec is order- and partitioning-independent.
+    pairs = [(i % 7, (i * 3 + 1) % 7) for i in range(30)
+             if i % 7 != (i * 3 + 1) % 7]
+    e = _edges(spark, sorted(set(pairs)))
+    a = {r["node"]: r["rank_q"]
+         for r in G.pagerank_exact(e.repartition(1), iters=4).collect()}
+    b = {r["node"]: r["rank_q"]
+         for r in G.pagerank_exact(e.repartition(13), iters=4).collect()}
+    assert a == b

@@ -1,0 +1,92 @@
+"""Z-order layout: key correctness vs a Python replay, and the actual
+data-skipping win — per-file min/max spreads shrink on BOTH dimensions
+versus a single-column sort."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from twitter_analysis_spark.operators import layout as L
+
+
+def _morton(vals, bits):
+    """Pure-Python replay of the documented key spec."""
+    d = len(vals)
+    key = 0
+    for i, v in enumerate(vals):
+        m = v & ((1 << bits) - 1)
+        for b in range(bits):
+            key |= ((m >> b) & 1) << (b * d + i)
+    return key
+
+
+def _grid(spark, n=20_000):
+    """Two independent uniform dimensions + payload."""
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 256).alias("x"),
+        ((F.col("id") * 7919) % 256).alias("y"))
+
+
+def test_key_matches_python_replay(spark):
+    df = _grid(spark, 512).withColumn(
+        "zkey", L.zorder_key(["x", "y"], bits=8))
+    for r in df.collect():
+        assert r["zkey"] == _morton([r["x"], r["y"]], 8), (r["x"], r["y"])
+
+
+def test_key_handles_negatives_and_overflow_guard(spark):
+    df = spark.createDataFrame([(-1, 3)], "x long, y long") \
+        .withColumn("zkey", L.zorder_key(["x", "y"], bits=4))
+    assert df.collect()[0]["zkey"] == _morton([-1, 3], 4)
+    with pytest.raises(ValueError):
+        L.zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits > BIGINT
+
+
+def _file_spreads(spark, path, cols):
+    """Mean per-file (max-min) width of each column — the footer-stats
+    range a predicate on that column must straddle to skip the file."""
+    df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    per_file = df.groupBy("f").agg(
+        *[(F.max(c) - F.min(c)).alias(c) for c in cols])
+    n = per_file.count()
+    row = per_file.agg(*[F.sum(c).alias(c) for c in cols]).collect()[0]
+    return {c: row[c] / n for c in cols}
+
+
+def test_zorder_write_shrinks_both_dimensions(spark, tmp_path):
+    df = _grid(spark)
+    xsort, zord = str(tmp_path / "xsort"), str(tmp_path / "zord")
+    # Baseline: classic single-column sorted layout (great for x only).
+    (df.repartitionByRange(8, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(xsort))
+    L.write_zordered(df, ["x", "y"], zord, n_files=8)
+
+    sx = _file_spreads(spark, xsort, ["x", "y"])
+    sz = _file_spreads(spark, zord, ["x", "y"])
+    # The x-sort leaves y unclustered: every file spans ~the full range.
+    assert sx["y"] > 220
+    # Z-order: BOTH dimensions clustered. 8 files over a 256x256 grid
+    # should leave each file well under half the domain per dimension.
+    assert sz["x"] < 128 and sz["y"] < 128
+    # And the skip win on y versus the x-sorted layout is large.
+    assert sz["y"] < sx["y"] / 2
+
+    # Loss-free: the written multiset equals the input.
+    a = sorted((r["x"], r["y"]) for r in
+               spark.read.parquet(zord).select("x", "y").collect())
+    b = sorted((r["x"], r["y"]) for r in df.select("x", "y").collect())
+    assert a == b
+    # Helper key column is not leaked into the schema.
+    assert set(spark.read.parquet(zord).columns) == {"id", "x", "y"}
+
+
+def test_sql_twin_matches_column_expr(spark):
+    # The DuckDB oracle twin evaluated by Spark SQL gives the same key.
+    df = _grid(spark, 512)
+    got = df.select(
+        L.zorder_key(["x", "y"], bits=8).alias("a"),
+        F.expr(L.zorder_key_sql(["x", "y"], bits=8)).alias("b"))
+    assert got.where(F.col("a") != F.col("b")).count() == 0

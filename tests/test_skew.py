@@ -48,3 +48,54 @@ def test_salted_agg_equals_plain_on_skew(spark):
     )
     got = {r["k"]: (r["n"], r["s"]) for r in salted.collect()}
     assert got == plain
+
+
+def test_salted_join_identical_to_plain(spark):
+    """salted_join == plain join on the pathological distribution —
+    multiplicities, values, and the hot key's full row set."""
+    from twitter_analysis_spark.operators.skew import salted_join
+
+    facts = _skewed(spark).withColumn(
+        "rid", F.monotonically_increasing_id())
+    dim = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), F.col("id")).alias("name"))
+    plain = facts.join(dim, "k")
+    salted = salted_join(facts, dim, on="k", row_cols=["rid", "v"],
+                         n_salts=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    cols = sorted(plain.columns)
+    a = sorted(map(repr, plain.select(*cols).collect()))
+    b = sorted(map(repr, salted.select(*cols).collect()))
+    assert a == b
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from twitter_analysis_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (99, 3.0)], "k long, v double")
+    dim = spark.createDataFrame([(0, "zero")], "k long, name string")
+    got = salted_join(facts, dim, on="k", row_cols=["v"],
+                      n_salts=4, how="left")
+    rows = {(r["k"], r["v"], r["name"]) for r in got.collect()}
+    assert rows == {(0, 1.0, "zero"), (0, 2.0, "zero"), (99, 3.0, None)}
+    assert got.count() == 3  # unmatched row appears exactly once
+
+
+def test_salted_join_replicates_small_side(spark):
+    """The mechanism itself: the small side really fans out n_salts x
+    and the physical join is a shuffle join on (key, salt)."""
+    from twitter_analysis_spark.operators import skew
+    from twitter_analysis_spark.operators.skew import salted_join
+
+    facts = _skewed(spark).withColumn("rid", F.monotonically_increasing_id())
+    dim = spark.range(40).select(F.col("id").alias("k"),
+                                 F.lit("x").alias("name"))
+    small_r = dim.withColumn(
+        skew._SALT, F.explode(F.sequence(F.lit(0), F.lit(7))))
+    assert small_r.count() == 40 * 8
+    plan = salted_join(
+        facts, dim, on="k", row_cols=["rid"], n_salts=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # join condition carries the salt key

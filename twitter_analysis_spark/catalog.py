@@ -4665,3 +4665,157 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return _dedup.semantic_dedup(emb, "vec_id", "embedding",
                                  nlist=8, eps=0.35)
+
+
+def _pagerank_oracle(iters: int, n_buckets: int = 150) -> str:
+    """Unrolled-CTE DuckDB replay of operators/graph.py:pagerank_exact.
+
+    Every value is a BIGINT/HUGEINT and every division an integer DIV,
+    so iteration i's table is bit-identical to Spark's — the same
+    quantized-replay technique ORACLE_KMEANS uses for Lloyd rounds.
+    """
+    scale = 10**12
+    dst = (f"CAST(json_extract_string(props, '$.k') AS BIGINT)"
+           f" % {n_buckets}")
+    prefix = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT user_id AS src, {dst} AS dst
+      FROM events
+      WHERE {dst} IS NOT NULL AND user_id != {dst}
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e
+                           UNION SELECT dst FROM e),
+    deg AS MATERIALIZED (SELECT src, count(*) AS out_deg
+                         FROM e GROUP BY src),
+    nst AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, {scale} // (SELECT n FROM nst) AS rank_q FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    r{i} AS MATERIALIZED (
+      SELECT nd.node,
+             {15 * scale} // (100 * (SELECT n FROM nst))
+             + (85 * (COALESCE(c.contrib_q, 0)
+                      + d.dang_q // (SELECT n FROM nst))) // 100 AS rank_q
+      FROM nodes nd
+      LEFT JOIN (SELECT e.dst AS node,
+                        SUM(r.rank_q // dg.out_deg) AS contrib_q
+                 FROM r{i - 1} r
+                 JOIN e ON r.node = e.src
+                 JOIN deg dg ON dg.src = e.src
+                 GROUP BY e.dst) c USING (node)
+      CROSS JOIN (SELECT COALESCE(SUM(rank_q), 0) AS dang_q
+                  FROM r{i - 1}
+                  WHERE node NOT IN (SELECT src FROM deg)) d
+    )""")
+    final = f"""
+    SELECT node AS node_id, CAST(rank_q AS BIGINT) AS rank_q,
+           CAST(rank_q AS BIGINT) / {float(scale)} AS rank
+    FROM r{iters}
+    ORDER BY rank_q DESC, node
+    LIMIT 25
+    """
+    return prefix + "".join(steps) + final
+
+
+@register("graph_pagerank", _pagerank_oracle(iters=6))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Influence ranking the reference approximates with a follower-count
+    # sort (app.py:150-152), done as real link analysis: exact-integer
+    # PageRank (operators/graph.py) over the interaction edges derived
+    # from the event log. Per iteration Spark runs one |V|-row join
+    # against the persisted degree-annotated edge list plus one
+    # dst-keyed partial aggregate — the edge list (the only state that
+    # scales) is shuffled once, ranks are materialized per round to
+    # keep lineage flat. The oracle replays all 6 iterations in
+    # unrolled MATERIALIZED CTEs; integer micro-unit ranks make the
+    # replay exact (see the module docstring for the iteration spec).
+    from .operators import graph as _graph
+
+    events = _t(spark, sf_dir, "events")
+    ranks = _graph.pagerank_exact(_graph.interaction_edges(events), iters=6)
+    return (
+        ranks.select(
+            F.col("node").alias("node_id"),
+            F.col("rank_q"),
+            (F.col("rank_q") / F.lit(float(_graph.SCALE))).alias("rank"))
+        .orderBy(F.desc("rank_q"), F.asc("node_id"))
+        .limit(25)
+    )
+
+
+@register(
+    "j9_salted_skew_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The join half of the skew story (a8 covers aggregation): fact
+    # events scattered over 16 salts meet a 16x-replicated customer
+    # slice, so a power-law-hot user key occupies 16 reducers instead
+    # of one (operators/skew.py — when to prefer AQE's runtime skew
+    # split is documented there). The oracle is the PLAIN join: a hash
+    # match proves the salted rewrite is result-identical, counts and
+    # decimal sums included. The dimension side is deliberately NOT
+    # broadcast here — salting exists precisely for dimension sides
+    # too big to broadcast; the test pins the shuffle-join shape.
+    from .operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "join_uid")
+    cust = (_t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("join_uid"), "c_mktsegment"))
+    joined = salted_join(ev, cust, on="join_uid",
+                         row_cols=["event_id"], n_salts=16)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("double").alias("sum_value"))
+    )
+
+
+def _zorder_oracle() -> str:
+    from .operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(["o_custkey", "days"], bits=16)
+    return f"""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      date_diff('day', DATE '1970-01-01', o_orderdate) AS days
+               FROM orders),
+    z AS (SELECT o_orderkey, {z} AS zkey FROM o)
+    SELECT zkey >> 20 AS z_bucket,
+           count(*) AS n_orders,
+           min(zkey) AS z_min, max(zkey) AS z_max
+    FROM z GROUP BY z_bucket
+    """
+
+
+@register("layout_zorder_key", _zorder_oracle())
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Morton-key computation for multi-dimensional file clustering
+    # (operators/layout.py — the write path and the measured
+    # data-skipping win live in write_zordered / tests/test_layout.py).
+    # The key is pure codegen bit arithmetic; this row buckets the
+    # 32-bit (o_custkey x order-day) key space and proves the bit
+    # interleave matches the oracle's integer replay exactly. At
+    # 100 TB the same expression feeds repartitionByRange before a
+    # sorted parquet write, so EVERY interleaved dimension gets
+    # footer-stats locality instead of just the leading sort column.
+    from .operators.layout import zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    z = (orders
+         .withColumn("days", F.datediff(F.col("o_orderdate"),
+                                        F.lit("1970-01-01").cast("date")))
+         .withColumn("zkey", zorder_key(["o_custkey", "days"], bits=16)))
+    return (
+        z.groupBy(F.shiftright(F.col("zkey"), 20).alias("z_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.min("zkey").alias("z_min"),
+             F.max("zkey").alias("z_max"))
+    )

@@ -1,0 +1,84 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+Parquet data skipping is one-dimensional: sorting files by ``ts``
+makes time predicates cheap but scatters every other column across all
+files. At 100 TB the dominant cost of a selective query is how many
+files its predicate can SKIP via footer min/max stats, so layout is a
+first-class operator, not a DBA afterthought. Z-ordering interleaves
+the bits of several columns into one sort key, giving every
+participating dimension locality at once: a range predicate on ANY of
+them touches only the files whose min/max straddle it (the technique
+Delta/Iceberg expose as ``OPTIMIZE ZORDER BY``; Morton 1966).
+
+Spark shape: computing the key is a pure map (bit arithmetic inside
+whole-stage codegen — no UDF); clustering is one
+``repartitionByRange`` shuffle on the key plus an in-partition sort,
+exactly what a sorted write costs. The skip-effectiveness win is
+measured, not asserted, in tests/test_layout.py: per-file min/max
+spread shrinks for BOTH dimensions vs a single-column sort.
+
+The key spec (replayed verbatim by the catalog oracle): each column is
+masked to ``bits`` low bits, then bit b of column i lands at position
+``b * n_cols + i``. Masking makes the operator total on any BIGINT
+input; for real data, quantile-rank columns first (percentile buckets)
+so skewed domains fill the grid evenly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default bits per dimension: 16 bits x 2 dims stays in a BIGINT with
+#: room for 4 dims.
+DEFAULT_BITS = 16
+
+
+def zorder_key(cols: Sequence[str | Column],
+               bits: int = DEFAULT_BITS) -> Column:
+    """Morton-interleaved BIGINT key over the given integer columns."""
+    d = len(cols)
+    if d * bits > 63:
+        raise ValueError(f"{d} cols x {bits} bits exceeds BIGINT")
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        masked = (F.col(c) if isinstance(c, str) else c) \
+            .cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(masked, b).bitwiseAND(F.lit(1)),
+                            b * d + i))
+    return key
+
+
+def zorder_key_sql(cols: Sequence[str], bits: int = DEFAULT_BITS) -> str:
+    """The identical key as portable SQL (the DuckDB oracle twin)."""
+    d = len(cols)
+    mask = (1 << bits) - 1
+    # Each term fully parenthesized: DuckDB gives |, & and << equal
+    # precedence with left associativity, so a bare "a << 1 | b << 3"
+    # parses as ((a << 1) | b) << 3 and overflows.
+    terms = [
+        f"(((({c} & {mask}) >> {b}) & 1) << {b * d + i})"
+        for i, c in enumerate(cols) for b in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(df: DataFrame, cols: Sequence[str], path: str,
+                   n_files: int, bits: int = DEFAULT_BITS) -> None:
+    """Cluster ``df`` on the Z-key and write ``n_files`` parquet files.
+
+    ``repartitionByRange`` samples the key distribution so files hold
+    contiguous, evenly sized Z-ranges; the in-partition sort tightens
+    per-row-group stats inside each file. The helper key column is
+    dropped from the written schema.
+    """
+    zk = "__zorder"
+    (df.withColumn(zk, zorder_key(cols, bits))
+       .repartitionByRange(n_files, F.col(zk))
+       .sortWithinPartitions(zk)
+       .drop(zk)
+       .write.mode("overwrite").parquet(path))
