@@ -119,6 +119,23 @@ def main() -> None:
             band_index_path=os.path.join(base, "index"),
             checkpoint=os.path.join(base, "ckpt"))
 
+    def rollup_run(tag: str) -> None:
+        # streamed rollup maintenance: id-dedup raw append + partition-
+        # scoped recompute per micro-batch (streaming/rollup_ingest.py)
+        from twitter_analysis_spark.streaming.rollup_ingest import (
+            streaming_rollup_ingest,
+        )
+        base = os.path.join(root, f"rollup_{tag}")
+        streaming_rollup_ingest(
+            spark, ev_drop,
+            lake_path=os.path.join(base, "lake"),
+            index_path=os.path.join(base, "index"),
+            rollup_path=os.path.join(base, "rollup"),
+            grain="hour",
+            schema=("event_id LONG, ts TIMESTAMP, user_id LONG, "
+                    "event_type STRING, value DOUBLE"),
+            checkpoint=os.path.join(base, "ckpt"))
+
     def drain(df, name: str, mode: str) -> None:
         q = (df.writeStream.format("memory").queryName(name)
              .outputMode(mode).trigger(availableNow=True).start())
@@ -147,6 +164,8 @@ def main() -> None:
         # near-duplicate ingestion: banded MinHash index probe +
         # exact-Jaccard verification of collisions, per micro-batch
         "stream_ingest_neardup": neardup_run,
+        # rollup maintenance: lake append + touched-date recompute
+        "stream_rollup_ingest": rollup_run,
     }
 
     timings: dict[str, float] = {}

@@ -90,3 +90,33 @@ def test_sql_twin_matches_column_expr(spark):
         L.zorder_key(["x", "y"], bits=8).alias("a"),
         F.expr(L.zorder_key_sql(["x", "y"], bits=8)).alias("b"))
     assert got.where(F.col("a") != F.col("b")).count() == 0
+
+
+def test_file_stats_pruned_read(spark, tmp_path):
+    """The stats index skips files a predicate cannot touch, and the
+    pruned read equals the full-scan filter exactly."""
+    df = _grid(spark)
+    zord = str(tmp_path / "zord2")
+    L.write_zordered(df, ["x", "y"], zord, n_files=8)
+    idx = L.file_stats_index(spark, zord, ["x", "y"]).persist()
+    assert idx.count() == 8
+    # n_rows covers the whole dataset
+    assert idx.agg(F.sum("n_rows")).collect()[0][0] == df.count()
+
+    ranges = {"x": (10, 40), "y": (200, 230)}
+    pruned = L.pruned_read(spark, zord, idx, ranges)
+    full = (spark.read.parquet(zord)
+            .where(F.col("x").between(10, 40) & F.col("y").between(200, 230)))
+    a = sorted((r["id"], r["x"], r["y"]) for r in pruned.collect())
+    b = sorted((r["id"], r["x"], r["y"]) for r in full.collect())
+    assert a == b and a  # equal and non-empty
+
+    # the point of the exercise: fewer files opened than exist
+    opened = pruned.select(F.input_file_name()).distinct().count()
+    assert opened < 8
+
+    # a provably-empty window opens nothing and still types correctly
+    empty = L.pruned_read(spark, zord, idx, {"x": (300, 400)})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "x", "y"}
+    idx.unpersist()

@@ -358,3 +358,77 @@ def test_streaming_ingest_neardup(spark, tmp_path):
                              checkpoint=str(tmp_path / "nd_ckpt"), **kw)
     assert {r["doc_id"] for r in
             spark.read.parquet(corpus).collect()} == {1, 4, 11}
+
+
+def test_streaming_rollup_ingest(spark, tmp_path):
+    """Streamed rollup maintenance: after each drain the stored rollup
+    equals a from-scratch batch rollup of the (deduped) lake; replayed
+    events never double-count; re-drain is a no-op."""
+    import json
+
+    from twitter_analysis_spark.operators.rollup import rollup
+    from twitter_analysis_spark.streaming.rollup_ingest import (
+        streaming_rollup_ingest)
+
+    drop = tmp_path / "ev_drop"
+    drop.mkdir()
+    lake = str(tmp_path / "ev_lake")
+    index = str(tmp_path / "ev_index")
+    roll = str(tmp_path / "ev_rollup")
+    ckpt = str(tmp_path / "ev_ckpt")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for eid, ts, etype, val in rows:
+                f.write(json.dumps({
+                    "event_id": eid, "ts": ts, "user_id": eid % 5,
+                    "event_type": etype, "value": val}) + "\n")
+
+    def stored():
+        df = spark.read.parquet(roll)
+        return sorted(
+            (str(r["bucket_ts"]), r["event_type"], r["n_events"],
+             str(r["sum_value_dec"]))
+            for r in df.collect())
+
+    def batch_truth():
+        lk = spark.read.parquet(lake).dropDuplicates(["event_id"])
+        return sorted(
+            (str(r["bucket_ts"]), r["event_type"], r["n_events"],
+             str(r["sum_value_dec"]))
+            for r in rollup(lk, "hour").collect())
+
+    write_drop("d1.json", [
+        (1, "2024-03-01 10:05:00", "click", 1.5),
+        (2, "2024-03-01 10:55:00", "click", 2.0),
+        (3, "2024-03-01 11:05:00", "view", 4.0),
+        (4, "2024-03-02 09:00:00", "click", 8.0),
+    ])
+    streaming_rollup_ingest(spark, str(drop), lake, index, roll,
+                            grain="hour", checkpoint=ckpt)
+    assert stored() == batch_truth()
+    first = stored()
+    # 10:00 bucket merged the two clicks
+    assert ("2024-03-01 10:00:00", "click", 2, "3.50") in first
+
+    # Second drop: late data for an EXISTING hour, a replayed event_id
+    # (7 carries the same id-space as nothing; 2 is a true replay), and
+    # a brand-new date.
+    write_drop("d2.json", [
+        (2, "2024-03-01 10:55:00", "click", 2.0),   # replayed id
+        (7, "2024-03-01 10:20:00", "click", 10.0),  # late arrival
+        (8, "2024-03-05 00:30:00", "error", 1.0),   # new date
+    ])
+    streaming_rollup_ingest(spark, str(drop), lake, index, roll,
+                            grain="hour", checkpoint=ckpt)
+    got = stored()
+    assert got == batch_truth()
+    assert ("2024-03-01 10:00:00", "click", 3, "13.50") in got
+    assert ("2024-03-05 00:00:00", "error", 1, "1.00") in got
+    # untouched date survived the partial refresh
+    assert ("2024-03-02 09:00:00", "click", 1, "8.00") in got
+
+    # re-drain: markers make it a no-op
+    streaming_rollup_ingest(spark, str(drop), lake, index, roll,
+                            grain="hour", checkpoint=ckpt)
+    assert stored() == got

@@ -82,3 +82,53 @@ def write_zordered(df: DataFrame, cols: Sequence[str], path: str,
        .sortWithinPartitions(zk)
        .drop(zk)
        .write.mode("overwrite").parquet(path))
+
+
+def file_stats_index(spark, path: str,
+                     cols: Sequence[str]) -> DataFrame:
+    """Per-file min/max index over ``cols`` — explicit data skipping.
+
+    Parquet already stores these stats in footers, but OSS Spark only
+    exploits them per-row-group AFTER opening each file; at 100 TB the
+    win is not opening files at all. This builds the small-table
+    analogue of Delta/Iceberg file statistics: one row per file with
+    min/max per indexed column (plus row count), computed with one
+    scan that is amortized over every subsequent pruned read. Rebuild
+    after compaction/layout changes; the index is tiny (a row per
+    file) and is itself a DataFrame — persist it wherever the rollups
+    live.
+    """
+    df = spark.read.parquet(path).withColumn("file", F.input_file_name())
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy("file").agg(*aggs)
+
+
+def pruned_read(spark, path: str, index: DataFrame,
+                ranges: dict[str, tuple]) -> DataFrame:
+    """Read only the files whose stats can satisfy ``ranges``.
+
+    ``ranges``: {col: (lo, hi)} closed intervals. A file survives when
+    no indexed column proves it disjoint (min > hi or max < lo) — the
+    standard can-match test, conservative under NULLs because min/max
+    ignore them. The surviving file list is a bounded driver collect
+    (one short string per file — the same order of driver state Spark's
+    own file listing already holds). The returned frame re-applies the
+    range predicate row-wise, so the result equals the full-scan
+    filter exactly; with a Z-ordered layout (write_zordered) most
+    files fall to the stats test and are never opened.
+    """
+    pred = None
+    for c, (lo, hi) in ranges.items():
+        p = (F.col(f"max_{c}") >= F.lit(lo)) & \
+            (F.col(f"min_{c}") <= F.lit(hi))
+        pred = p if pred is None else (pred & p)
+    files = [r["file"] for r in index.where(pred).select("file").collect()]
+    if not files:  # every file proved disjoint: an empty typed frame
+        return spark.read.parquet(path).where(F.lit(False))
+    row_pred = None
+    for c, (lo, hi) in ranges.items():
+        p = F.col(c).between(F.lit(lo), F.lit(hi))
+        row_pred = p if row_pred is None else (row_pred & p)
+    return spark.read.parquet(*files).where(row_pred)

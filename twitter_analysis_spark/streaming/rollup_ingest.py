@@ -1,0 +1,114 @@
+"""Streaming rollup maintenance: drop-dir events → raw lake → fresh
+pre-aggregates, continuously.
+
+Completes the rollup story (operators/rollup.py): the batch API builds
+and refreshes hourly/daily pre-aggregates on demand; this keeps them
+CURRENT as events stream in, with the same crash contract the other
+ingest pipelines use (streaming/ingest.py).
+
+Per micro-batch (inside ``foreachBatch``):
+
+1. dedupe the batch against a persistent ``event_id`` index
+   (operators/dedup.py machinery, keyed on the id — event payloads are
+   not content-addressed) and append only genuinely-new rows to the
+   raw lake, partitioned by ``event_date``;
+2. append their ids to the index;
+3. recompute the rollup for exactly the batch's touched dates with
+   ``refresh_rollup`` (dynamic partition overwrite — other dates'
+   files untouched);
+4. stamp the batch marker last.
+
+Why RECOMPUTE-from-pruned-raw instead of merging the batch's partial
+aggregate into the stored rollup: a merge is cheaper per trigger but
+is only exactly-once on a transactional sink (Delta/Iceberg MERGE) —
+on plain parquet a replayed batch would double-merge. Recompute is
+idempotent by construction: every crash window replays into the same
+final state, because the refresh derives from the (deduped) lake, not
+from the batch. The lake read is partition-pruned to the touched
+dates, so per-trigger cost is batch size + those dates' partitions —
+NOT corpus size. The one remaining torn window (lake appended, index
+append crashed) can leave duplicate raw rows for the crashed batch
+only; the refresh guards against even that by deduplicating the
+pruned scan on ``event_id`` before aggregating, so the SERVED rollup
+never double-counts while the next ``maintenance.upsert_by_key``
+compaction cures the lake itself (the repo-wide recovery contract for
+non-transactional sinks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rollup import prune_to_dates, refresh_rollup
+
+_EVENT_SCHEMA = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
+                 "event_type STRING, value DOUBLE")
+
+
+def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
+                            lake_path: str, index_path: str,
+                            rollup_path: str,
+                            grain: str = "hour",
+                            schema: str = _EVENT_SCHEMA,
+                            checkpoint: str | None = None):
+    """Drain ``drop_dir`` (availableNow) into the date-partitioned raw
+    lake and keep the ``grain`` rollup at ``rollup_path`` exactly
+    consistent with it. Returns the finished streaming query.
+
+    Marker scoping follows :func:`streaming.ingest.streaming_ingest_dedup`:
+    reuse one checkpoint for the pipeline's lifetime.
+    """
+    marker_dir = (os.path.join(checkpoint, "__rollup_batches")
+                  if checkpoint else f"{rollup_path}__batches")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(drop_dir)
+        .where(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):            # re-delivered after crash
+            return
+        batch = batch_df.dropDuplicates(["event_id"]).persist()
+        # Touched grain partitions: a bounded collect (distinct DATES
+        # in one micro-batch — days, not rows).
+        dates = [r["d"] for r in
+                 batch.select(F.to_date("ts").alias("d")).distinct()
+                 .collect()]
+        if dates:
+            index = (spark.read.parquet(index_path)
+                     if os.path.exists(index_path)
+                     else spark.createDataFrame([], "event_id LONG"))
+            new = batch.join(index, "event_id", "left_anti").persist()
+            (new.withColumn("event_date", F.to_date("ts"))
+             .write.partitionBy("event_date")
+             .mode("append").parquet(lake_path))
+            new.select("event_id").write.mode("append").parquet(index_path)
+            new.unpersist()
+            # Refresh from the lake, NOT from the batch: idempotent
+            # under replay. Prune to the touched dates BELOW the
+            # event_id dedup — an aggregate on a non-partition key
+            # blocks filter pushdown, so the manual order (prune, then
+            # dedup) is what keeps the scan partition-scoped.
+            lake = spark.read.parquet(lake_path)
+            pruned = prune_to_dates(lake, grain, dates, "event_date") \
+                .dropDuplicates(["event_id"])
+            refresh_rollup(spark, pruned, rollup_path, grain=grain,
+                           dates=dates)
+        batch.unpersist()
+        open(marker, "w").close()             # commit point, written last
+
+    writer = stream.writeStream.foreachBatch(ingest) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
