@@ -57,7 +57,11 @@ _PRIORITY = [
     "q2_groupwise_argmin", "q5_local_supplier_volume", "text_tfidf_topk",
     "q10_returned_items", "q14_promo_effect", "q8_market_share",
     "q7_volume_shipping", "q17_small_quantity_revenue",
-    "q11_important_nations", "q16_supplier_count", "q19_disjunctive_revenue",
+    # -- new analytics tier (never swept): funnel / cohort / SCD2.
+    # These displace q11/q16/q19 (changed by the broadcast gating but
+    # r5-hash-green with identical results; their re-evidence joins
+    # the round-7 carry-over head) --
+    "funnel_conversion", "cohort_retention", "scd2_intervals",
     # -- fill to 50 with r4-evidence rows (2 sweeps old at round end
     # otherwise). The 36 r4 rows that do NOT fit below (round 6 added
     # 21 new/converted rows, displacing fill slots) must head the
@@ -73,7 +77,8 @@ _PRIORITY = [
     # f12_scalar_subquery f11_exists_subquery dedup_clusters
     # corpus_split_assign a9_rollup_revenue c_scalar_suite
     # a8_salted_skew_agg a6_distinct_cardinality a4_conditional_counts
-    # a10_grouped_distinct a13_grouping_sets a14_multi_distinct --
+    # a10_grouped_distinct a13_grouping_sets a14_multi_distinct
+    # q11_important_nations q16_supplier_count q19_disjunctive_revenue --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

@@ -137,6 +137,11 @@ HEADLINE = [
     # salted skew JOIN (a8 covers the agg half) + Morton layout key
     "j9_salted_skew_join",
     "layout_zorder_key",
+    # product-analytics tier: ordered-step funnel, cohort retention,
+    # SCD2 dimension-history build
+    "funnel_conversion",
+    "cohort_retention",
+    "scd2_intervals",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -1,0 +1,110 @@
+"""Event-analytics semantics on planted scenarios: funnel step
+ordering, cohort week arithmetic, SCD2 interval chaining."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from twitter_analysis_spark import catalog
+
+
+def _events(spark, rows, tmp_path, name):
+    """(event_id, ts, user_id, event_type, value) -> sf_dir fixture."""
+    df = spark.createDataFrame(
+        [(i, datetime.fromisoformat(ts), u, et, float(v))
+         for i, (ts, u, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    sf = tmp_path / name
+    df.write.mode("overwrite").parquet(str(sf / "events.parquet"))
+    return str(sf)
+
+
+def test_funnel_step_order_enforced(spark, tmp_path):
+    rows = [
+        # user 1: full ordered funnel
+        ("2024-01-01 10:00:00", 1, "signup", 0),
+        ("2024-01-01 11:00:00", 1, "click", 0),
+        ("2024-01-01 12:00:00", 1, "purchase", 0),
+        # user 2: click BEFORE signup — step 2 must not count
+        ("2024-01-02 09:00:00", 2, "click", 0),
+        ("2024-01-02 10:00:00", 2, "signup", 0),
+        # user 3: purchase before click — stops at step 2
+        ("2024-01-03 08:00:00", 3, "signup", 0),
+        ("2024-01-03 08:30:00", 3, "purchase", 0),
+        ("2024-01-03 09:00:00", 3, "click", 0),
+        # user 4: never signed up — not in the funnel at all
+        ("2024-01-04 10:00:00", 4, "click", 0),
+        ("2024-01-04 11:00:00", 4, "purchase", 0),
+        # user 1 tie case: same-second click as signup does NOT count
+        # (strict >), but the later one above already did.
+    ]
+    sf = _events(spark, rows, tmp_path, "funnel")
+    got = catalog.QUERIES["funnel_conversion"](spark, sf).collect()[0]
+    assert got["n_signup"] == 3          # users 1, 2, 3
+    assert got["n_click_after"] == 2     # users 1, 3
+    assert got["n_purchase_after"] == 1  # user 1 only
+    assert got["purchase_rate"] == 1 / 3
+
+
+def test_cohort_week_offsets(spark, tmp_path):
+    rows = [
+        # user 1 first seen Jan 1; active day 0, day 6 (week 0), day 7
+        # (week 1), day 20 (week 2)
+        ("2024-01-01 10:00:00", 1, "view", 0),
+        ("2024-01-07 10:00:00", 1, "view", 0),
+        ("2024-01-08 10:00:00", 1, "view", 0),
+        ("2024-01-21 10:00:00", 1, "view", 0),
+        # user 2 shares the cohort, only ever active in week 0
+        ("2024-01-01 12:00:00", 2, "view", 0),
+        # user 3: its own cohort on Jan 10
+        ("2024-01-10 09:00:00", 3, "view", 0),
+        ("2024-01-17 09:00:00", 3, "view", 0),
+    ]
+    sf = _events(spark, rows, tmp_path, "cohort")
+    got = {(str(r["cohort_date"]), r["week_offset"]):
+           (r["n_active"], r["cohort_size"], r["retention"])
+           for r in catalog.QUERIES["cohort_retention"](spark, sf).collect()}
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert got[("2024-01-10", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-10", 1)] == (1, 1, 1.0)
+    assert len(got) == 5
+
+
+def test_scd2_collapse_and_chaining(spark, tmp_path):
+    rows = [
+        # user 1: value 5 -> 5 (collapsed) -> 7 -> 7 -> 5 again
+        ("2024-01-01 10:00:00", 1, "purchase", 5),
+        ("2024-01-02 10:00:00", 1, "purchase", 5),
+        ("2024-01-03 10:00:00", 1, "purchase", 7),
+        ("2024-01-04 10:00:00", 1, "purchase", 7),
+        ("2024-01-05 10:00:00", 1, "purchase", 5),
+        # noise: non-purchase events are not part of the change log
+        ("2024-01-06 10:00:00", 1, "view", 99),
+        # user 2: single version, current from the start
+        ("2024-01-01 00:00:00", 2, "purchase", 1),
+    ]
+    sf = _events(spark, rows, tmp_path, "scd2")
+    out = catalog.QUERIES["scd2_intervals"](spark, sf)
+    got = sorted(
+        (r["user_id"], r["value"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in out.collect())
+    assert got == [
+        (1, 5.0, "2024-01-01 10:00:00", "2024-01-03 10:00:00", False),
+        (1, 5.0, "2024-01-05 10:00:00", "None", True),
+        (1, 7.0, "2024-01-03 10:00:00", "2024-01-05 10:00:00", False),
+        (2, 1.0, "2024-01-01 00:00:00", "None", True),
+    ]
+    # Intervals per user chain gaplessly: valid_to == next valid_from.
+    # (Asserted by construction above; re-check relationally.)
+    nxt = out.alias("a").join(
+        out.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.valid_to") == F.col("b.valid_from")), "left_anti") \
+        .where(F.col("a.valid_to").isNotNull())
+    assert nxt.count() == 0

@@ -4819,3 +4819,159 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("zkey").alias("z_min"),
              F.max("zkey").alias("z_max"))
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts_sec,
+                       event_type FROM events),
+    t1 AS (SELECT user_id, min(ts_sec) AS t1 FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.ts_sec) AS t2
+           FROM ev e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts_sec > t1.t1
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.ts_sec) AS t3
+           FROM ev e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_sec > t2.t2
+           GROUP BY e.user_id)
+    SELECT count(t1.user_id) AS n_signup,
+           count(t2.user_id) AS n_click_after,
+           count(t3.user_id) AS n_purchase_after,
+           CAST(count(t2.user_id) AS DOUBLE)
+             / CAST(count(t1.user_id) AS DOUBLE) AS click_rate,
+           CAST(count(t3.user_id) AS DOUBLE)
+             / CAST(count(t1.user_id) AS DOUBLE) AS purchase_rate
+    FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered-step funnel (signup -> click -> purchase), the product-
+    # analytics query the reference's dashboard domain implies but
+    # never ships. Sequencing is expressed RELATIONALLY — per-step
+    # min-timestamp aggregates chained by "after the previous step's
+    # instant" semi-join conditions — so each step is one user-keyed
+    # partial aggregate and Catalyst co-partitions the whole chain on
+    # user_id (no per-user event sorting, no session reassembly, no
+    # window over the raw log). Seconds are the spec'd time axis: the
+    # loader's micro-truncated ts (sources/io.py) and DuckDB's nano ts
+    # agree after date_trunc, so step inequalities are engine-stable.
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+                  "event_type"))
+    t1 = (ev.where(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts_sec").alias("t1")))
+    t2 = (ev.where(F.col("event_type") == "click")
+          .join(t1, "user_id")
+          .where(F.col("ts_sec") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts_sec").alias("t2")))
+    t3 = (ev.where(F.col("event_type") == "purchase")
+          .join(t2, "user_id")
+          .where(F.col("ts_sec") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts_sec").alias("t3")))
+    n1, n2, n3 = F.count("t1"), F.count("t2"), F.count("t3")
+    return (
+        t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+        .agg(n1.alias("n_signup"),
+             n2.alias("n_click_after"),
+             n3.alias("n_purchase_after"),
+             (n2.cast("double") / n1.cast("double")).alias("click_rate"),
+             (n3.cast("double") / n1.cast("double")).alias("purchase_rate"))
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH act AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+    cohort AS (SELECT user_id, min(d) AS cohort_date FROM act
+               GROUP BY user_id),
+    sizes AS (SELECT cohort_date, count(*) AS cohort_size FROM cohort
+              GROUP BY cohort_date),
+    ret AS (SELECT c.cohort_date,
+                   date_diff('day', c.cohort_date, a.d) // 7 AS week_offset,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM act a JOIN cohort c ON a.user_id = c.user_id
+            GROUP BY c.cohort_date, week_offset)
+    SELECT r.cohort_date, r.week_offset, r.n_active, s.cohort_size,
+           CAST(r.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+             AS retention
+    FROM ret r JOIN sizes s ON r.cohort_date = s.cohort_date
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort retention triangle: users grouped by first-seen date,
+    # activity counted per week offset. The raw log collapses to
+    # distinct (user, day) FIRST — at 100 TB that one projection+
+    # distinct is the only full-scan pass; cohorts, sizes, and the
+    # retention grid all derive from the (users x days)-sized frame.
+    # Integer day arithmetic (datediff DIV 7) is engine-exact; the
+    # rate is one IEEE division of exact counts.
+    act = (_t(spark, sf_dir, "events")
+           .select("user_id", F.to_date("ts").alias("d"))
+           .distinct())
+    cohort = act.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    sizes = (cohort.groupBy("cohort_date")
+             .agg(F.count(F.lit(1)).alias("cohort_size")))
+    ret = (act.join(cohort, "user_id")
+           .groupBy("cohort_date",
+                    F.expr("datediff(d, cohort_date) DIV 7")
+                    .alias("week_offset"))
+           .agg(F.countDistinct("user_id").alias("n_active")))
+    return (
+        ret.join(maybe_broadcast(sizes), "cohort_date")
+        .select("cohort_date", "week_offset", "n_active", "cohort_size",
+                (F.col("n_active").cast("double")
+                 / F.col("cohort_size").cast("double")).alias("retention"))
+    )
+
+
+@register(
+    "scd2_intervals",
+    """
+    WITH ch AS (SELECT user_id, event_id,
+                       date_trunc('second', ts) AS ts_sec, value
+                FROM events WHERE event_type = 'purchase'),
+    dedup AS (SELECT *,
+                     lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts_sec, event_id) AS prev
+              FROM ch),
+    changes AS (SELECT user_id, event_id, ts_sec, value FROM dedup
+                WHERE prev IS NULL OR value <> prev)
+    SELECT user_id, value,
+           ts_sec AS valid_from,
+           lead(ts_sec) OVER (PARTITION BY user_id
+                              ORDER BY ts_sec, event_id) AS valid_to,
+           lead(ts_sec) OVER (PARTITION BY user_id
+                              ORDER BY ts_sec, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Slowly-changing-dimension type-2 build: a change log becomes
+    # validity intervals (valid_from, valid_to, is_current), the
+    # dimension-history table the as-of join (j6) consumes on its
+    # other side. Consecutive duplicate values collapse first (lag),
+    # then intervals close with lead — both windows share one
+    # user-keyed partition, so the whole build is a single shuffle
+    # and scales with the CHANGE log, not the fact table. event_id
+    # breaks timestamp ties for a total order in both engines.
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    ch = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type") == "purchase")
+          .select("user_id", "event_id",
+                  F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+                  "value"))
+    changes = (ch.withColumn("prev", F.lag("value").over(w))
+               .where(F.col("prev").isNull()
+                      | (F.col("value") != F.col("prev")))
+               .drop("prev"))
+    return changes.select(
+        "user_id", "value",
+        F.col("ts_sec").alias("valid_from"),
+        F.lead("ts_sec").over(w).alias("valid_to"),
+        F.lead("ts_sec").over(w).isNull().alias("is_current"))
