@@ -142,6 +142,9 @@ HEADLINE = [
     "funnel_conversion",
     "cohort_retention",
     "scd2_intervals",
+    # triangle counting (degree-ordered orientation) + Count-Min
+    "graph_triangles",
+    "sketch_countmin_topk",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -107,3 +107,52 @@ def test_partitioning_invariance(spark):
     b = {r["node"]: r["rank_q"]
          for r in G.pagerank_exact(e.repartition(13), iters=4).collect()}
     assert a == b
+
+
+def _tri(spark, pairs):
+    df = G.triangle_counts(_edges(spark, pairs))
+    return {r["node"]: r["n_triangles"] for r in df.collect()}
+
+
+def _python_triangles(pairs):
+    """Brute-force truth: count triangles per node via set closure."""
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = sorted({v for e in und for v in e})
+    nbr = {v: set() for v in nodes}
+    for a, b in und:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    out = {v: 0 for v in nodes}
+    from itertools import combinations
+    for a, b, c in combinations(nodes, 3):
+        if b in nbr[a] and c in nbr[a] and c in nbr[b]:
+            out[a] += 1
+            out[b] += 1
+            out[c] += 1
+    return out
+
+
+def test_triangles_k4(spark):
+    # K4: every node sits in C(3,2) = 3 triangles.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _tri(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_none_on_chain(spark):
+    got = _tri(spark, [(0, 1), (1, 2), (2, 3)])
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_triangles_direction_and_parallel_invariant(spark):
+    # Reversed duplicates and parallel edges must not inflate counts.
+    base = [(0, 1), (1, 2), (2, 0)]
+    noisy = base + [(1, 0), (2, 1), (0, 2), (0, 1), (2, 0)]
+    assert _tri(spark, noisy) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_match_bruteforce(spark):
+    # Irregular graph incl. a hub (pseudo power-law) — exercises the
+    # degree orientation's tie-breaks.
+    pairs = [(0, i) for i in range(1, 8)] + \
+            [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (1, 3), (9, 10)]
+    assert _tri(spark, pairs) == _python_triangles(pairs)

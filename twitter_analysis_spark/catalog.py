@@ -4975,3 +4975,121 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_sec").alias("valid_from"),
         F.lead("ts_sec").over(w).alias("valid_to"),
         F.lead("ts_sec").over(w).isNull().alias("is_current"))
+
+
+def _triangles_oracle(n_buckets: int = 150) -> str:
+    """DuckDB replay of operators/graph.py:triangle_counts over the
+    same event-derived edges the PageRank row uses."""
+    dst = (f"CAST(json_extract_string(props, '$.k') AS BIGINT)"
+           f" % {n_buckets}")
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT user_id AS src, {dst} AS dst
+      FROM events
+      WHERE {dst} IS NOT NULL AND user_id != {dst}
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS deg
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      GROUP BY node),
+    orient AS MATERIALIZED (
+      SELECT CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND a < b) THEN a ELSE b
+             END AS u,
+             CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND a < b) THEN b ELSE a
+             END AS v
+      FROM und
+      JOIN deg da ON da.node = und.a
+      JOIN deg db ON db.node = und.b),
+    wed AS (
+      SELECT w1.u AS apex, w1.v AS x, w2.v AS y
+      FROM orient w1 JOIN orient w2 ON w1.u = w2.u AND w1.v < w2.v),
+    tri AS MATERIALIZED (
+      SELECT apex, x, y FROM wed
+      JOIN und ON und.a = wed.x AND und.b = wed.y),
+    cor AS (
+      SELECT node, count(*) AS n
+      FROM (SELECT apex AS node FROM tri
+            UNION ALL SELECT x FROM tri
+            UNION ALL SELECT y FROM tri)
+      GROUP BY node)
+    SELECT d.node, CAST(COALESCE(cor.n, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN cor USING (node)
+    """
+
+
+@register("graph_triangles", _triangles_oracle())
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-node triangle participation (clustering-coefficient
+    # numerator) over the same interaction graph as graph_pagerank,
+    # via the degree-ordered orientation that bounds wedge fan-out at
+    # the low-degree apex — O(|E|^1.5) total work instead of
+    # sum(deg^2), the difference between feasible and not on a
+    # power-law graph (operators/graph.py:triangle_counts). Integer
+    # counts end to end; the oracle replays orientation, wedge join,
+    # and closure verbatim.
+    from .operators import graph as _graph
+
+    events = _t(spark, sf_dir, "events")
+    return _graph.triangle_counts(_graph.interaction_edges(events))
+
+
+ORACLE_CMS = f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS tk FROM documents),
+    occ AS MATERIALIZED (SELECT unnest(tk) AS tok FROM t),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    sketch AS MATERIALIZED (
+      SELECT js.j,
+             CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || '#' || tok),
+                                  1, 8)) AS BIGINT) % 512 AS bucket,
+             count(*) AS cnt
+      FROM occ CROSS JOIN js GROUP BY js.j, bucket),
+    exact AS MATERIALIZED (
+      SELECT tok, count(*) AS exact_cnt FROM occ GROUP BY tok
+      ORDER BY exact_cnt DESC, tok LIMIT 30),
+    probes AS (
+      SELECT e.tok, js.j,
+             CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || '#' || e.tok),
+                                  1, 8)) AS BIGINT) % 512 AS bucket
+      FROM exact e CROSS JOIN js),
+    est AS (
+      SELECT p.tok, MIN(COALESCE(s.cnt, 0)) AS est_cnt
+      FROM probes p LEFT JOIN sketch s USING (j, bucket)
+      GROUP BY p.tok)
+    SELECT e.tok AS token, e.exact_cnt,
+           CAST(est.est_cnt AS BIGINT) AS est_cnt
+    FROM exact e JOIN est ON e.tok = est.tok
+"""
+
+
+@register("sketch_countmin_topk", ORACLE_CMS)
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min frequency sketch (operators/sketches.py): build the
+    # 4x512 sketch over the corpus token stream in ONE partial
+    # aggregate, then probe it for the exact top-30 tokens and emit
+    # estimate next to truth. The deterministic md5 hash family makes
+    # this a full hash-match row — the oracle rebuilds the sketch
+    # cell-for-cell — while the one-sided error contract (est >=
+    # exact, bounded overcount) is pinned in tests/test_sketches.py.
+    # The sketch's size is a CONFIG constant, so the probe join is
+    # broadcast at any corpus size; this is the hot-key detector that
+    # can feed skew.salted_join's salt choice without a second full
+    # scan.
+    from .operators import sketches as _sk
+    from .operators.dedup import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    occ = occ.persist()
+    sketch = _sk.cms_build(occ, "token")
+    exact = (occ.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), F.asc("token")).limit(30))
+    est = _sk.cms_estimate(sketch, exact.select("token"), "token")
+    out = exact.join(est, "token")
+    occ.unpersist()
+    return out

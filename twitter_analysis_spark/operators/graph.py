@@ -120,3 +120,67 @@ def pagerank_exact(edges: DataFrame, iters: int = 6) -> DataFrame:
     deg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an UNDIRECTED simple graph.
+
+    Input: directed (src, dst) pairs; they are first symmetrized and
+    reduced to canonical undirected edges. The count uses the classic
+    degree-ordered orientation (each undirected edge points from its
+    lower-degree endpoint to the higher, ties by node id), which is
+    what makes the wedge join scale: every wedge is generated at its
+    LOWEST-degree apex, so a celebrity node with degree d contributes
+    O(d) oriented out-edges of bounded fan-out instead of the O(d^2)
+    wedges a naive formulation would shuffle. Total work becomes
+    O(|E|^{3/2}) — the arboricity bound — versus O(sum deg^2).
+
+    Plan: one degree aggregate, one orientation join, one self-join of
+    the oriented edge list on the apex, one membership semi-join to
+    close each wedge, then count per corner. Every reduction is an
+    integer sum; no driver state.
+
+    Returns (node, n_triangles) covering every node of the graph
+    (zero rows included), each triangle credited to all 3 corners.
+    """
+    # canonical undirected edges (a < b), loops dropped
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .union(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    # orient: lower (deg, id) endpoint -> higher
+    oriented = (und.join(da, "a").join(db, "b")
+                .select(
+                    F.when((F.col("da") < F.col("db"))
+                           | ((F.col("da") == F.col("db"))
+                              & (F.col("a") < F.col("b"))),
+                           F.struct(F.col("a").alias("u"),
+                                    F.col("b").alias("v")))
+                    .otherwise(F.struct(F.col("b").alias("u"),
+                                        F.col("a").alias("v")))
+                    .alias("e"))
+                .select("e.u", "e.v").persist())
+    # wedges at the low-degree apex u: (v, w) with v < w to count once
+    w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+    wedges = (w1.join(w2, "apex").where(F.col("x") < F.col("y")))
+    # und is already canonical (a < b), matching the wedge's x < y
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "inner") \
+        .select(F.col("apex").alias("c1"), F.col("x").alias("c2"),
+                F.col("y").alias("c3")).persist()
+    corners = (tri.select(F.col("c1").alias("node"))
+               .union(tri.select(F.col("c2")))
+               .union(tri.select(F.col("c3")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    out = (deg.select("node")
+           .join(corners, "node", "left")
+           .select("node", F.coalesce("n_triangles", F.lit(0))
+                   .cast("bigint").alias("n_triangles")))
+    oriented.unpersist()
+    return out
