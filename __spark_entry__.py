@@ -53,13 +53,17 @@ _PRIORITY = [
     # hardening — results should be identical, but the changed plans
     # need fresh evidence --
     "a11_approx_sketches",
-    "flagship_search", "j1_broadcast_user_join", "q3_top_revenue_orders",
+    "q3_top_revenue_orders",
     "q2_groupwise_argmin", "q5_local_supplier_volume", "text_tfidf_topk",
     "q8_market_share",
     "q7_volume_shipping", "q17_small_quantity_revenue",
     # -- more never-swept rows: triangle counting + Count-Min sketch
     # (displacing the r4-evidence q10/q14 to the round-7 head) --
     "graph_triangles", "sketch_countmin_topk",
+    # co-occurrence PMI + anomaly z-score (displacing flagship_search
+    # and j1_broadcast_user_join — r4-evidence, to the round-7 head;
+    # flagship stays exercised every round by entry() itself) --
+    "text_cooccur_pmi", "ts_anomaly_zscore",
     # -- new analytics tier (never swept): funnel / cohort / SCD2.
     # These displace q11/q16/q19 (changed by the broadcast gating but
     # r5-hash-green with identical results; their re-evidence joins
@@ -82,7 +86,8 @@ _PRIORITY = [
     # a8_salted_skew_agg a6_distinct_cardinality a4_conditional_counts
     # a10_grouped_distinct a13_grouping_sets a14_multi_distinct
     # q11_important_nations q16_supplier_count q19_disjunctive_revenue
-    # q10_returned_items q14_promo_effect --
+    # q10_returned_items q14_promo_effect flagship_search
+    # j1_broadcast_user_join --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

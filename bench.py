@@ -145,6 +145,9 @@ HEADLINE = [
     # triangle counting (degree-ordered orientation) + Count-Min
     "graph_triangles",
     "sketch_countmin_topk",
+    # co-occurrence PMI (map-side pair triangle) + trailing z-score
+    "text_cooccur_pmi",
+    "ts_anomaly_zscore",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

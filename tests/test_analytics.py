@@ -108,3 +108,65 @@ def test_scd2_collapse_and_chaining(spark, tmp_path):
         & (F.col("a.valid_to") == F.col("b.valid_from")), "left_anti") \
         .where(F.col("a.valid_to").isNotNull())
     assert nxt.count() == 0
+
+
+def test_cooccur_pmi_planted(spark, tmp_path):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple banana"),
+         (3, "apple cherry"), (4, "durian durian kiwi")],
+        "doc_id long, text string")
+    docs = docs.selectExpr("doc_id", "text", "'en' AS lang",
+                           "'t' AS source", "length(text) AS n_chars")
+    sf = tmp_path / "pmi"
+    docs.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    got = {(r["t1"], r["t2"]): (r["n_ab"], r["pmi"])
+           for r in catalog.QUERIES["text_cooccur_pmi"](
+               spark, str(sf)).collect()}
+    # duplicate token within a doc counts once (distinct per doc)
+    assert got[("durian", "kiwi")][0] == 1
+    assert got[("apple", "banana")][0] == 2
+    # hand PMI: n_ab=2, N=4, n_a=3, n_b=2 -> ln(2*4/(3*2))
+    assert got[("apple", "banana")][1] == round(math.log(8 / 6), 6)
+    # pairs are the i<j upper triangle of the SORTED list: no reversed
+    # duplicates
+    assert ("banana", "apple") not in got
+
+
+def test_anomaly_zscore_flags_spike(spark, tmp_path):
+    # Quiet days alternate 9/11 (nonzero variance), then a 100-count
+    # spike: only the spike is flagged, and only with a full trailing
+    # window. A constant series (zero variance) is never flagged.
+    rows = []
+    for day in range(1, 15):
+        n = 100 if day == 14 else (9 if day % 2 else 11)
+        for _ in range(n):
+            rows.append((f"2024-01-{day:02d} 12:00:00", 1, "click", 0))
+    for day in range(1, 15):
+        for _ in range(5):
+            rows.append((f"2024-01-{day:02d} 12:00:00", 2, "view", 0))
+    sf = _events(spark, rows, tmp_path, "anom")
+    got = catalog.QUERIES["ts_anomaly_zscore"](spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["event_type"], str(r["d"]), r["n"]) == \
+        ("click", "2024-01-14", 100)
+    # trailing 7 of days 7..13: four odd days (9), three even (11)
+    assert r["mean7"] == (4 * 9 + 3 * 11) / 7
+    assert r["zscore"] > 2
+
+
+def test_anomaly_zero_variance_and_short_window_excluded(spark, tmp_path):
+    # 8 identical days + spike: the spike's window has zero variance
+    # -> excluded (no infinite z). Short history (< 7 prior days) is
+    # likewise never flagged.
+    rows = []
+    for day in range(1, 9):
+        for _ in range(10):
+            rows.append((f"2024-02-{day:02d} 12:00:00", 1, "click", 0))
+    for _ in range(100):
+        rows.append(("2024-02-09 12:00:00", 1, "click", 0))
+    sf = _events(spark, rows, tmp_path, "anom0")
+    got = catalog.QUERIES["ts_anomaly_zscore"](spark, sf).collect()
+    assert got == []

@@ -5093,3 +5093,148 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = exact.join(est, "token")
     occ.unpersist()
     return out
+
+
+ORACLE_PMI = f"""
+    WITH t AS (SELECT doc_id,
+                      list_sort(list_distinct({_TOKS_SQL})) AS tk
+               FROM documents),
+    st AS (SELECT count(*) AS n_docs FROM t),
+    occ AS MATERIALIZED (SELECT doc_id, unnest(tk) AS tok FROM t),
+    df AS MATERIALIZED (SELECT tok, count(*) AS n FROM occ GROUP BY tok),
+    pairs AS (
+      SELECT doc_id, unnest(flatten([
+               [{{'t1': tk[i], 't2': tk[j]}}
+                for j in generate_series(i + 1, len(tk))]
+               for i in generate_series(1, len(tk))]),
+             recursive := true)
+      FROM t),
+    pc AS (SELECT t1, t2, count(*) AS n_ab FROM pairs GROUP BY t1, t2)
+    SELECT pc.t1, pc.t2, pc.n_ab,
+           round(ln(CAST(pc.n_ab AS DOUBLE) * CAST(st.n_docs AS DOUBLE)
+                    / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE))), 6)
+             AS pmi
+    FROM pc
+    JOIN df a ON a.tok = pc.t1
+    JOIN df b ON b.tok = pc.t2, st
+    ORDER BY pc.n_ab DESC, pc.t1, pc.t2
+    LIMIT 50
+"""
+
+
+@register("text_cooccur_pmi", ORACLE_PMI)
+def text_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Document-level co-occurrence mining with PMI scoring — the
+    # collocation statistic behind phrase detection and topic seeds.
+    # The pair table is built MAP-SIDE from each doc's sorted distinct
+    # token list (a nested transform producing the i<j upper triangle,
+    # then ONE explode) — per-doc quadratic is bounded by document
+    # length, a schema constant, so no shuffle ever carries more than
+    # the pair multiset itself. Document frequencies ride a broadcast
+    # join; PMI = one ln() over a ratio of exact integer counts, so
+    # the value is bit-identical cross-engine.
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import tokens as _tokens
+
+    t = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(_tokens(F.col("text")))).alias("tk"))
+    n_docs = t.count()  # bounded driver scalar
+    occ = t.select("doc_id", F.explode("tk").alias("tok"))
+    dfreq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    pairs_arr = F.flatten(F.transform(
+        F.col("tk"),
+        lambda t1, i: F.filter(
+            F.transform(
+                F.col("tk"),
+                lambda t2, j: F.when(j > i, F.struct(
+                    t1.alias("t1"), t2.alias("t2")))),
+            lambda s: s.isNotNull())))
+    pc = (t.select(F.explode(pairs_arr).alias("p"))
+          .select("p.t1", "p.t2")
+          .groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_ab")))
+    a = dfreq.select(F.col("tok").alias("t1"), F.col("n").alias("_na"))
+    b = dfreq.select(F.col("tok").alias("t2"), F.col("n").alias("_nb"))
+    return (
+        pc.join(maybe_broadcast(a), "t1").join(maybe_broadcast(b), "t2")
+        .select("t1", "t2", "n_ab",
+                # round(·,6): ln() is libm-dependent in the last ulp
+                # (Java vs DuckDB), the repo convention for
+                # transcendental outputs (cf. the LM xent rows)
+                F.round(
+                    F.log(F.col("n_ab").cast("double")
+                          * F.lit(float(n_docs))
+                          / (F.col("_na").cast("double")
+                             * F.col("_nb").cast("double"))), 6)
+                .alias("pmi"))
+        .orderBy(F.desc("n_ab"), F.asc("t1"), F.asc("t2"))
+        .limit(50)
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS d, count(*) AS n
+      FROM events GROUP BY event_type, d),
+    win AS (
+      SELECT event_type, d, n,
+             count(*) OVER w AS w_n,
+             sum(n) OVER w AS w_sum,
+             sum(n * n) OVER w AS w_sq
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, d, CAST(n AS BIGINT) AS n,
+           CAST(w_sum AS DOUBLE) / CAST(w_n AS DOUBLE) AS mean7,
+           sqrt(CAST(w_n * w_sq - w_sum * w_sum AS DOUBLE))
+             / CAST(w_n AS DOUBLE) AS std7,
+           (CAST(n AS DOUBLE) * CAST(w_n AS DOUBLE)
+              - CAST(w_sum AS DOUBLE))
+             / sqrt(CAST(w_n * w_sq - w_sum * w_sum AS DOUBLE))
+             AS zscore
+    FROM win
+    WHERE w_n = 7
+      AND w_n * w_sq - w_sum * w_sum > 0
+      AND abs((CAST(n AS DOUBLE) * CAST(w_n AS DOUBLE)
+               - CAST(w_sum AS DOUBLE)))
+          > 2 * sqrt(CAST(w_n * w_sq - w_sum * w_sum AS DOUBLE))
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing-window anomaly detection over the event stream: daily
+    # per-type counts flagged when they sit more than 2 population
+    # stddevs from the trailing 7 OBSERVED days (a ROWS window — for a
+    # gapless daily series that is the calendar week; sparse series
+    # compare against the last 7 present days). The raw log collapses to one
+    # row per (type, day) FIRST (the only full-scan aggregate); the
+    # trailing stats are integer sums (count/sum/sum-of-squares) over
+    # that tiny frame, so mean, std, and the z statistic are derived
+    # from exact integers with engine-identical float steps. The
+    # z-test itself is cross-multiplied (n*w_n - w_sum vs 2*sqrt(...))
+    # to avoid dividing before comparing — one sqrt, one division,
+    # identical in both engines.
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("d")
+         .rowsBetween(-7, -1))
+    win = daily.select(
+        "event_type", "d", "n",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum("n").over(w).alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("w_sq"))
+    var_num = F.col("w_n") * F.col("w_sq") - F.col("w_sum") * F.col("w_sum")
+    dev = (F.col("n").cast("double") * F.col("w_n").cast("double")
+           - F.col("w_sum").cast("double"))
+    return (
+        win.where((F.col("w_n") == 7) & (var_num > 0)
+                  & (F.abs(dev) > 2 * F.sqrt(var_num.cast("double"))))
+        .select("event_type", "d", F.col("n").cast("bigint").alias("n"),
+                (F.col("w_sum").cast("double")
+                 / F.col("w_n").cast("double")).alias("mean7"),
+                (F.sqrt(var_num.cast("double"))
+                 / F.col("w_n").cast("double")).alias("std7"),
+                (dev / F.sqrt(var_num.cast("double"))).alias("zscore"))
+    )
