@@ -390,3 +390,74 @@ def test_semantic_dedup_pair_join_keyed_by_cell(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryTableScan") >= 2
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pmi_pairs_build_map_side(spark, sf_dir):
+    # The pair triangle is array transforms + one explode: no UDF, no
+    # per-doc join. The count over pairs is a partial+final aggregate.
+    plan = plan_of(spark, sf_dir, "text_cooccur_pmi")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan
+    assert "partial_count" in plan
+
+
+def test_zorder_key_stays_in_codegen(spark, sf_dir):
+    # Pure bit arithmetic: codegen all the way, no Python, no extra
+    # Exchange beyond the final aggregation's. Execute first — AQE
+    # only materializes WholeStageCodegen spans in the FINAL plan.
+    df = catalog.QUERIES["layout_zorder_key"](spark, sf_dir)
+    df.collect()
+    # final AQE plan prints codegen spans as "*(n)" stage markers;
+    # toString appends the initial plan too, so trim to the final one
+    plan = df._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "*(1)" in plan  # whole-stage codegen stage marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_join_is_shuffle_not_broadcast(spark, sf_dir):
+    # Salting matters exactly when the dimension CANNOT broadcast (a
+    # broadcast join has no reducer skew to begin with). Simulate the
+    # big-dim regime by disabling auto-broadcast, as the
+    # maybe_broadcast tests simulate 100x scale: the join must become
+    # a shuffle join keyed on (key, salt).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, sf_dir, "j9_salted_skew_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "_salt" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_cms_probe_broadcasts_config_sized_sketch(spark, sf_dir):
+    # The sketch side (depth x width cells, a config constant) rides a
+    # broadcast join into the probe — never a shuffle of the queries.
+    plan = plan_of(spark, sf_dir, "sketch_countmin_topk")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anomaly_single_window_pass(spark, sf_dir):
+    # One Window operator computes all three trailing stats.
+    plan = plan_of(spark, sf_dir, "ts_anomaly_zscore")
+    assert plan.count("Window") >= 1
+    assert plan.count("WindowExec") <= 1 or plan.count(" Window ") <= 1
+
+
+def test_funnel_has_no_window_or_python(spark, sf_dir):
+    # The funnel is pure join+agg — no per-user window/sort machinery.
+    plan = plan_of(spark, sf_dir, "funnel_conversion")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_single_shuffle_for_both_windows(spark, sf_dir):
+    # lag-collapse and lead-close share the user-keyed partitioning:
+    # exactly one Exchange hashpartitioning(user_id...) in the plan.
+    plan = plan_of(spark, sf_dir, "scd2_intervals")
+    import re
+    exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(exchanges) == 1, plan.count("Exchange")
