@@ -53,7 +53,9 @@ _PRIORITY = [
     # hardening — results should be identical, but the changed plans
     # need fresh evidence --
     "a11_approx_sketches",
-    "q3_top_revenue_orders",
+    # (q3_top_revenue_orders displaced to the round-7 head by the DQ
+    # report row below)
+    "dq_constraint_report",
     "q2_groupwise_argmin", "q5_local_supplier_volume", "text_tfidf_topk",
     "q8_market_share",
     "q7_volume_shipping", "q17_small_quantity_revenue",
@@ -87,7 +89,7 @@ _PRIORITY = [
     # a10_grouped_distinct a13_grouping_sets a14_multi_distinct
     # q11_important_nations q16_supplier_count q19_disjunctive_revenue
     # q10_returned_items q14_promo_effect flagship_search
-    # j1_broadcast_user_join --
+    # j1_broadcast_user_join q3_top_revenue_orders --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

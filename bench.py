@@ -148,6 +148,8 @@ HEADLINE = [
     # co-occurrence PMI (map-side pair triangle) + trailing z-score
     "text_cooccur_pmi",
     "ts_anomaly_zscore",
+    # single-pass declarative data-quality gate
+    "dq_constraint_report",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

