@@ -55,8 +55,10 @@ _PRIORITY = [
     "a11_approx_sketches",
     # (q3_top_revenue_orders displaced to the round-7 head by the DQ
     # report row below)
-    "dq_constraint_report",
-    "q2_groupwise_argmin", "q5_local_supplier_volume", "text_tfidf_topk",
+    "dq_constraint_report", "mm_image_ahash",
+    # (q2_groupwise_argmin displaced to the round-7 head by the aHash
+    # row above)
+    "q5_local_supplier_volume", "text_tfidf_topk",
     "q8_market_share",
     "q7_volume_shipping", "q17_small_quantity_revenue",
     # -- more never-swept rows: triangle counting + Count-Min sketch
@@ -89,7 +91,8 @@ _PRIORITY = [
     # a10_grouped_distinct a13_grouping_sets a14_multi_distinct
     # q11_important_nations q16_supplier_count q19_disjunctive_revenue
     # q10_returned_items q14_promo_effect flagship_search
-    # j1_broadcast_user_join q3_top_revenue_orders --
+    # j1_broadcast_user_join q3_top_revenue_orders
+    # q2_groupwise_argmin --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

@@ -150,6 +150,8 @@ HEADLINE = [
     "ts_anomaly_zscore",
     # single-pass declarative data-quality gate
     "dq_constraint_report",
+    # perceptual image hash (real kernel, closed-form oracle)
+    "mm_image_ahash",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

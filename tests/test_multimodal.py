@@ -160,3 +160,70 @@ def test_resample_audio_real(spark, sf_dir):
         assert r["duration_s"] == m / 4000.0
         want = sum(data[(j * n) // m] for j in range(m)) if m else 0
         assert r["sample_sum"] == want
+
+
+def _ppm(w, h, pix):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(pix)
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, "image", bytearray(b)) for i, b in rows],
+        "doc_id long, media_type string, content binary")
+
+
+def _py_ahash(w, h, pix):
+    """Pure-Python replay of the ahash_bands integer spec."""
+    grays = []
+    for s in range(64):
+        x, y = s % 8, s // 8
+        sx, sy = (x * w) // 8, (y * h) // 8
+        base = (sy * w + sx) * 3
+        grays.append((pix[base] + pix[base + 1] + pix[base + 2]) // 3)
+    mean = sum(grays) // 64
+    bits = [1 if g > mean else 0 for g in grays]
+    return [sum(bits[k * 16 + i] << i for i in range(16))
+            for k in range(4)]
+
+
+def test_ahash_matches_python_replay(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for did, (w, h) in enumerate([(16, 12), (8, 8), (3, 5), (1, 1)]):
+        pix = [rnd.randrange(256) for _ in range(w * h * 3)]
+        rows.append((did, (w, h, pix)))
+    df = _media_df(spark, [(d, _ppm(w, h, pix)) for d, (w, h, pix) in rows])
+    got = {r["doc_id"]: [r["b0"], r["b1"], r["b2"], r["b3"]]
+           for r in M.ahash_bands(df).collect()}
+    for d, (w, h, pix) in rows:
+        assert got[d] == _py_ahash(w, h, pix), d
+
+
+def test_ahash_pairs_find_planted_neardup(spark):
+    import random
+
+    rnd = random.Random(11)
+    base = [rnd.randrange(256) for _ in range(16 * 12 * 3)]
+    tweaked = list(base)
+    tweaked[0] = (tweaked[0] + 120) % 256     # one corner pixel changed
+    inverted = [255 - v for v in base]        # structurally different
+    df = _media_df(spark, [
+        (1, _ppm(16, 12, base)),
+        (2, _ppm(16, 12, tweaked)),
+        (3, _ppm(16, 12, inverted)),
+    ])
+    hashes = M.ahash_bands(df)
+    pairs = {(r["a"], r["b"]): r["dist"]
+             for r in M.ahash_pairs(hashes, max_dist=6).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] <= 2          # only one resampled cell moved
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ahash_pairs_identical_images_distance_zero(spark):
+    pix = [(i * 37) % 256 for i in range(8 * 8 * 3)]
+    df = _media_df(spark, [(5, _ppm(8, 8, pix)), (9, _ppm(8, 8, pix))])
+    pairs = M.ahash_pairs(M.ahash_bands(df), max_dist=0).collect()
+    assert [(r["a"], r["b"], r["dist"]) for r in pairs] == [(5, 9, 0)]

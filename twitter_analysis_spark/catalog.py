@@ -5337,3 +5337,47 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_violations").cast("double")
                  / F.col("n_rows").cast("double")).alias("rate"))
     )
+
+
+def _ahash_oracle() -> str:
+    """Closed-form replay of multimodal.ahash_bands: the synthetic P6
+    pixel formula (multimodal.encode_media) evaluated at the 8x8
+    NN-resample grid, thresholded against the integer mean — all
+    integer arithmetic, no bytes touched."""
+    idx = "((((s // 8) * h) // 8) * w + (((s % 8) * w) // 8))"
+    gray = (f"((((doc_id * 31 + (({idx}) * 3 + 0) * 7) % 256)"
+            f" + ((doc_id * 31 + (({idx}) * 3 + 1) * 7) % 256)"
+            f" + ((doc_id * 31 + (({idx}) * 3 + 2) * 7) % 256)) // 3)")
+    band = ("CAST(sum(CASE WHEN s >= {lo} AND s < {hi} AND gray > mean "
+            "THEN (1 << (s - {lo})) ELSE 0 END) AS INT) AS b{k}")
+    bands = ",\n           ".join(
+        band.format(lo=k * 16, hi=(k + 1) * 16, k=k) for k in range(4))
+    return f"""
+    WITH img AS (SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+                 FROM documents WHERE doc_id % 3 = 0),
+    g AS MATERIALIZED (
+      SELECT doc_id, s, {gray} AS gray
+      FROM img CROSS JOIN generate_series(0, 63) AS t(s)),
+    m AS (SELECT doc_id, sum(gray) // 64 AS mean FROM g GROUP BY doc_id)
+    SELECT g.doc_id,
+           {bands}
+    FROM g JOIN m USING (doc_id)
+    GROUP BY g.doc_id
+    """
+
+
+@register("mm_image_ahash", _ahash_oracle())
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perceptual image hashing for the multimodal tier: the REAL
+    # kernel (parse P6 -> integer grayscale -> exact-integer 8x8 NN
+    # resample -> mean threshold, multimodal.ahash_bands) behind Arrow
+    # mapInPandas, emitted as four 16-bit band keys — simultaneously
+    # the hash and the LSH bucket keys ahash_pairs joins on. The
+    # oracle recomputes every band from the closed-form blob formulas
+    # without seeing a byte, so a hash match certifies the whole
+    # parser+resample+threshold chain (the mm_decode contract,
+    # extended to perceptual hashing). Near-dup pair semantics are
+    # pinned in tests with planted almost-identical images — the
+    # synthetic corpus has none, honestly.
+    media = _mm.synthetic_media_table(_t(spark, sf_dir, "documents"))
+    return _mm.ahash_bands(media)

@@ -388,3 +388,90 @@ def resample_audio(media: DataFrame, target_rate: int = 4000) -> DataFrame:
     return media.select("doc_id", "media_type", "content").mapInPandas(
         run, schema=("doc_id long, rate int, n_samples long, "
                      "duration_s double, sample_sum long, content binary"))
+
+
+def ahash_bands(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) each image as FOUR 16-bit band keys.
+
+    The classic perceptual hash: NN-resize the image to 8x8 with the
+    exact integer mapping ``src = (dst * size) // 8`` (the same
+    SQL-replayable rule :func:`resize` uses), gray = (r+g+b) DIV 3,
+    threshold each cell against the integer mean (strict >), giving 64
+    bits. Bits are emitted as 4 x 16-bit ints (``b0``..``b3``, bit s
+    of the hash = bit ``s - 16k`` of band ``s // 16``) rather than one
+    BIGINT: bit 63 would overflow a signed shift in SQL replays, and
+    the banded layout is directly the LSH bucket key a near-dup join
+    needs — identical images share all four, near-identical images
+    (<=16 differing bits in the worst spread) share at least one.
+
+    Pure-integer spec end to end, so the DuckDB oracle recomputes every
+    band from the synthetic blob formulas without seeing the bytes —
+    the same closed-form contract as decode/resize.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "b0", "b1", "b2", "b3")}
+            for did, mt, blob in zip(pdf["doc_id"], pdf["media_type"],
+                                     pdf["content"]):
+                if mt != "image":
+                    continue
+                w, h, pix, _ = _parse_ppm(bytes(blob))
+                arr = np.frombuffer(pix, dtype=np.uint8) \
+                    .reshape(h, w, 3).astype(np.int64)
+                gray = arr.sum(axis=2) // 3            # (r+g+b) DIV 3
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                cells = gray[ys][:, xs].reshape(-1)    # row-major, s=y*8+x
+                mean = int(cells.sum()) // 64
+                bits = (cells > mean).astype(np.int64)
+                bands = [int((bits[k * 16:(k + 1) * 16]
+                              << np.arange(16)).sum()) for k in range(4)]
+                out["doc_id"].append(did)
+                for k in range(4):
+                    out[f"b{k}"].append(bands[k])
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_type", "content").mapInPandas(
+        run, schema="doc_id long, b0 int, b1 int, b2 int, b3 int")
+
+
+def ahash_pairs(hashes: DataFrame, max_dist: int = 6) -> DataFrame:
+    """Near-duplicate image pairs from banded aHashes.
+
+    Candidate pairs share at least one 16-bit band (one explode + one
+    key-equi self-join — never all-pairs); candidates are verified by
+    the exact Hamming distance, summed per band with xor + bit_count
+    inside codegen. A pair with <= max_dist differing bits among 64
+    must agree exactly on some band once max_dist < 4 bands' worth of
+    spread; for max_dist <= 15 the four-band scheme misses only pairs
+    whose differing bits land in all four bands — the standard LSH
+    recall trade the MinHash/SimHash tiers document.
+
+    Returns (a, b, dist), a < b, distinct.
+    """
+    bands = hashes.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(F.array([
+            F.struct(F.lit(k).alias("band"),
+                     F.col(f"b{k}").alias("key")) for k in range(4)
+        ])).alias("bk")).select("doc_id", "b0", "b1", "b2", "b3",
+                                "bk.band", "bk.key")
+    left = bands
+    right = bands.select(*[F.col(c).alias(f"r_{c}")
+                           for c in bands.columns])
+    cand = (left.join(right,
+                      (F.col("band") == F.col("r_band"))
+                      & (F.col("key") == F.col("r_key"))
+                      & (F.col("doc_id") < F.col("r_doc_id")))
+            .select(F.col("doc_id").alias("a"),
+                    F.col("r_doc_id").alias("b"),
+                    *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+                    *[F.col(f"r_b{k}").alias(f"rb{k}") for k in range(4)])
+            .distinct())
+    dist = sum(F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"rb{k}")))
+               for k in range(4))
+    return (cand.select("a", "b", dist.cast("int").alias("dist"))
+            .where(F.col("dist") <= max_dist))
