@@ -136,6 +136,23 @@ def main() -> None:
                     "event_type STRING, value DOUBLE"),
             checkpoint=os.path.join(base, "ckpt"))
 
+    def alerts_run(tag: str) -> None:
+        # rollup ingest + trailing z-score detection + alert dedupe
+        # per micro-batch (streaming/rollup_ingest.py)
+        from twitter_analysis_spark.streaming.rollup_ingest import (
+            streaming_anomaly_alerts,
+        )
+        base = os.path.join(root, f"alerts_{tag}")
+        streaming_anomaly_alerts(
+            spark, ev_drop,
+            lake_path=os.path.join(base, "lake"),
+            index_path=os.path.join(base, "index"),
+            rollup_path=os.path.join(base, "rollup"),
+            alerts_path=os.path.join(base, "alerts"),
+            schema=("event_id LONG, ts TIMESTAMP, user_id LONG, "
+                    "event_type STRING, value DOUBLE"),
+            checkpoint=os.path.join(base, "ckpt"))
+
     def drain(df, name: str, mode: str) -> None:
         q = (df.writeStream.format("memory").queryName(name)
              .outputMode(mode).trigger(availableNow=True).start())
@@ -166,6 +183,8 @@ def main() -> None:
         "stream_ingest_neardup": neardup_run,
         # rollup maintenance: lake append + touched-date recompute
         "stream_rollup_ingest": rollup_run,
+        # anomaly alerting over the streamed rollup
+        "stream_anomaly_alerts": alerts_run,
     }
 
     timings: dict[str, float] = {}

@@ -432,3 +432,56 @@ def test_streaming_rollup_ingest(spark, tmp_path):
     streaming_rollup_ingest(spark, str(drop), lake, index, roll,
                             grain="hour", checkpoint=ckpt)
     assert stored() == got
+
+
+def test_streaming_anomaly_alerts(spark, tmp_path):
+    """A spike arriving in a later drop raises exactly one alert;
+    replays and re-drains never re-alert."""
+    import json
+
+    from twitter_analysis_spark.streaming.rollup_ingest import (
+        streaming_anomaly_alerts)
+
+    drop = tmp_path / "al_drop"
+    drop.mkdir()
+    paths = {k: str(tmp_path / f"al_{k}")
+             for k in ("lake", "index", "rollup", "alerts", "ckpt")}
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for eid, ts, etype in rows:
+                f.write(json.dumps({
+                    "event_id": eid, "ts": ts, "user_id": eid % 5,
+                    "event_type": etype, "value": 1.0}) + "\n")
+
+    def run():
+        streaming_anomaly_alerts(
+            spark, str(drop), paths["lake"], paths["index"],
+            paths["rollup"], paths["alerts"], checkpoint=paths["ckpt"])
+
+    # Drop 1: 8 quiet days, counts alternating 9/11 (variance > 0).
+    rows, eid = [], 0
+    for day in range(1, 9):
+        for _ in range(9 if day % 2 else 11):
+            rows.append((eid, f"2024-03-{day:02d} 10:00:00", "click"))
+            eid += 1
+    write_drop("d1.json", rows)
+    run()
+    import os
+    assert (not os.path.exists(paths["alerts"])
+            or spark.read.parquet(paths["alerts"]).count() == 0)
+
+    # Drop 2: a 100-event spike on day 9.
+    rows = [(eid + i, "2024-03-09 11:00:00", "click") for i in range(100)]
+    write_drop("d2.json", rows)
+    run()
+    alerts = spark.read.parquet(paths["alerts"]).collect()
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert (a["event_type"], str(a["d"]), a["n"]) == \
+        ("click", "2024-03-09", 100)
+    assert a["zscore"] > 2
+
+    # Re-drain: the alert set must not grow.
+    run()
+    assert spark.read.parquet(paths["alerts"]).count() == 1

@@ -112,3 +112,107 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
+                             lake_path: str, index_path: str,
+                             rollup_path: str, alerts_path: str,
+                             schema: str = _EVENT_SCHEMA,
+                             checkpoint: str | None = None):
+    """Continuous anomaly detection on top of the streamed rollup.
+
+    Extends :func:`streaming_rollup_ingest`: after each micro-batch's
+    rollup refresh, re-evaluate the trailing z-score detector
+    (catalog.ts_anomaly_zscore's spec) and append alerts for newly
+    anomalous (event_type, day) cells. Detection reads the ROLLUP
+    (one row per (hour, type)), never the raw lake, so per-trigger
+    detector cost is rollup-sized regardless of corpus size; alerts
+    dedupe against the persistent alerts table by (event_type, day) —
+    a left-anti join against a frame that only grows by confirmed
+    anomalies — so replayed batches and re-evaluated windows cannot
+    re-alert. The batch marker commits last (the repo's standard torn-
+    batch contract; a torn alert append re-runs into the same rows and
+    is removed by the anti-join).
+    """
+    from pyspark.sql import Window
+
+    marker_dir = (os.path.join(checkpoint, "__alert_batches")
+                  if checkpoint else f"{alerts_path}__batches")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(drop_dir)
+        .where(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+    )
+
+    def detect() -> DataFrame:
+        rolled = spark.read.parquet(rollup_path)
+        daily = (rolled
+                 .groupBy("event_type",
+                          F.to_date("bucket_ts").alias("d"))
+                 .agg(F.sum("n_events").alias("n")))
+        w = (Window.partitionBy("event_type").orderBy("d")
+             .rowsBetween(-7, -1))
+        win = daily.select(
+            "event_type", "d", "n",
+            F.count(F.lit(1)).over(w).alias("w_n"),
+            F.sum("n").over(w).alias("w_sum"),
+            F.sum(F.col("n") * F.col("n")).over(w).alias("w_sq"))
+        var_num = (F.col("w_n") * F.col("w_sq")
+                   - F.col("w_sum") * F.col("w_sum"))
+        dev = (F.col("n").cast("double") * F.col("w_n").cast("double")
+               - F.col("w_sum").cast("double"))
+        return (win.where((F.col("w_n") == 7) & (var_num > 0)
+                          & (F.abs(dev)
+                             > 2 * F.sqrt(var_num.cast("double"))))
+                .select("event_type", "d",
+                        F.col("n").cast("bigint").alias("n"),
+                        (dev / F.sqrt(var_num.cast("double")))
+                        .alias("zscore")))
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        batch = batch_df.dropDuplicates(["event_id"]).persist()
+        dates = [r["d"] for r in
+                 batch.select(F.to_date("ts").alias("d")).distinct()
+                 .collect()]
+        if dates:
+            index = (spark.read.parquet(index_path)
+                     if os.path.exists(index_path)
+                     else spark.createDataFrame([], "event_id LONG"))
+            new = batch.join(index, "event_id", "left_anti").persist()
+            (new.withColumn("event_date", F.to_date("ts"))
+             .write.partitionBy("event_date")
+             .mode("append").parquet(lake_path))
+            new.select("event_id").write.mode("append").parquet(index_path)
+            new.unpersist()
+            lake = spark.read.parquet(lake_path)
+            pruned = prune_to_dates(lake, "hour", dates, "event_date") \
+                .dropDuplicates(["event_id"])
+            refresh_rollup(spark, pruned, rollup_path, grain="hour",
+                           dates=dates)
+            anomalies = detect()
+            if os.path.exists(alerts_path):
+                known = spark.read.parquet(alerts_path) \
+                    .select("event_type", "d")
+                fresh = anomalies.join(known, ["event_type", "d"],
+                                       "left_anti")
+            else:
+                fresh = anomalies
+            fresh = fresh.withColumn(
+                "detected_batch", F.lit(int(batch_id)).cast("long"))
+            fresh.write.mode("append").parquet(alerts_path)
+        batch.unpersist()
+        open(marker, "w").close()
+
+    writer = stream.writeStream.foreachBatch(ingest) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
