@@ -55,10 +55,12 @@ _PRIORITY = [
     "a11_approx_sketches",
     # (q3_top_revenue_orders displaced to the round-7 head by the DQ
     # report row below)
-    "dq_constraint_report", "mm_image_ahash",
+    "dq_constraint_report", "mm_image_ahash", "layout_rank_bucketize",
     # (q2_groupwise_argmin displaced to the round-7 head by the aHash
     # row above)
-    "q5_local_supplier_volume", "text_tfidf_topk",
+    # (q5_local_supplier_volume displaced to the round-7 head by the
+    # rank-bucketize row above)
+    "text_tfidf_topk",
     "q8_market_share",
     "q7_volume_shipping", "q17_small_quantity_revenue",
     # -- more never-swept rows: triangle counting + Count-Min sketch
@@ -92,7 +94,7 @@ _PRIORITY = [
     # q11_important_nations q16_supplier_count q19_disjunctive_revenue
     # q10_returned_items q14_promo_effect flagship_search
     # j1_broadcast_user_join q3_top_revenue_orders
-    # q2_groupwise_argmin --
+    # q2_groupwise_argmin q5_local_supplier_volume --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

@@ -152,6 +152,8 @@ HEADLINE = [
     "dq_constraint_report",
     # perceptual image hash (real kernel, closed-form oracle)
     "mm_image_ahash",
+    # equi-depth rank bucketing (Z-order skew normalizer)
+    "layout_rank_bucketize",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

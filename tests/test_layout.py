@@ -124,3 +124,46 @@ def test_file_stats_pruned_read(spark, tmp_path):
     assert empty.count() == 0
     assert set(empty.columns) == {"id", "x", "y"}
     idx.unpersist()
+
+
+def test_rank_bucketize_equalizes_skew(spark):
+    # Zipf-ish column: value 0 holds half the rows. Equi-depth buckets
+    # must still come out balanced (up to tie granularity), and the
+    # hot value must not be split across buckets.
+    import itertools
+
+    vals = list(itertools.chain(
+        [0] * 5000, [1] * 2500, [2] * 1000, range(3, 1503)))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    b = L.rank_bucketize(df, "v", 4)
+    sizes = {r["bucket"]: r["n"] for r in
+             b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert sizes[0] == 5000                 # the hot value's own bucket
+    hot = b.where(F.col("v") == 0).select("bucket").distinct().collect()
+    assert [r["bucket"] for r in hot] == [0]
+    # remaining buckets are balanced over the tail
+    tail = [sizes[k] for k in sorted(sizes) if k != 0]
+    assert sum(tail) == 5000
+    assert max(tail) <= 2 * min(tail) + 1500  # tie granularity bound
+
+
+def test_rank_bucketize_partitioning_invariant(spark):
+    vals = [(i * 7) % 23 for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    a = {(r["v"], r["bucket"]) for r in
+         L.rank_bucketize(df.repartition(1), "v", 8).distinct().collect()}
+    b = {(r["v"], r["bucket"]) for r in
+         L.rank_bucketize(df.repartition(11), "v", 8).distinct().collect()}
+    assert a == b
+
+
+def test_rank_bucketize_feeds_zorder(spark):
+    # The documented composition: bucketize the skewed dim, then
+    # interleave the bucket id — keys stay within 3 bits x 2 dims.
+    df = spark.createDataFrame(
+        [(v % 97, v % 8) for v in range(2000)], "skewed long, uniform long")
+    b = L.rank_bucketize(df, "skewed", 8)
+    z = b.withColumn("zkey", L.zorder_key(["bucket", "uniform"], bits=3))
+    got = z.agg(F.min("zkey"), F.max("zkey")).collect()[0]
+    assert 0 <= got[0] <= got[1] < 64

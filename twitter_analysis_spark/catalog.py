@@ -5381,3 +5381,39 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic corpus has none, honestly.
     media = _mm.synthetic_media_table(_t(spark, sf_dir, "documents"))
     return _mm.ahash_bands(media)
+
+
+@register(
+    "layout_rank_bucketize",
+    """
+    WITH vc AS (SELECT l_quantity AS v, count(*) AS c
+                FROM lineitem GROUP BY v),
+    tot AS (SELECT sum(c) AS n FROM vc),
+    cum AS (SELECT v, c,
+                   COALESCE(sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS lt
+            FROM vc)
+    SELECT CAST((lt * 8) // (SELECT n FROM tot) AS INT) AS bucket,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           min(v) AS v_min, max(v) AS v_max
+    FROM cum GROUP BY bucket
+    """,
+)
+def layout_rank_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-depth rank bucketing (operators/layout.py:rank_bucketize):
+    # the skew normalizer that turns a non-uniform column into a
+    # uniform bucket id before Morton interleaving, so a hot value
+    # range cannot collapse the Z-curve onto a few cells. The cumsum
+    # window runs over the DISTINCT-VALUE table (50 quantities here —
+    # bounded by the domain, not the corpus), and rows map back through
+    # a broadcast join. The row reports per-bucket occupancy + value
+    # ranges; the oracle replays rank_lt * B DIV n exactly.
+    from .operators.layout import rank_bucketize
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = rank_bucketize(li.select("l_quantity"), "l_quantity", 8)
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("l_quantity").alias("v_min"),
+                 F.max("l_quantity").alias("v_max")))

@@ -132,3 +132,37 @@ def pruned_read(spark, path: str, index: DataFrame,
         p = F.col(c).between(F.lit(lo), F.lit(hi))
         row_pred = p if row_pred is None else (row_pred & p)
     return spark.read.parquet(*files).where(row_pred)
+
+
+def rank_bucketize(df: DataFrame, col: str, n_buckets: int,
+                   out_col: str = "bucket") -> DataFrame:
+    """Equi-depth bucket ids for a skewed column — the rank
+    normalization the Z-order docstring calls for before interleaving
+    a non-uniform dimension.
+
+    Spec (exact, engine-portable): ``bucket(v) = (rank_lt(v) *
+    n_buckets) DIV n`` where ``rank_lt`` counts rows strictly below
+    ``v`` — ties share a bucket, every bucket holds ~n/n_buckets rows
+    up to tie granularity, and the assignment is a pure function of
+    the value distribution (order- and partitioning-independent).
+
+    Plan: one value-count aggregate (distinct-value-sized), a
+    cumulative window over THAT table — not the corpus — and a
+    broadcast map-back join. Safe whenever the column's cardinality is
+    bounded (grades, quantities, categorical codes, pre-quantized
+    floats); for unbounded columns pre-quantize first, or the
+    value table itself becomes the problem.
+    """
+    from pyspark.sql import Window
+
+    vc = df.groupBy(F.col(col).alias("_v")) \
+        .agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = vc.agg(F.sum("_c").alias("_n"))
+    mapping = (vc.select(
+        "_v", F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_lt"))
+        .crossJoin(F.broadcast(tot))
+        .select("_v", F.expr(f"(_lt * {n_buckets}) DIV _n")
+                .cast("int").alias(out_col)))
+    return df.join(F.broadcast(mapping), df[col] == mapping["_v"]) \
+        .drop("_v")
