@@ -60,9 +60,18 @@ _PRIORITY = [
     # row above)
     # (q5_local_supplier_volume displaced to the round-7 head by the
     # rank-bucketize row above)
-    "text_tfidf_topk",
+    # -- new linkage/skyline tier (never swept): lossless PPJoin
+    # set-similarity join + per-brand Pareto front. They displace
+    # text_tfidf_topk and q7_volume_shipping (r5-hash-green; their
+    # round-6 change is the size-gated broadcast hint, which is
+    # results-identical by construction and plan-pinned in
+    # tests/test_plans.py — re-evidence joins the round-7 head).
+    # j11_fuzzy_blocked_linkage and text_decontaminate_bloom (also
+    # new, locally oracle-parity-green via tests/test_oracle_parity)
+    # wait for round 7 as well — 50 slots, 25+ new rows this round.
+    "j10_set_similarity_join", "a15_skyline_pareto",
     "q8_market_share",
-    "q7_volume_shipping", "q17_small_quantity_revenue",
+    "q17_small_quantity_revenue",
     # -- more never-swept rows: triangle counting + Count-Min sketch
     # (displacing the r4-evidence q10/q14 to the round-7 head) --
     "graph_triangles", "sketch_countmin_topk",
@@ -94,7 +103,9 @@ _PRIORITY = [
     # q11_important_nations q16_supplier_count q19_disjunctive_revenue
     # q10_returned_items q14_promo_effect flagship_search
     # j1_broadcast_user_join q3_top_revenue_orders
-    # q2_groupwise_argmin q5_local_supplier_volume --
+    # q2_groupwise_argmin q5_local_supplier_volume
+    # text_tfidf_topk q7_volume_shipping
+    # j11_fuzzy_blocked_linkage text_decontaminate_bloom --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

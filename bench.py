@@ -154,6 +154,13 @@ HEADLINE = [
     "mm_image_ahash",
     # equi-depth rank bucketing (Z-order skew normalizer)
     "layout_rank_bucketize",
+    # record-linkage tier: lossless PPJoin set-similarity join,
+    # blocked levenshtein linkage, Bloom-prefiltered decontamination
+    # (result-identical twin of text_decontaminate), per-brand skyline
+    "j10_set_similarity_join",
+    "j11_fuzzy_blocked_linkage",
+    "text_decontaminate_bloom",
+    "a15_skyline_pareto",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

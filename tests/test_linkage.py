@@ -1,0 +1,215 @@
+"""Record-linkage tier: PPJoin set-similarity join, blocked fuzzy
+linkage, and the Bloom-prefiltered decontamination plan."""
+
+from __future__ import annotations
+
+import itertools
+
+import pyspark.sql.functions as F
+import pytest
+
+from twitter_analysis_spark.operators import bloom, curation, linkage
+
+
+# ---------------------------------------------------------------------------
+# set_similarity_join: the prefix filter must be LOSSLESS — verify
+# against a brute-force all-pairs Jaccard computed in Python.
+# ---------------------------------------------------------------------------
+
+def _bigram_set(text: str) -> frozenset[str]:
+    tk = [t for t in text.lower().split() if t]
+    if len(tk) < 2:
+        return frozenset([" ".join(tk)])
+    return frozenset(" ".join(tk[i:i + 2]) for i in range(len(tk) - 1))
+
+
+def _brute_pairs(rows, threshold):
+    out = set()
+    for (i1, t1), (i2, t2) in itertools.combinations(sorted(rows), 2):
+        a, b = _bigram_set(t1), _bigram_set(t2)
+        j = len(a & b) / len(a | b)
+        if j >= threshold:
+            out.add((i1, i2, round(j, 6)))
+    return out
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),      # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),      # exact dup of 1
+    (4, "completely different text about spark plans here"),
+    (5, "completely different text about spark plans there"),  # near-dup of 4
+    (6, "one"),                                               # < n tokens
+    (7, "one"),                                               # dup of 6
+    (8, "unrelated singleton document with its own words"),
+    (9, "spark plans here completely different text about"),  # permuted 4
+]
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_set_similarity_matches_bruteforce(spark, threshold):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = {(r.id1, r.id2, r.jaccard) for r in
+           linkage.set_similarity_join(df, "doc_id", "text",
+                                       threshold=threshold, n=2).collect()}
+    assert got == _brute_pairs(CORPUS, threshold)
+
+
+def test_set_similarity_exact_dup_scores_one(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = {(r.id1, r.id2): r.jaccard for r in
+           linkage.set_similarity_join(df, "doc_id", "text",
+                                       threshold=0.9, n=2).collect()}
+    assert got[(1, 3)] == 1.0
+    assert got[(6, 7)] == 1.0
+
+
+def test_set_similarity_prefix_filter_prunes_index(spark, sf_dir):
+    # The inverted index the candidate join probes must be built over
+    # PREFIX shingles only: with t=0.5 the prefix keeps about half of
+    # each set, so the index explode must emit well under the full
+    # posting count. Assert via the candidate-side row estimate: the
+    # prefix filter predicate appears in the optimized plan.
+    from twitter_analysis_spark.sources.io import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    df = linkage.set_similarity_join(docs, "doc_id", "text", 0.5, 2)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan       # rarest-first rank
+    assert "CEIL" in plan.upper()     # |S| - ceil(t|S|) + 1 cut
+
+
+# ---------------------------------------------------------------------------
+# blocked_fuzzy_pairs
+# ---------------------------------------------------------------------------
+
+NAMES = [
+    ("red widget",), ("ted widget",),      # dist 1, same block
+    ("red widget",),                       # dup (n=2 for red widget)
+    ("blue widget",),                      # dist 3 from red widget
+    ("red gadget",),                       # other block, dist 1 from red widget
+    ("hot gear",), ("rot gear",),          # dist 1, same block
+]
+
+
+def test_fuzzy_pairs_verified_within_block(spark):
+    df = spark.createDataFrame(NAMES, ["p_name"])
+    got = {(r.name_a, r.name_b): (r.dist, r.n_a, r.n_b) for r in
+           linkage.blocked_fuzzy_pairs(
+               df, "p_name",
+               F.element_at(F.split(F.col("name"), " "), -1),
+               max_dist=2).collect()}
+    assert got == {("red widget", "ted widget"): (1, 2, 1),
+                   ("hot gear", "rot gear"): (1, 1, 1)}
+
+
+def test_fuzzy_pairs_blocking_contract(spark):
+    # "red widget" / "red gadget" are distance 2 but live in different
+    # blocks — the declared recall bound: cross-block pairs never meet.
+    df = spark.createDataFrame(NAMES, ["p_name"])
+    got = {(r.name_a, r.name_b) for r in
+           linkage.blocked_fuzzy_pairs(
+               df, "p_name",
+               F.element_at(F.split(F.col("name"), " "), -1),
+               max_dist=4).collect()}
+    assert ("red gadget", "red widget") not in got
+    assert ("blue widget", "red widget") in got    # dist 3, same block
+
+
+def test_fuzzy_pairs_runs_on_distinct_names(spark):
+    # 3 corpus rows collapse to one dictionary row — the quadratic
+    # stage must see the vocabulary, not the corpus.
+    df = spark.createDataFrame([("red widget",)] * 3, ["p_name"])
+    rows = linkage.blocked_fuzzy_pairs(
+        df, "p_name", F.lit("b"), max_dist=9).collect()
+    assert rows == []   # a single distinct name: no pair at all
+
+
+# ---------------------------------------------------------------------------
+# bloom: build/probe invariants + plan identity of the prefiltered
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_bloom_has_no_false_negatives(spark):
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(500)], ["k"])
+    words = bloom.bloom_build(keys, "k")
+    probed = keys.select(
+        bloom.bloom_might_contain(F.col("k"), words).alias("hit")).collect()
+    assert all(r.hit for r in probed)
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(500)], ["k"])
+    words = bloom.bloom_build(keys, "k")
+    other = spark.createDataFrame([(f"absent-{i}",) for i in range(2000)],
+                                  ["k"])
+    fp = other.select(
+        bloom.bloom_might_contain(F.col("k"), words).alias("hit")) \
+        .where("hit").count()
+    # k=3, m=2^16, n=500 -> theoretical FP ~ 3e-6; allow generous slack.
+    assert fp / 2000 < 0.01
+
+
+def test_bloom_empty_filter_rejects_everything(spark):
+    probe = spark.createDataFrame([("x",), ("y",)], ["k"])
+    words = [0] * (bloom.DEFAULT_M_BITS // 64)
+    hits = probe.select(
+        bloom.bloom_might_contain(F.col("k"), words).alias("hit")) \
+        .where("hit").count()
+    assert hits == 0
+
+
+def test_decontaminate_bloom_identical_to_exact(spark, sf_dir):
+    from twitter_analysis_spark.sources.io import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    corp = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    exact = sorted(map(tuple, curation.decontaminate(
+        corp, bench, "doc_id", "text", n=4).collect()))
+    fast = sorted(map(tuple, curation.decontaminate_bloom(
+        corp, bench, "doc_id", "text", n=4).collect()))
+    assert fast == exact and len(exact) > 0
+
+
+def test_decontaminate_bloom_probe_is_codegen_filter(spark, sf_dir):
+    # The Bloom probe must be a plain post-explode Filter (whole-stage
+    # codegen), NOT an array-filter lambda — Spark runs HOF lambdas in
+    # interpreted mode, measured ~4x slower on this row. And it must
+    # sit on the corpus side, BEFORE the join.
+    from twitter_analysis_spark.sources.io import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    df = curation.decontaminate_bloom(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0), "doc_id", "text", n=4)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan           # the probe is the JVM hash, not a UDF
+    probe_lines = [ln for ln in plan.splitlines()
+                   if "xxhash64" in ln and "Filter" in ln]
+    assert probe_lines                  # probe is a Filter operator...
+    assert "lambdafunction" not in probe_lines[0]   # ...not a HOF lambda
+    # filter is below the join (appears after it in the tree print)
+    assert plan.index("Join") < plan.index(probe_lines[0].strip())
+
+
+# ---------------------------------------------------------------------------
+# skyline (catalog a15): planted dominance cases
+# ---------------------------------------------------------------------------
+
+def test_skyline_dominance_cases(spark):
+    from twitter_analysis_spark import catalog
+    rows = [
+        # brand A: (10,5) dominates (12,4) and (10,3); (11,7) survives
+        ("A", 10.0, 5), ("A", 12.0, 4), ("A", 10.0, 3), ("A", 11.0, 7),
+        # duplicates of a skyline point both count
+        ("A", 10.0, 5),
+        # same price, larger size wins; equal-size dup survives with it
+        ("B", 5.0, 2), ("B", 5.0, 9), ("B", 5.0, 9),
+        # brand isolation: C's point can't dominate A's
+        ("C", 1.0, 100),
+    ]
+    from twitter_analysis_spark.operators.layout import skyline_2d
+    df = spark.createDataFrame(rows, ["p_brand", "p_retailprice", "p_size"])
+    got = {(r.p_brand, r.p_retailprice, r.p_size): r.n_parts for r in
+           skyline_2d(df, "p_brand", "p_retailprice", "p_size",
+                      count_col="n_parts").collect()}
+    assert got == {("A", 10.0, 5): 2, ("A", 11.0, 7): 1,
+                   ("B", 5.0, 9): 2, ("C", 1.0, 100): 1}

@@ -461,3 +461,36 @@ def test_scd2_single_shuffle_for_both_windows(spark, sf_dir):
     import re
     exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
     assert len(exchanges) == 1, plan.count("Exchange")
+
+
+def test_set_similarity_no_cartesian(spark, sf_dir):
+    # The PPJoin candidate stage is an equi-join on the prefix shingle
+    # plus inequality residuals — never a cartesian/broadcast-NL scan
+    # of all pairs, which is the whole point of prefix filtering.
+    plan = plan_of(spark, sf_dir, "j10_set_similarity_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # rarest-first rank is a per-doc window, not a global one
+    assert "hashpartitioning(doc" in plan
+
+
+def test_fuzzy_linkage_collapses_to_dictionary(spark, sf_dir):
+    # The quadratic stage must run on DISTINCT names: a hash-aggregate
+    # (vocabulary collapse) feeds the self-join, and the levenshtein
+    # verify stays a JVM expression (no Python eval).
+    plan = plan_of(spark, sf_dir, "j11_fuzzy_blocked_linkage")
+    assert "levenshtein" in plan
+    assert "partial_count" in plan       # map-side combine on the collapse
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_is_window_not_dominance_join(spark, sf_dir):
+    # The textbook skyline is a quadratic NOT-EXISTS self-join; the
+    # engine plan must instead be agg + two per-brand windows — no
+    # join operator of any kind, no single-partition window.
+    plan = plan_of(spark, sf_dir, "a15_skyline_pareto")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "hashpartitioning(p_brand" in plan
+    assert "SinglePartition" not in plan

@@ -5417,3 +5417,129 @@ def layout_rank_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("l_quantity").alias("v_min"),
                  F.max("l_quantity").alias("v_max")))
+
+
+# ---------------------------------------------------------------------------
+# Record linkage / similarity joins (operators/linkage.py) and the
+# Bloom-prefiltered decontamination plan (operators/bloom.py).
+# ---------------------------------------------------------------------------
+from .operators import linkage as _lk           # noqa: E402
+
+#: Distinct word-TRIGRAM set per document, mirroring
+#: linkage._shingle_sets(n=3) (dedup.word_shingles semantics: the
+#: whole token list joins into one "shingle" when len < n).
+_TRIGRAM_SET_SQL = """
+    CASE WHEN len(tk) >= 3
+      THEN list_distinct([array_to_string(tk[i:i+2], ' ')
+                          for i in generate_series(1, len(tk)-2)])
+      ELSE [array_to_string(tk, ' ')] END
+"""
+
+
+@register(
+    "j10_set_similarity_join",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    s AS (SELECT doc_id, {_TRIGRAM_SET_SQL} AS st FROM toks),
+    t AS (SELECT doc_id, unnest(st) AS tok FROM s),
+    sz AS (SELECT doc_id, len(st) AS n FROM s),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS nc
+      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id1, id2,
+           round(nc::DOUBLE / (x.n + y.n - nc), 6) AS jaccard
+    FROM inter JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+    WHERE nc::DOUBLE / (x.n + y.n - nc) >= 0.5
+    """,
+)
+def j10_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact set-similarity self-join (Jaccard >= 0.5 over distinct
+    # word-TRIGRAM sets) via LOSSLESS PPJoin prefix filtering
+    # (operators/linkage.py:set_similarity_join — rarest-first global
+    # order, |S|-ceil(t|S|)+1 prefixes, length filter, exact verify;
+    # see its docstring for why trigrams: this corpus' 31-word
+    # vocabulary makes bigram posting lists degenerate-hot). Unlike
+    # the MinHash/SimHash rows, whose recall is probabilistic by
+    # contract, this row's oracle is the NAIVE ALL-PAIRS truth — the
+    # hash match certifies the prefix filter drops nothing.
+    return _lk.set_similarity_join(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.5, n=3)
+
+
+@register(
+    "j11_fuzzy_blocked_linkage",
+    """
+    WITH names AS (
+      SELECT p_name AS name, count(*) AS n,
+             list_extract(string_split(p_name, ' '), -1) AS blk
+      FROM part GROUP BY 1, 3)
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+    WHERE abs(len(a.name) - len(b.name)) <= 2
+      AND levenshtein(a.name, b.name) <= 2
+    """,
+)
+def j11_fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Entity-resolution linkage (operators/linkage.py:
+    # blocked_fuzzy_pairs): collapse part rows to the distinct-name
+    # dictionary (quadratic work runs on the VOCABULARY, not the
+    # corpus), block on the head noun (last token), prune by the
+    # length lower bound, verify with JVM levenshtein <= 2. Blocking
+    # recall is part of the declared contract (same honesty clause as
+    # the LSH rows); the oracle replays block + verify exactly.
+    return _lk.blocked_fuzzy_pairs(
+        _t(spark, sf_dir, "part"), "p_name",
+        F.element_at(F.split(F.col("name"), " "), -1), max_dist=2)
+
+
+@register("text_decontaminate_bloom", ORACLES["text_decontaminate"])
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decontaminate with the broadcast Bloom prefilter
+    # (operators/bloom.py): the benchmark shingle set is compressed
+    # into an 8 KiB bit array baked into the scan as a plan literal;
+    # per-document shingle ARRAYS are filtered before the explode, so
+    # clean documents emit ZERO probe rows. The exact broadcast join
+    # removes false positives and Bloom has no false negatives, hence
+    # this row shares text_decontaminate's oracle verbatim — the hash
+    # match proves result identity between the two plans.
+    docs = _t(spark, sf_dir, "documents")
+    return _cur.decontaminate_bloom(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        "doc_id", "text", n=4)
+
+
+@register(
+    "a15_skyline_pareto",
+    """
+    WITH pts AS (
+      SELECT p_brand, p_retailprice, p_size, count(*) AS n_parts
+      FROM part GROUP BY 1, 2, 3)
+    SELECT p_brand, p_retailprice, p_size, n_parts
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def a15_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-brand Pareto front (operators/layout.py:skyline_2d —
+    # minimize price, maximize size) without the textbook quadratic
+    # dominance join: dedup to distinct points, keep the max-size
+    # point per (brand, price), then one per-brand running-max window
+    # ordered by price. Work after the first (map-side-partial)
+    # hash-agg is O(distinct points); the window partitions by brand,
+    # so no global sort and no skew pileup. The oracle is the naive
+    # NOT EXISTS dominance predicate.
+    from .operators.layout import skyline_2d
+
+    return skyline_2d(_t(spark, sf_dir, "part"),
+                      "p_brand", "p_retailprice", "p_size",
+                      count_col="n_parts")

@@ -115,6 +115,61 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, id_col: str,
     )
 
 
+def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, id_col: str,
+                        text_col: str, n: int = 8,
+                        m_bits: int | None = None,
+                        k: int | None = None) -> DataFrame:
+    """:func:`decontaminate`, with a broadcast Bloom prefilter on the
+    corpus side — SAME result, cheaper 100 TB plan.
+
+    The exact operator ships every shingle of every document into the
+    benchmark join probe; almost all of them are clean and get dropped
+    ON THE OTHER SIDE of the probe. Here a Bloom filter over the
+    benchmark shingles (operators/bloom.py — a few-KiB plan literal,
+    k xxhash64 probes + bit tests) runs as a plain WHERE predicate
+    right after the corpus-side explode, inside whole-stage codegen:
+    ~all clean shingles die in the scan stage, before any join
+    machinery. The exact join then removes the false positives, and
+    Bloom filters have no false negatives — so the output is
+    bit-identical to :func:`decontaminate`, which is exactly what the
+    oracle checks.
+
+    Why this matters at 100 TB: when the benchmark is small the exact
+    join already broadcasts and the filter merely trims probe volume —
+    but when the benchmark shingle set is too big to broadcast, the
+    exact path must SHUFFLE the full corpus shingle explosion for a
+    sort-merge join, while this path shuffles only the Bloom
+    survivors (|contaminated| + FP·|corpus|, with FP sized by
+    ``m_bits``/``k``). The filter artifact stays a few MB however big
+    the benchmark row count is.
+    """
+    from .bloom import DEFAULT_K, DEFAULT_M_BITS, bloom_build, bloom_might_contain
+
+    m_bits = DEFAULT_M_BITS if m_bits is None else m_bits
+    k = DEFAULT_K if k is None else k
+    bench_raw = (
+        benchmark
+        .select(tokens(F.col(text_col)).alias("_tk"))
+        .select(F.explode(_strict_shingles(F.col("_tk"), n)).alias("shingle"))
+    )
+    # bit_or is idempotent -> no distinct() before the build; one
+    # shuffle (the m_bits/64-word aggregate), one bounded collect.
+    words = bloom_build(bench_raw, "shingle", m_bits, k)
+    corpus_sh = (
+        docs
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+        .select(id_col,
+                F.explode(F.array_distinct(
+                    _strict_shingles(F.col("_tk"), n))).alias("shingle"))
+        .where(bloom_might_contain(F.col("shingle"), words, m_bits, k))
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_raw.distinct()), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def repetition_features(df: DataFrame, id_col: str,
                         text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per document:

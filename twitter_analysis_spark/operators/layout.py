@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Default bits per dimension: 16 bits x 2 dims stays in a BIGINT with
@@ -166,3 +166,37 @@ def rank_bucketize(df: DataFrame, col: str, n_buckets: int,
                 .cast("int").alias(out_col)))
     return df.join(F.broadcast(mapping), df[col] == mapping["_v"]) \
         .drop("_v")
+
+
+def skyline_2d(df: DataFrame, group_col: str, min_col: str, max_col: str,
+               count_col: str = "n_rows") -> DataFrame:
+    """Per-group 2-D Pareto front (minimize ``min_col``, maximize
+    ``max_col``) without the textbook quadratic dominance join.
+
+    Three stages, each bounded by the DISTINCT point set after the
+    first hash-agg (which partial-aggregates map-side, so the 100 TB
+    fact table collapses before any shuffle):
+
+    1. dedup rows to points with multiplicity;
+    2. keep only the max-``max_col`` point per (group, ``min_col``) —
+       any same-x lower-y point is dominated by it;
+    3. one per-group running-max window ordered by ``min_col``: a
+       point survives iff its y strictly exceeds every strictly-
+       smaller-x point's y (one row per x after step 2, so "rows
+       preceding" is exactly "strictly cheaper").
+
+    The window partitions by the group column — no global sort, no
+    single-partition funnel. For the ungrouped skyline at scale,
+    range-partition by x and carry per-partition maxima, the same
+    two-phase shape global_shuffle_order uses.
+    """
+    pts = (df.groupBy(group_col, min_col, max_col)
+           .agg(F.count(F.lit(1)).alias(count_col)))
+    per_x = Window.partitionBy(group_col, min_col).orderBy(F.desc(max_col))
+    best = (pts.withColumn("_rn", F.row_number().over(per_x))
+            .where(F.col("_rn") == 1).drop("_rn"))
+    cheaper = Window.partitionBy(group_col).orderBy(min_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return (best.withColumn("_mx", F.max(max_col).over(cheaper))
+            .where(F.col("_mx").isNull() | (F.col(max_col) > F.col("_mx")))
+            .select(group_col, min_col, max_col, count_col))

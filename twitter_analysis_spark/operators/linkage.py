@@ -1,0 +1,163 @@
+"""Similarity joins for record linkage / entity resolution.
+
+Two classic linkage primitives the reference's exact-match joins
+(app.py:106-191 equality lookups) cannot express, built Spark-first:
+
+* :func:`set_similarity_join` — exact set-similarity self-join
+  (Jaccard >= t over token n-gram SETS) via PPJoin-style *prefix
+  filtering* (Chaudhuri et al., "A Primitive Operator for Similarity
+  Joins", ICDE'06; Xiao et al. PPJoin, WWW'08). Unlike the MinHash/
+  SimHash tiers (operators/dedup.py), the prefix filter is LOSSLESS:
+  the output is exactly the all-pairs result, but only candidate
+  pairs that share a *rare-prefix* token are ever materialized.
+
+* :func:`blocked_fuzzy_pairs` — blocked edit-distance linkage:
+  candidates from an equality join on a cheap blocking key, verified
+  with ``levenshtein`` (JVM built-in). Blocking is part of the
+  operator contract (recall bounded by the blocking function), the
+  same honesty contract the LSH rows declare.
+
+Both are pure DataFrame compositions — no UDFs, whole-stage codegen
+end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens, word_shingles
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    """(doc, st, n_sh): DISTINCT word n-gram set per document."""
+    return (
+        df.select(F.col(id_col).alias("doc"),
+                  tokens(F.col(text_col)).alias("_tk"))
+        .select("doc",
+                F.array_distinct(word_shingles(F.col("_tk"), n)).alias("st"))
+        .select("doc", "st", F.size("st").alias("n_sh"))
+    )
+
+
+def set_similarity_join(df: DataFrame, id_col: str, text_col: str = "text",
+                        threshold: float = 0.5, n: int = 3,
+                        cleanup: list | None = None) -> DataFrame:
+    """Exact Jaccard >= ``threshold`` self-join over word ``n``-gram
+    sets, prefix-filtered. Returns (id1, id2, jaccard), id1 < id2.
+
+    Losslessness of the prefix filter: order every set by ascending
+    global shingle frequency (ties by value) and keep the first
+    ``|S| - ceil(t*|S|) + 1`` elements. If J(A,B) >= t then
+    ``|A∩B| >= t*|A∪B| >= ceil(t*max(|A|,|B|))``, and a set whose
+    first ``|S|-c+1`` elements all missed the intersection could
+    contain at most ``c-1`` of it — contradiction. So both prefixes
+    contain intersection elements under the SAME total order, and the
+    earliest common intersection element appears in both prefixes
+    (each prefix is at least as long as the ``|S|-c+1`` bound needs).
+    Every qualifying pair therefore collides on >= 1 prefix shingle;
+    verification computes exact Jaccard, so output == all-pairs truth.
+
+    Scale shape: the inverted index is built over PREFIX shingles only
+    — the globally rarest ~(1-t) fraction of each set — so posting
+    lists stay short exactly where the corpus is hot. The length
+    filter ``t*|A| <= |B| <= |A|/t`` prunes candidates before the
+    verify join. Shuffles: shingle-frequency agg (keyed by shingle),
+    per-doc rank window (keyed by doc), candidate join (keyed by
+    shingle), verify joins (keyed by id) — each on a different key by
+    necessity; no shuffle is repeated.
+
+    Shingle width matters: prefix filtering only pays off when rare
+    shingles EXIST, so the default is word trigrams (n=3). On a corpus
+    with a dense narrow vocabulary (this testbed: 31 distinct words,
+    so ~900 possible bigrams shared by everyone), n=2 prefix postings
+    collapse into a few hot buckets and the candidate join degenerates
+    toward all-pairs (measured 17x slower at sf0.1); trigrams keep
+    mean posting length ~10 while near-dups still share most shingles.
+
+    ``cleanup`` follows the dedup.py persist contract: the sets table
+    feeds four plan branches (posting, rank, both verify sides) and is
+    persisted; pass a list to receive it for unpersisting.
+    """
+    sets = _shingle_sets(df, id_col, text_col, n).persist()
+    if cleanup is not None:
+        cleanup.append(sets)
+
+    posting = sets.select("doc", "n_sh", F.explode("st").alias("sh"))
+    # Global shingle document frequency — the canonical rarest-first
+    # order. Co-partitioned with the join below (both key on sh).
+    freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+
+    ranked = (
+        posting.join(freq, "sh")
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("doc").orderBy("df", "sh")))
+    )
+    # prefix length |S| - ceil(t|S|) + 1
+    prefix = ranked.where(
+        F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(threshold)
+                                               * F.col("n_sh")) + 1)
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc") < F.col("b.doc"))
+               # length filter: t*|A| <= |B| <= |A|/t (both directions,
+               # since id order is not size order)
+               & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
+               & (F.col("a.n_sh") * threshold <= F.col("b.n_sh")))
+        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .distinct()
+    )
+
+    s1 = sets.select(F.col("doc").alias("id1"), F.col("st").alias("st1"),
+                     F.col("n_sh").alias("n1"))
+    s2 = sets.select(F.col("doc").alias("id2"), F.col("st").alias("st2"),
+                     F.col("n_sh").alias("n2"))
+    inter = F.size(F.array_intersect("st1", "st2"))
+    jacc = inter.cast("double") / (F.col("n1") + F.col("n2") - inter)
+    return (
+        cand.join(s1, "id1").join(s2, "id2")
+        .where(jacc >= threshold)
+        .select("id1", "id2", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+def blocked_fuzzy_pairs(df: DataFrame, key_col: str, block_col,
+                        max_dist: int = 2,
+                        count_col: str | None = None) -> DataFrame:
+    """Blocked edit-distance linkage over DISTINCT keys.
+
+    Collapses ``df`` to one row per distinct ``key_col`` value (with
+    an occurrence count), equality-joins on ``block_col`` (a column
+    expression over the key — the blocking function), prunes by the
+    length bound ``|len(a)-len(b)| <= max_dist`` (a lower bound on
+    edit distance, evaluated before the O(len^2) levenshtein), and
+    emits verified pairs (name_a, name_b, dist, n_a, n_b), a < b.
+
+    The distinct-key collapse makes the quadratic stage run on the
+    VOCABULARY (entity dictionary), not the corpus: 10^11 rows with
+    10^6 distinct names cost one hash-agg plus a 10^6-row blocked
+    self-join. Candidate recall is bounded by the blocking function —
+    an edit that changes the block key escapes the join; that contract
+    is declared, exactly as the LSH tiers declare theirs.
+    """
+    names = (
+        df.groupBy(F.col(key_col).alias("name"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("blk", block_col)
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.name") < F.col("b.name")))
+        .where(F.abs(F.length(F.col("a.name"))
+                     - F.length(F.col("b.name"))) <= max_dist)
+        .where(dist <= max_dist)
+        .select(F.col("a.name").alias("name_a"),
+                F.col("b.name").alias("name_b"),
+                dist.alias("dist"),
+                F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
+    )
