@@ -105,7 +105,8 @@ _PRIORITY = [
     # j1_broadcast_user_join q3_top_revenue_orders
     # q2_groupwise_argmin q5_local_supplier_volume
     # text_tfidf_topk q7_volume_shipping
-    # j11_fuzzy_blocked_linkage text_decontaminate_bloom --
+    # j11_fuzzy_blocked_linkage text_decontaminate_bloom
+    # corpus_stratified_sample corpus_weighted_sample --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

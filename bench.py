@@ -161,6 +161,10 @@ HEADLINE = [
     "j11_fuzzy_blocked_linkage",
     "text_decontaminate_bloom",
     "a15_skyline_pareto",
+    # deterministic sampling tier: content-stable stratified rates +
+    # integer-exact A-ES weighted sample without replacement
+    "corpus_stratified_sample",
+    "corpus_weighted_sample",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

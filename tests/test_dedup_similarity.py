@@ -549,3 +549,59 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     strict = semantic_dedup(emb, nlist=4, eps=0.9).where("NOT kept").count()
     loose = sum(1 for r in out.values() if not r["kept"])
     assert strict <= loose
+
+
+def test_stratified_hash_stable_and_rate_accurate(spark):
+    from twitter_analysis_spark.operators.sampling import stratified_sample_hash
+    rows = [(i, "a" if i % 2 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    fr = {"a": 0.5, "b": 0.125}
+    got = {r.doc_id for r in
+           stratified_sample_hash(df, "src", "doc_id", fr).collect()}
+    # content-stable: identical under repartitioning
+    again = {r.doc_id for r in
+             stratified_sample_hash(df.repartition(17), "src", "doc_id",
+                                    fr).collect()}
+    assert got == again
+    # per-stratum rates near nominal (md5 buckets are uniform)
+    a = sum(1 for i in got if i % 2)
+    b = sum(1 for i in got if not i % 2)
+    assert abs(a / 2000 - 0.5) < 0.05
+    assert abs(b / 2000 - 0.125) < 0.05
+
+
+def test_stratified_hash_drops_unlisted_strata(spark):
+    from twitter_analysis_spark.operators.sampling import stratified_sample_hash
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "src"])
+    out = stratified_sample_hash(df, "src", "doc_id", {"x": 1.0}).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from twitter_analysis_spark.operators.sampling import weighted_sample_topk
+    import pyspark.sql.functions as F
+    # ids 0..1999: even ids weight 8, odd ids weight 1 -> the top-k
+    # should be dominated by heavy ids roughly 8:1.
+    rows = [(i, 8 if i % 2 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample_topk(df, "doc_id", F.col("w"), k=200).collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r.doc_id % 2 == 0)
+    assert heavy > 150                       # expectation ~178 of 200
+    # deterministic: same sample on a different partitioning
+    again = weighted_sample_topk(df.repartition(13), "doc_id",
+                                 F.col("w"), k=200).collect()
+    assert {r.doc_id for r in got} == {r.doc_id for r in again}
+    # without replacement: ids unique
+    assert len({r.doc_id for r in got}) == 200
+
+
+def test_weighted_sample_topk_plan(spark):
+    from twitter_analysis_spark.operators.sampling import weighted_sample_topk
+    import pyspark.sql.functions as F
+    df = spark.range(1000).select(F.col("id").alias("doc_id"),
+                                  F.lit(3).alias("w"))
+    plan = weighted_sample_topk(df, "doc_id", F.col("w"), k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan   # never a global sort
+    assert "partial_max" in plan             # explode collapses pre-shuffle

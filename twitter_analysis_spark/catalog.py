@@ -5543,3 +5543,78 @@ def a15_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(_t(spark, sf_dir, "part"),
                       "p_brand", "p_retailprice", "p_size",
                       count_col="n_parts")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling tier (operators/sampling.py): content-stable
+# stratified rates + weighted sample-without-replacement.
+# ---------------------------------------------------------------------------
+
+#: Per-source sampling rates for the stratified row: a downsampling
+#: curriculum (half of tier-0 sources, a quarter of tier-1, an eighth
+#: of tier-2, drop tier-3). Rates are eighths so the 1/256 bucket
+#: resolution represents them exactly.
+_STRAT_RATES = {f"src{i}": (0.5 if i < 5 else
+                            0.25 if i < 10 else
+                            0.125 if i < 15 else 0.0)
+                for i in range(20)}
+
+_STRAT_CASE_SQL = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {int(256 * f)}"
+    for s, f in sorted(_STRAT_RATES.items())) + " ELSE 0 END"
+
+
+@register(
+    "corpus_stratified_sample",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+               AS INT) < {_STRAT_CASE_SQL}
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content-stable stratified sampling (operators/sampling.py:
+    # stratified_sample_hash): md5-bucket draw per row against a
+    # per-source threshold from a broadcast map literal — membership
+    # is a pure function of (doc_id, rate), so the sample is identical
+    # across engines, runs, partitionings, and corpus growth (the
+    # property sampleBy's RNG cannot give). Map-only: no shuffle at
+    # any scale. Sources outside the rate map are dropped (rate 0).
+    from .operators.sampling import stratified_sample_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample_hash(docs, "source", "doc_id", _STRAT_RATES)
+
+
+@register(
+    "corpus_weighted_sample",
+    """
+    WITH w AS (SELECT doc_id, 1 + n_chars // 100 AS w FROM documents),
+    draws AS (
+      SELECT doc_id, unnest(generate_series(1, w)) AS i FROM w),
+    keyed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(doc_id || ':' || i), 1, 15))
+                  AS BIGINT) AS key
+      FROM draws)
+    SELECT doc_id, max(key) AS sample_key
+    FROM keyed GROUP BY doc_id
+    ORDER BY sample_key DESC, doc_id LIMIT 100
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted sample without replacement, k=100, weight = 1 +
+    # n_chars/100 (longer docs proportionally likelier). The A-ES
+    # u^(1/w) priority key is computed as the INTEGER max of w
+    # independent md5 draws (operators/sampling.py:weighted_sample_topk
+    # — distributionally identical for integer weights, and exact
+    # across engines where pow/ln libm rounding is not). Map-side
+    # explode bounded by sum(weights), per-id max partial-aggregates
+    # before the shuffle, top-k via TakeOrderedAndProject.
+    from .operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_topk(
+        docs, "doc_id", F.lit(1) + (F.col("n_chars") / 100).cast("int"),
+        k=100)

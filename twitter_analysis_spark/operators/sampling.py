@@ -55,6 +55,70 @@ def stratified_sample(df: DataFrame, stratum_col: str,
     return df.sampleBy(stratum_col, fractions, seed)
 
 
+def stratified_sample_hash(df: DataFrame, stratum_col: str, id_col: str,
+                           fractions: dict[str, float],
+                           ) -> DataFrame:
+    """Per-stratum sample with CONTENT-STABLE membership.
+
+    :func:`stratified_sample` (``sampleBy``) draws per-row RNG — fast,
+    but a document's membership changes when the corpus is
+    repartitioned or re-read. This variant derives the draw from
+    ``md5(id)`` exactly like :func:`split_assign`, with a per-stratum
+    threshold looked up in a broadcast map literal: rate resolution is
+    1/256, membership is a pure function of (id, stratum rate), and
+    any engine with md5 reproduces it — so eval subsets stay fixed
+    across runs, engines, and incremental corpus growth. Strata absent
+    from ``fractions`` are dropped (rate 0). Map-only: no shuffle, no
+    RNG state, works identically at any scale.
+    """
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2),
+                    16, 10).cast("int")
+    pairs: list = []
+    for s, frac in sorted(fractions.items()):
+        pairs += [F.lit(s), F.lit(int(_N_BUCKETS * frac))]
+    thresholds = F.create_map(*pairs)
+    return df.where(
+        bucket < F.coalesce(thresholds[F.col(stratum_col)], F.lit(0)))
+
+
+def weighted_sample_topk(df: DataFrame, id_col: str, weight_col,
+                         k: int) -> DataFrame:
+    """Weighted sample WITHOUT replacement of ``k`` rows
+    (Efraimidis–Spirakis A-ES), deterministic and engine-portable.
+
+    A-ES keys each row by ``u^(1/w)`` (u uniform) and takes the top-k.
+    For INTEGER weights that key has an exact integer twin: the max of
+    ``w`` independent uniform draws is distributed as ``u^(1/w)``, so
+    key(row) = max_{i=1..w} hash(id, i) — pure integer arithmetic, no
+    ``pow``/``ln`` whose libm rounding could diverge across engines.
+    Draws come from the first 15 hex digits of ``md5(id:i)`` (60 bits;
+    collisions are broken by id, so the result is a total order).
+
+    Plan shape: weights explode map-side (rows emitted = sum of
+    weights — keep weights small integers, e.g. epochs-per-domain),
+    one per-id max partial-aggregates before the shuffle, and the
+    top-k is ``TakeOrderedAndProject`` — never a global sort. The
+    aggregate is optional work: hash(id, i) could feed top-k directly,
+    but per-id max collapses the explode before the exchange, which is
+    the difference between shuffling sum(w) rows and |df| rows.
+    """
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.col("_i").cast("string"))), 1, 15),
+        16, 10).cast("bigint")
+    return (
+        df.select(F.col(id_col), weight_col.cast("int").alias("_w"))
+        .where(F.col("_w") >= 1)
+        .select(id_col, F.explode(F.sequence(F.lit(1), F.col("_w")))
+                .alias("_i"))
+        .select(id_col, key.alias("_key"))
+        .groupBy(id_col).agg(F.max("_key").alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
                   cmp_cols: list[str]) -> DataFrame:
     """Diff two corpus snapshots by key: (key, status) with status in
