@@ -106,7 +106,8 @@ _PRIORITY = [
     # q2_groupwise_argmin q5_local_supplier_volume
     # text_tfidf_topk q7_volume_shipping
     # j11_fuzzy_blocked_linkage text_decontaminate_bloom
-    # corpus_stratified_sample corpus_weighted_sample --
+    # corpus_stratified_sample corpus_weighted_sample
+    # dq_column_profile --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

@@ -165,6 +165,8 @@ HEADLINE = [
     # integer-exact A-ES weighted sample without replacement
     "corpus_stratified_sample",
     "corpus_weighted_sample",
+    # single-scan column profiler (stats sibling of the dq gate)
+    "dq_column_profile",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -61,3 +61,31 @@ def test_dq_report_on_driver_tables(spark, sf_dir):
     for key, r in got.items():
         if key != ("lineitem", "orderkey_linenumber_unique"):
             assert r["n_violations"] == 0 and r["rate"] == 0.0, key
+
+
+def test_column_profile_planted(spark):
+    from twitter_analysis_spark.operators.dq import column_profile
+    rows = [(1, "a", 10), (2, "a", 20), (3, None, 30), (4, "b", None)]
+    df = spark.createDataFrame(rows, ["id", "s", "v"])
+    got = {r.column_name: r for r in
+           column_profile(df, [("id", True), ("s", False),
+                               ("v", True)]).collect()}
+    assert got["id"].n_rows == 4 and got["id"].n_nonnull == 4
+    assert got["id"].n_distinct == 4 and got["id"].sum_value == 10
+    assert (got["id"].min_value, got["id"].max_value) == ("1", "4")
+    assert got["s"].n_nonnull == 3 and got["s"].n_distinct == 2
+    assert got["s"].sum_value is None
+    assert (got["s"].min_value, got["s"].max_value) == ("a", "b")
+    assert got["v"].n_nonnull == 3 and got["v"].sum_value == 60
+    # numeric min/max computed on the native type, not lexicographic
+    assert (got["v"].min_value, got["v"].max_value) == ("10", "30")
+
+
+def test_column_profile_single_scan_single_expand(spark, sf_dir):
+    from twitter_analysis_spark import catalog
+    plan = catalog.QUERIES["dq_column_profile"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2 \
+        and "Expand" in plan
+    # exact distincts come from the one Expand, not repeated scans
+    assert plan.count("Expand") == 1

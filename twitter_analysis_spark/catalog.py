@@ -5618,3 +5618,47 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(
         docs, "doc_id", F.lit(1) + (F.col("n_chars") / 100).cast("int"),
         k=100)
+
+
+#: Columns profiled by dq_column_profile, with whether a numeric sum
+#: is meaningful (bigint columns only).
+_PROFILE_COLS = [("doc_id", True), ("text", False), ("lang", False),
+                 ("source", False), ("n_chars", True)]
+
+
+def _profile_oracle() -> str:
+    aggs, rows = [], []
+    for c, numeric in _PROFILE_COLS:
+        aggs += [f"count({c}) AS nn_{c}",
+                 f"count(DISTINCT {c}) AS nd_{c}",
+                 f"CAST(min({c}) AS VARCHAR) AS mn_{c}",
+                 f"CAST(max({c}) AS VARCHAR) AS mx_{c}"]
+        s = (f"CAST(sum({c}) AS BIGINT)" if numeric
+             else "CAST(NULL AS BIGINT)")
+        rows.append(f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS "
+                    f"n_nonnull, nd_{c} AS n_distinct, mn_{c} AS min_value, "
+                    f"mx_{c} AS max_value, {s} AS sum_value FROM d")
+        if numeric:
+            aggs.append(f"sum({c}) AS s_{c}")
+            rows[-1] = rows[-1].replace(f"CAST(sum({c}) AS BIGINT)",
+                                        f"CAST(s_{c} AS BIGINT)")
+    return (f"WITH d AS (SELECT count(*) AS n_rows, {', '.join(aggs)} "
+            f"FROM documents) " + " UNION ALL ".join(rows))
+
+
+@register("dq_column_profile", _profile_oracle())
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deequ-analyzer-style column profiler, the stats sibling of
+    # dq_constraint_report: completeness (non-null count), EXACT
+    # cardinality, min/max, and numeric sums for every profiled
+    # column, in ONE scan. The multiple exact count-distincts rewrite
+    # into a single Expand (the a14_multi_distinct machinery): rows
+    # multiply by #distinct-columns+1 map-side, but the table is read
+    # once and there is one shuffle round — for very wide tables,
+    # batch columns per pass to bound the Expand factor. min/max are
+    # computed on the native type (numeric semantics preserved), then
+    # cast to string so one unpivoted schema fits every column; sums
+    # stay exact-integer. The stack() unpivot is projection-only.
+    from .operators.dq import column_profile
+
+    return column_profile(_t(spark, sf_dir, "documents"), _PROFILE_COLS)

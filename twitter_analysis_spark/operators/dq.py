@@ -1,0 +1,46 @@
+"""Data-quality analyzers (Deequ-shaped).
+
+The declarative CONSTRAINT gate lives in catalog.dq_constraint_report
+(one multi-aggregate pass per table + a referential left-anti count);
+this module holds the reusable STATS profiler it pairs with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(df: DataFrame,
+                   cols: list[tuple[str, bool]]) -> DataFrame:
+    """Single-scan column profile: one output row per profiled column
+    with (column_name, n_rows, n_nonnull, n_distinct, min_value,
+    max_value, sum_value).
+
+    ``cols`` is [(name, numeric)]: numeric columns also get an
+    exact-integer sum (NULL otherwise). The several exact
+    count-distincts rewrite into ONE Expand (Spark's multi-distinct
+    machinery): map-side rows multiply by #profiled-columns+1, but the
+    table is scanned once and there is one shuffle round — for very
+    wide tables, batch columns per call to bound the Expand factor.
+    min/max run on the native type (numeric semantics preserved), then
+    cast to string so a single unpivoted schema fits every column; the
+    stack() unpivot is projection-only over the one aggregated row.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, numeric in cols:
+        aggs += [F.count(c).alias(f"nn_{c}"),
+                 F.countDistinct(c).alias(f"nd_{c}"),
+                 F.min(c).cast("string").alias(f"mn_{c}"),
+                 F.max(c).cast("string").alias(f"mx_{c}")]
+        if numeric:
+            aggs.append(F.sum(c).cast("bigint").alias(f"s_{c}"))
+    prof = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', n_rows, nn_{c}, nd_{c}, mn_{c}, mx_{c}, "
+        + (f"s_{c}" if numeric else "CAST(NULL AS BIGINT)")
+        for c, numeric in cols)
+    return prof.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column_name, n_rows, n_nonnull, n_distinct, min_value, "
+        "max_value, sum_value)")
