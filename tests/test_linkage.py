@@ -213,3 +213,48 @@ def test_skyline_dominance_cases(spark):
                       count_col="n_parts").collect()}
     assert got == {("A", 10.0, 5): 2, ("A", 11.0, 7): 1,
                    ("B", 5.0, 9): 2, ("C", 1.0, 100): 1}
+
+
+# ---------------------------------------------------------------------------
+# Randomized invariants (seeded): prefix-filter losslessness and
+# skyline dominance on corpora/point-sets we didn't handcraft.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [7, 41, 1234])
+def test_set_similarity_lossless_on_random_corpus(spark, seed):
+    import random
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in rng.sample(range(50), 12)]
+    rows = []
+    for i in range(40):
+        k = rng.randint(0, 9)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    # plant a near-dup pair so the expected set is non-trivial
+    rows.append((100, rows[0][1] + " extra"))
+    t = rng.choice([0.3, 0.5, 0.7])
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id1, r.id2, r.jaccard) for r in
+           linkage.set_similarity_join(df, "doc_id", "text",
+                                       threshold=t, n=2).collect()}
+    assert got == _brute_pairs(rows, t), (seed, t)
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_skyline_matches_bruteforce_on_random_points(spark, seed):
+    import random
+    from twitter_analysis_spark.operators.layout import skyline_2d
+    rng = random.Random(seed)
+    rows = [(rng.choice("AB"), float(rng.randint(0, 8)), rng.randint(0, 8))
+            for _ in range(60)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {(r.g, r.x, r.y): r.n_rows for r in
+           skyline_2d(df, "g", "x", "y").collect()}
+    # brute force: a point survives iff nothing in its group dominates it
+    from collections import Counter
+    pts = Counter(rows)
+    exp = {}
+    for (g, x, y), n in pts.items():
+        if not any(g2 == g and x2 <= x and y2 >= y and (x2 < x or y2 > y)
+                   for (g2, x2, y2) in pts):
+            exp[(g, x, y)] = n
+    assert got == exp, seed
