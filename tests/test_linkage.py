@@ -258,3 +258,36 @@ def test_skyline_matches_bruteforce_on_random_points(spark, seed):
                    for (g2, x2, y2) in pts):
             exp[(g, x, y)] = n
     assert got == exp, seed
+
+
+@pytest.mark.parametrize("seed", [11, 77])
+def test_global_skyline_two_phase_matches_bruteforce(spark, seed):
+    import random
+    from collections import Counter
+    from twitter_analysis_spark.operators.layout import skyline_2d_global
+    rng = random.Random(seed)
+    rows = [(float(rng.randint(0, 30)), rng.randint(0, 30))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {(r.x, r.y): r.n_rows for r in
+           skyline_2d_global(df, "x", "y", n_parts=7).collect()}
+    pts = Counter(rows)
+    exp = {(x, y): n for (x, y), n in pts.items()
+           if not any(x2 <= x and y2 >= y and (x2 < x or y2 > y)
+                      for (x2, y2) in pts)}
+    assert got == exp, seed
+
+
+def test_global_skyline_no_full_single_partition_sort(spark):
+    import pyspark.sql.functions as F
+    from twitter_analysis_spark.operators.layout import skyline_2d_global
+    df = spark.range(5000).select(
+        (F.col("id") % 97).cast("double").alias("x"),
+        (F.col("id") % 89).alias("y"))
+    plan = skyline_2d_global(df, "x", "y")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # phase 2 runs on partition-local survivors: the single-partition
+    # window exists, but it must be fed by the phase-1 windows, which
+    # partition by spark_partition_id (no global sort of the raw points)
+    assert "SPARK_PARTITION_ID" in plan.upper() or "_g" in plan
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan

@@ -192,6 +192,44 @@ def skyline_2d(df: DataFrame, group_col: str, min_col: str, max_col: str,
     """
     pts = (df.groupBy(group_col, min_col, max_col)
            .agg(F.count(F.lit(1)).alias(count_col)))
+    return _skyline_pass(pts, group_col, min_col, max_col, count_col) \
+        .select(group_col, min_col, max_col, count_col)
+
+
+def skyline_2d_global(df: DataFrame, min_col: str, max_col: str,
+                      count_col: str = "n_rows",
+                      n_parts: int = 32) -> DataFrame:
+    """Ungrouped 2-D Pareto front via the classic two-phase plan.
+
+    A global skyline cannot use one running-max window (that is a
+    single-partition sort). Instead: (1) dedup to distinct points,
+    (2) range-partition by x and run the per-PARTITION skyline with
+    the same running-max window keyed by ``spark_partition_id()`` —
+    LOSSLESS pruning, because a point dominated within its partition
+    is dominated globally, and any partitioning preserves that; (3)
+    the survivors (at most #partitions * |per-partition front|, tiny)
+    take one final single-partition pass. Range partitioning on x
+    makes phase-2 pruning effective (each partition sees a coherent x
+    band), but correctness never depends on it.
+    """
+    pts = (df.groupBy(min_col, max_col)
+           .agg(F.count(F.lit(1)).alias(count_col))
+           .repartitionByRange(n_parts, F.col(min_col)))
+    pid = F.spark_partition_id()
+    local = _skyline_pass(pts.withColumn("_g", pid),
+                          "_g", min_col, max_col, count_col)
+    # survivors are a few rows per partition: one ordered pass is fine
+    return _skyline_pass(local.withColumn("_g", F.lit(0)),
+                         "_g", min_col, max_col, count_col) \
+        .select(min_col, max_col, count_col)
+
+
+def _skyline_pass(pts: DataFrame, group_col: str, min_col: str,
+                  max_col: str, count_col: str) -> DataFrame:
+    """One grouped skyline sweep over an already-deduped point table
+    (shared by skyline_2d phases): keep the max-y point per (group,
+    x), then drop points whose y fails the strictly-cheaper running
+    max."""
     per_x = Window.partitionBy(group_col, min_col).orderBy(F.desc(max_col))
     best = (pts.withColumn("_rn", F.row_number().over(per_x))
             .where(F.col("_rn") == 1).drop("_rn"))
@@ -199,4 +237,4 @@ def skyline_2d(df: DataFrame, group_col: str, min_col: str, max_col: str,
         .rowsBetween(Window.unboundedPreceding, -1)
     return (best.withColumn("_mx", F.max(max_col).over(cheaper))
             .where(F.col("_mx").isNull() | (F.col(max_col) > F.col("_mx")))
-            .select(group_col, min_col, max_col, count_col))
+            .drop("_mx"))
