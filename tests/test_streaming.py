@@ -485,3 +485,52 @@ def test_streaming_anomaly_alerts(spark, tmp_path):
     # Re-drain: the alert set must not grow.
     run()
     assert spark.read.parquet(paths["alerts"]).count() == 1
+
+
+def test_streaming_ingest_decontaminate(spark, tmp_path):
+    """Contaminated docs (sharing a word 4-gram with the benchmark) go
+    to quarantine with hit counts; clean docs reach the corpus; the
+    split equals the batch decontaminate truth; re-drain is a no-op."""
+    import json
+
+    from twitter_analysis_spark.operators.curation import decontaminate
+    from twitter_analysis_spark.streaming.ingest import (
+        streaming_ingest_decontaminate)
+
+    bench_rows = [(900, "the quick brown fox jumps over the dog")]
+    benchmark = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+
+    drop = tmp_path / "decon_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "decon_corpus")
+    quarantine = str(tmp_path / "decon_quarantine")
+    docs = [
+        (1, "the quick brown fox jumps high today"),   # shares a 4-gram
+        (2, "completely unrelated clean document text here"),
+        (3, "quick brown fox jumps over the dog now"),  # shares several
+    ]
+    with open(drop / "d1.json", "w") as f:
+        for doc_id, text in docs:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    streaming_ingest_decontaminate(
+        spark, str(drop), benchmark, corpus, quarantine,
+        checkpoint=str(tmp_path / "decon_ckpt"))
+
+    truth = {r["doc_id"]: r["n_hits"] for r in decontaminate(
+        spark.createDataFrame(docs, ["doc_id", "text"]), benchmark,
+        "doc_id", "text", n=4).collect()}
+    assert truth                                  # planted contamination real
+    got_q = {r["doc_id"]: r["n_hits"]
+             for r in spark.read.parquet(quarantine).collect()}
+    assert got_q == truth
+    got_c = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got_c == {d for d, _ in docs} - set(truth)
+
+    # replay: marker suppresses the re-delivered batch
+    streaming_ingest_decontaminate(
+        spark, str(drop), benchmark, corpus, quarantine,
+        checkpoint=str(tmp_path / "decon_ckpt"))
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} \
+        == got_c
+    assert len(spark.read.parquet(quarantine).collect()) == len(truth)

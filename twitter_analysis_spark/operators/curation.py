@@ -143,7 +143,20 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, id_col: str,
     ``m_bits``/``k``). The filter artifact stays a few MB however big
     the benchmark row count is.
     """
-    from .bloom import DEFAULT_K, DEFAULT_M_BITS, bloom_build, bloom_might_contain
+    bench_sh, words = build_decontamination_filter(
+        benchmark, text_col, n, m_bits, k)
+    return decontaminate_probe(docs, bench_sh, words, id_col, text_col,
+                               n, m_bits, k)
+
+
+def build_decontamination_filter(benchmark: DataFrame, text_col: str,
+                                 n: int = 8, m_bits: int | None = None,
+                                 k: int | None = None):
+    """Build-once half of :func:`decontaminate_bloom`: returns
+    (bench_shingles DataFrame, bloom words list). Split out so
+    long-lived pipelines (streaming ingest) pay the filter build a
+    single time and probe every micro-batch against it."""
+    from .bloom import DEFAULT_K, DEFAULT_M_BITS, bloom_build
 
     m_bits = DEFAULT_M_BITS if m_bits is None else m_bits
     k = DEFAULT_K if k is None else k
@@ -155,6 +168,20 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, id_col: str,
     # bit_or is idempotent -> no distinct() before the build; one
     # shuffle (the m_bits/64-word aggregate), one bounded collect.
     words = bloom_build(bench_raw, "shingle", m_bits, k)
+    return bench_raw.distinct(), words
+
+
+def decontaminate_probe(docs: DataFrame, bench_sh: DataFrame,
+                        words: list[int], id_col: str, text_col: str,
+                        n: int = 8, m_bits: int | None = None,
+                        k: int | None = None) -> DataFrame:
+    """Probe half of :func:`decontaminate_bloom`: Bloom-prefilter the
+    corpus shingles (codegen WHERE), exact-join the survivors against
+    ``bench_sh`` to drop false positives, count distinct hits per doc."""
+    from .bloom import DEFAULT_K, DEFAULT_M_BITS, bloom_might_contain
+
+    m_bits = DEFAULT_M_BITS if m_bits is None else m_bits
+    k = DEFAULT_K if k is None else k
     corpus_sh = (
         docs
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
@@ -164,7 +191,7 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, id_col: str,
         .where(bloom_might_contain(F.col("shingle"), words, m_bits, k))
     )
     return (
-        corpus_sh.join(F.broadcast(bench_raw.distinct()), "shingle")
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

@@ -236,3 +236,69 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
+                                   benchmark: DataFrame, corpus_path: str,
+                                   quarantine_path: str,
+                                   schema: str = "doc_id LONG, text STRING",
+                                   n: int = 4,
+                                   checkpoint: str | None = None):
+    """Decontaminating ingestion: drain ``drop_dir`` (availableNow),
+    appending benchmark-clean documents to ``corpus_path`` and routing
+    contaminated ones (any shared word ``n``-gram with ``benchmark``)
+    to ``quarantine_path`` with their distinct-hit counts.
+
+    The Bloom filter over the benchmark shingles is built ONCE, before
+    the stream starts (operators/curation.py:
+    build_decontamination_filter) — the few-KiB words list is
+    captured by the ``foreachBatch`` closure and baked into every
+    micro-batch plan as a literal, and the exact-verify shingle set is
+    persisted across batches; per-trigger cost is proportional to the
+    batch, never to the benchmark. Crash contract identical to
+    ``streaming_ingest_dedup``: both appends land before the
+    batch-id marker, a torn batch re-runs whole, and duplicate rows
+    from the crashed batch are cleaned by the next
+    ``maintenance.upsert_by_key`` compaction.
+    """
+    from ..operators.curation import (build_decontamination_filter,
+                                      decontaminate_probe)
+
+    marker_dir = (os.path.join(checkpoint, "__decon_batches")
+                  if checkpoint else f"{corpus_path}__batches")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    bench_sh, words = build_decontamination_filter(benchmark, "text", n)
+    bench_sh = bench_sh.persist()
+    bench_sh.count()                       # materialize once, up front
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(drop_dir)
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):            # re-delivered after crash
+            return
+        batch = batch_df.persist()
+        hits = decontaminate_probe(batch, bench_sh, words,
+                                   "doc_id", "text", n).persist()
+        (batch.join(hits, "doc_id")
+         .write.mode("append").parquet(quarantine_path))
+        (batch.join(hits.select("doc_id"), "doc_id", "left_anti")
+         .write.mode("append").parquet(corpus_path))
+        hits.unpersist()
+        batch.unpersist()
+        open(marker, "w").close()             # commit point, written last
+
+    writer = stream.writeStream.foreachBatch(ingest) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    bench_sh.unpersist()
+    return q
