@@ -167,6 +167,9 @@ HEADLINE = [
     "corpus_weighted_sample",
     # single-scan column profiler (stats sibling of the dq gate)
     "dq_column_profile",
+    # interval-INTERVAL overlap self-join (grid cells + max-start-cell
+    # dup-free assignment; bucket ~= interval length)
+    "j12_interval_overlap_join",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -57,3 +57,39 @@ def test_range_join_plan_has_no_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan    # bucket equi-join, not O(n*m)
     assert "Cartesian" not in plan
+
+
+def test_interval_overlap_pairs_planted(spark):
+    import datetime as dt
+    import pyspark.sql.functions as F
+    from twitter_analysis_spark.operators.rangejoin import (
+        interval_overlap_pairs)
+
+    d = dt.date
+    rows = [
+        # key k1: a long interval overlapping two others across many
+        # grid cells (must still emit each pair exactly ONCE)
+        ("k1", 1, d(2024, 1, 1), d(2024, 2, 15)),
+        ("k1", 2, d(2024, 1, 20), d(2024, 3, 1)),
+        ("k1", 3, d(2024, 2, 15), d(2024, 2, 20)),   # touches #1's end day
+        ("k1", 4, d(2024, 6, 1), d(2024, 6, 2)),     # disjoint
+        # key k2: same dates as k1 rows but different key -> no cross pair
+        ("k2", 5, d(2024, 1, 1), d(2024, 2, 15)),
+    ]
+    df = spark.createDataFrame(rows, ["k", "rid", "s", "e"])
+    got = {(r.rid_1, r.rid_2): r.overlap_days for r in
+           interval_overlap_pairs(df, ["k"], ["rid"], "s", "e",
+                                  bucket_days=7).collect()}
+    assert got == {
+        (1, 2): (d(2024, 2, 15) - d(2024, 1, 20)).days + 1,
+        (1, 3): 1,                                    # inclusive touch
+        (2, 3): (d(2024, 2, 20) - d(2024, 2, 15)).days + 1,
+    }
+
+
+def test_interval_overlap_join_no_nested_loop(spark, sf_dir):
+    from twitter_analysis_spark import catalog
+    plan = catalog.QUERIES["j12_interval_overlap_join"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -5662,3 +5662,58 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dq import column_profile
 
     return column_profile(_t(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
+@register(
+    "j12_interval_overlap_join",
+    """
+    WITH iv AS (
+      SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber,
+             CAST(l_shipdate AS DATE) AS d0,
+             CAST(l_shipdate AS DATE)
+               + CAST(FLOOR(l_quantity) AS INTEGER) AS d1
+      FROM lineitem)
+    SELECT a.l_suppkey, a.l_partkey,
+           a.l_orderkey AS ok_1, a.l_linenumber AS ln_1,
+           b.l_orderkey AS ok_2, b.l_linenumber AS ln_2,
+           date_diff('day', greatest(a.d0, b.d0), least(a.d1, b.d1)) + 1
+             AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.l_suppkey = b.l_suppkey AND a.l_partkey = b.l_partkey
+     AND (a.l_orderkey, a.l_linenumber) < (b.l_orderkey, b.l_linenumber)
+     AND a.d0 <= b.d1 AND b.d0 <= a.d1
+    """,
+)
+def j12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval-INTERVAL overlap self-join (operators/rangejoin.py:
+    # interval_overlap_pairs) — the range-join case where both sides
+    # are ranges: concurrent shipments of the same part by the same
+    # supplier, shipment window = [shipdate, shipdate + quantity
+    # days]. Grid-bucket candidates + the max-start-cell assignment
+    # emit each overlapping pair exactly once with no distinct; the
+    # oracle is the naive inequality join. FLOOR() on quantity in both
+    # engines (DuckDB CAST(DOUBLE AS INT) rounds, Spark truncates —
+    # floor is the portable spelling).
+    li = _t(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_suppkey", "l_partkey", "l_orderkey", "l_linenumber",
+        F.to_date("l_shipdate").alias("d0"),
+        F.date_add(F.to_date("l_shipdate"),
+                   F.floor("l_quantity").cast("int")).alias("d1"))
+    from .operators.rangejoin import interval_overlap_pairs
+
+    # bucket ~= typical interval length (quantity <= 50 days, mean
+    # ~25): A/B at sf0.1 measured 8.3 / 3.2 / 2.4 / 2.1 s for bucket
+    # 7 / 14 / 30 / 60 — explode replication dominates below the
+    # interval length, candidate fanout only creeps above it.
+    pairs = interval_overlap_pairs(
+        iv, keys=["l_suppkey", "l_partkey"],
+        id_cols=["l_orderkey", "l_linenumber"],
+        start="d0", end="d1", bucket_days=30)
+    return pairs.select(
+        "l_suppkey", "l_partkey",
+        F.col("l_orderkey_1").alias("ok_1"),
+        F.col("l_linenumber_1").alias("ln_1"),
+        F.col("l_orderkey_2").alias("ok_2"),
+        F.col("l_linenumber_2").alias("ln_2"),
+        "overlap_days")
