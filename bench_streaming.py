@@ -153,6 +153,26 @@ def main() -> None:
                     "event_type STRING, value DOUBLE"),
             checkpoint=os.path.join(base, "ckpt"))
 
+    def decon_run(tag: str) -> None:
+        # decontaminating ingestion: build-once Bloom filter over the
+        # benchmark shingles, per-batch probe + clean/quarantine split
+        # (streaming/ingest.py:streaming_ingest_decontaminate). The
+        # doc_id%97 slice stands in for the benchmark, as in the
+        # text_decontaminate catalog row.
+        from twitter_analysis_spark.streaming.ingest import (
+            streaming_ingest_decontaminate,
+        )
+        import pyspark.sql.functions as F
+        base = os.path.join(root, f"decon_{tag}")
+        bench = (load_table(spark, SF_DIR, "documents")
+                 .where(F.col("doc_id") % 97 == 0)
+                 .select("doc_id", "text"))
+        streaming_ingest_decontaminate(
+            spark, doc_drop, bench,
+            corpus_path=os.path.join(base, "corpus"),
+            quarantine_path=os.path.join(base, "quarantine"),
+            checkpoint=os.path.join(base, "ckpt"))
+
     def drain(df, name: str, mode: str) -> None:
         q = (df.writeStream.format("memory").queryName(name)
              .outputMode(mode).trigger(availableNow=True).start())
@@ -185,6 +205,9 @@ def main() -> None:
         "stream_rollup_ingest": rollup_run,
         # anomaly alerting over the streamed rollup
         "stream_anomaly_alerts": alerts_run,
+        # decontaminating ingestion: build-once Bloom prefilter probed
+        # per batch, clean/quarantine routing
+        "stream_ingest_decontaminate": decon_run,
     }
 
     timings: dict[str, float] = {}
