@@ -107,7 +107,8 @@ _PRIORITY = [
     # text_tfidf_topk q7_volume_shipping
     # j11_fuzzy_blocked_linkage text_decontaminate_bloom
     # corpus_stratified_sample corpus_weighted_sample
-    # dq_column_profile j12_interval_overlap_join --
+    # dq_column_profile j12_interval_overlap_join
+    # attribution_multitouch --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

@@ -170,6 +170,8 @@ HEADLINE = [
     # interval-INTERVAL overlap self-join (grid cells + max-start-cell
     # dup-free assignment; bucket ~= interval length)
     "j12_interval_overlap_join",
+    # batch multi-touch attribution (linear/first/last in one pass)
+    "attribution_multitouch",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

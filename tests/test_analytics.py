@@ -170,3 +170,44 @@ def test_anomaly_zero_variance_and_short_window_excluded(spark, tmp_path):
     sf = _events(spark, rows, tmp_path, "anom0")
     got = catalog.QUERIES["ts_anomaly_zscore"](spark, sf).collect()
     assert got == []
+
+
+def test_attribution_multitouch_planted(spark, tmp_path):
+    """Planted purchase/click history: linear splits 1/n, first/last
+    pick window extremes, second-truncated ties split evenly, clicks
+    outside the 12 h horizon and clickless purchases drop."""
+    import datetime as dt
+    from twitter_analysis_spark import catalog
+    from twitter_analysis_spark.sources.io import TESTDATA_TABLES
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: three clicks in window (two tied at the same second),
+        # one click 13h before (outside), purchase of value 12.0
+        (101, t0 - 13 * h, 1, "click", 0.0),
+        (102, t0 - 2 * h, 1, "click", 0.0),
+        (103, t0 - 1 * h, 1, "click", 0.0),
+        (104, t0 - 1 * h, 1, "click", 0.0),      # tie with 103 (same second)
+        (105, t0, 1, "purchase", 12.0),
+        # user 2: purchase with no clicks -> unattributed, absent
+        (201, t0, 2, "purchase", 5.0),
+        # user 3: click AT the purchase second (not strictly before) drops
+        (301, t0, 3, "click", 0.0),
+        (302, t0, 3, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    sf = str(tmp_path / "attr_sf")
+    import os
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = {(r.model, r.click_id): r.credit for r in
+           catalog.QUERIES["attribution_multitouch"](spark, sf).collect()}
+    assert got == {
+        ("linear", 102): 4.0, ("linear", 103): 4.0, ("linear", 104): 4.0,
+        ("first", 102): 12.0,
+        ("last", 103): 6.0, ("last", 104): 6.0,    # tied last split
+    }

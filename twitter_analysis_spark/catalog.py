@@ -5717,3 +5717,97 @@ def j12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey_2").alias("ok_2"),
         F.col("l_linenumber_2").alias("ln_2"),
         "overlap_days")
+
+
+@register(
+    "attribution_multitouch",
+    """
+    WITH ev AS (SELECT user_id, event_id, date_trunc('second', ts) AS t,
+                       event_type, value FROM events),
+    c AS (SELECT user_id, event_id AS cid, t AS ct FROM ev
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS pid, t AS pt, value AS pv FROM ev
+          WHERE event_type = 'purchase'),
+    pairs0 AS (
+      SELECT p.user_id, pid, pv, cid, ct,
+             count(*) OVER w AS n,
+             min(ct) OVER w AS mn,
+             max(ct) OVER w AS mx
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND ct < pt AND ct >= pt - INTERVAL 12 HOUR
+      WINDOW w AS (PARTITION BY pid)),
+    pairs AS (
+      SELECT *,
+             sum(CASE WHEN ct = mn THEN 1 ELSE 0 END)
+               OVER (PARTITION BY pid) AS n_mn,
+             sum(CASE WHEN ct = mx THEN 1 ELSE 0 END)
+               OVER (PARTITION BY pid) AS n_mx
+      FROM pairs0)
+    SELECT 'linear' AS model, user_id, pid AS purchase_id,
+           cid AS click_id, pv / n AS credit FROM pairs
+    UNION ALL
+    SELECT 'first', user_id, pid, cid, pv / n_mn FROM pairs WHERE ct = mn
+    UNION ALL
+    SELECT 'last', user_id, pid, cid, pv / n_mx FROM pairs WHERE ct = mx
+    """,
+)
+def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch multi-touch attribution, the credit-division analytics the
+    # streaming attribution_join (streaming/joins.py) does not cover:
+    # each purchase's value splits across the user's clicks in the
+    # trailing 12 h under three models at once — linear (1/n each),
+    # first-touch and last-touch (ties at the truncated-second
+    # boundary split evenly, which keeps the operator deterministic
+    # without an arbitrary argmin winner). One user-keyed equi-join
+    # with the range residual (per-user fanout is conversational-
+    # scale, bounded), ONE window pass over pid computes every
+    # per-purchase stat, and the three models are projections of the
+    # same pair table union'd back — no second join, no re-shuffle
+    # (pid partitioning serves all three). Credit is a single IEEE
+    # division (pv/n), bit-identical cross-engine — no float
+    # accumulation anywhere.
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.date_trunc("second", "ts").alias("t"),
+                  "event_type", "value"))
+    c = (ev.where(F.col("event_type") == "click")
+         .select("user_id", F.col("event_id").alias("cid"),
+                 F.col("t").alias("ct")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("pid"),
+                 F.col("t").alias("pt"), F.col("value").alias("pv")))
+    pairs = p.join(
+        c, (p["user_id"] == c["user_id"]) & (F.col("ct") < F.col("pt"))
+        & (F.col("ct") >= F.col("pt") - F.expr("INTERVAL 12 HOURS")),
+    ).drop(c["user_id"])
+    w = Window.partitionBy("pid")
+    pairs = (pairs
+             .withColumn("n", F.count(F.lit(1)).over(w))
+             .withColumn("mn", F.min("ct").over(w))
+             .withColumn("mx", F.max("ct").over(w))
+             .withColumn("n_mn", F.sum(
+                 F.when(F.col("ct") == F.col("mn"), 1).otherwise(0)).over(w))
+             .withColumn("n_mx", F.sum(
+                 F.when(F.col("ct") == F.col("mx"), 1).otherwise(0)).over(w)))
+    # One explode over a 3-struct array instead of a 3-way union: the
+    # union form re-executed the join+window subtree per model branch
+    # (3 pid exchanges in the plan); this emits all models in the same
+    # pass — one join, one window stage, one exchange.
+    models = F.array(
+        F.struct(F.lit("linear").alias("model"),
+                 (F.col("pv") / F.col("n")).alias("credit"),
+                 F.lit(True).alias("keep")),
+        F.struct(F.lit("first").alias("model"),
+                 (F.col("pv") / F.col("n_mn")).alias("credit"),
+                 (F.col("ct") == F.col("mn")).alias("keep")),
+        F.struct(F.lit("last").alias("model"),
+                 (F.col("pv") / F.col("n_mx")).alias("credit"),
+                 (F.col("ct") == F.col("mx")).alias("keep")))
+    return (pairs
+            .select("user_id", F.col("pid").alias("purchase_id"),
+                    F.col("cid").alias("click_id"),
+                    F.explode(F.filter(models, lambda m: m.keep))
+                    .alias("_m"))
+            .select(F.col("_m.model").alias("model"), "user_id",
+                    "purchase_id", "click_id",
+                    F.col("_m.credit").alias("credit")))
