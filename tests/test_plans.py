@@ -494,3 +494,25 @@ def test_skyline_is_window_not_dominance_join(spark, sf_dir):
     assert "Window" in plan
     assert "hashpartitioning(p_brand" in plan
     assert "SinglePartition" not in plan
+
+
+def test_interval_overlap_equi_join_on_grid(spark, sf_dir):
+    # Candidates must meet on an EQUI key ((supp, part, cell)) — the
+    # whole point of the grid trick; the inequality parts are
+    # residual filters, not the join strategy.
+    plan = plan_of(spark, sf_dir, "j12_interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_attribution_single_pid_exchange(spark, sf_dir):
+    # All three models come from ONE windowed pass: exactly one
+    # pid-keyed exchange (the union formulation costs three), and the
+    # click/purchase match is a single join.
+    import re
+    plan = plan_of(spark, sf_dir, "attribution_multitouch")
+    assert len(re.findall(r"Exchange hashpartitioning\(pid", plan)) == 1
+    assert plan.count("Join") >= 1
+    assert "Union" not in plan
