@@ -172,6 +172,10 @@ HEADLINE = [
     "j12_interval_overlap_join",
     # batch multi-touch attribution (linear/first/last in one pass)
     "attribution_multitouch",
+    # asymmetric containment pairs (one-sided prefix filter) +
+    # exactly-k-per-stratum content-stable sample
+    "dedup_containment",
+    "corpus_fixed_k_sample",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

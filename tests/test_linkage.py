@@ -291,3 +291,73 @@ def test_global_skyline_no_full_single_partition_sort(spark):
     # partition by spark_partition_id (no global sort of the raw points)
     assert "SPARK_PARTITION_ID" in plan.upper() or "_g" in plan
     assert "RangePartitioning" in plan or "rangepartitioning" in plan
+
+
+# ---------------------------------------------------------------------------
+# containment_join: asymmetric doc-in-doc detection
+# ---------------------------------------------------------------------------
+
+def _trigram_set(text):
+    tk = [t for t in text.lower().split() if t]
+    if len(tk) < 3:
+        return frozenset([" ".join(tk)])
+    return frozenset(" ".join(tk[i:i + 3]) for i in range(len(tk) - 2))
+
+
+def test_containment_quote_detected_where_jaccard_misses(spark):
+    long_doc = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    quote = "delta epsilon zeta eta theta"      # embedded verbatim
+    rows = [(1, quote), (2, long_doc), (3, "unrelated words entirely here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.inner_id, r.outer_id): r.containment for r in
+           linkage.containment_join(df, "doc_id", "text",
+                                    threshold=0.8, n=3).collect()}
+    assert got == {(1, 2): 1.0}                 # quote ⊂ long, one direction
+    # ...and symmetric Jaccard indeed misses it at any useful threshold
+    jacc = linkage.set_similarity_join(df, "doc_id", "text",
+                                       threshold=0.5, n=3).collect()
+    assert jacc == []
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_containment_matches_bruteforce(spark, seed):
+    import random
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(30):
+        k = rng.randint(3, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    rows.append((100, rows[0][1]))              # exact dup: both directions
+    t = 0.8
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.inner_id, r.outer_id, r.containment) for r in
+           linkage.containment_join(df, "doc_id", "text",
+                                    threshold=t, n=3).collect()}
+    exp = set()
+    for i1, t1 in rows:
+        for i2, t2 in rows:
+            if i1 == i2:
+                continue
+            a, b = _trigram_set(t1), _trigram_set(t2)
+            c = len(a & b) / len(a)
+            if c >= t:
+                exp.add((i1, i2, round(c, 6)))
+    assert got == exp, seed
+
+
+def test_fixed_k_sample_exact_k_and_stable(spark):
+    from twitter_analysis_spark import catalog
+    rows = [(i, f"s{i % 3}") for i in range(600)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    df2 = df.repartition(11)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    pick = lambda d: {(r.source, r.doc_id) for r in
+                      d.withColumn("rk", F.row_number().over(w))
+                      .where("rk <= 10").collect()}
+    a, b = pick(df), pick(df2)
+    assert a == b and len(a) == 30              # exactly 10 x 3 strata, stable

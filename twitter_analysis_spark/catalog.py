@@ -5811,3 +5811,64 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("_m.model").alias("model"), "user_id",
                     "purchase_id", "click_id",
                     F.col("_m.credit").alias("credit")))
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    s AS (SELECT doc_id, {_TRIGRAM_SET_SQL} AS st FROM toks),
+    t AS (SELECT doc_id, unnest(st) AS tok FROM s),
+    sz AS (SELECT doc_id, len(st) AS n FROM s),
+    inter AS (
+      SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS nc
+      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT inner_id, outer_id,
+           round(nc::DOUBLE / x.n, 6) AS containment
+    FROM inter JOIN sz x ON x.doc_id = inner_id
+    WHERE nc::DOUBLE / x.n >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ASYMMETRIC containment pairs (operators/linkage.py:
+    # containment_join): |A∩B|/|A| >= 0.8 over word-trigram sets —
+    # the doc-in-doc / quote-detection case symmetric Jaccard misses
+    # (a short doc fully embedded in a long one has low Jaccard,
+    # containment 1.0). One-sided prefix filter (only the contained
+    # side shrinks; the outer side stays fully indexed), exact verify;
+    # the oracle is the naive all-pairs truth, so the hash match
+    # certifies the one-sided prefix drops nothing.
+    return _lk.containment_join(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.8, n=3)
+
+
+@register(
+    "corpus_fixed_k_sample",
+    """
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+      FROM documents)
+    WHERE rk <= 10
+    """,
+)
+def corpus_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exactly-k-per-stratum sampling: the "give me 10 eval docs per
+    # source" request rate-based sampling cannot answer. Rank rows in
+    # each stratum by md5(doc_id) — a content-derived total order, so
+    # the chosen k are stable across runs/engines/partitionings and
+    # only change when a selected document itself disappears (new
+    # arrivals displace at the hash frontier, nowhere else). One
+    # stratum-keyed window; k is tiny so the per-stratum sort is
+    # bounded — for huge strata, pre-filter to the hash frontier
+    # (bucket < ~k/|stratum| * 256 via stratified_sample_hash) before
+    # ranking to keep the sort input small.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10))

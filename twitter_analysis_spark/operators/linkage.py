@@ -161,3 +161,62 @@ def blocked_fuzzy_pairs(df: DataFrame, key_col: str, block_col,
                 dist.alias("dist"),
                 F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
     )
+
+
+def containment_join(df: DataFrame, id_col: str, text_col: str = "text",
+                     threshold: float = 0.8, n: int = 3,
+                     cleanup: list | None = None) -> DataFrame:
+    """ASYMMETRIC set-containment self-join: pairs where
+    ``|A ∩ B| / |A| >= threshold`` — document A's shingle set mostly
+    inside document B's (quotes, excerpts, doc-in-doc duplication the
+    symmetric Jaccard of :func:`set_similarity_join` misses: a short
+    doc fully quoted inside a long one has low Jaccard but containment
+    1.0). Returns (inner_id, outer_id, containment), inner != outer;
+    exact-dup pairs appear in both orientations, by definition.
+
+    Prefix filtering adapts asymmetrically: the required overlap
+    ``c = ceil(t*|A|)`` depends only on the CONTAINED side, so only
+    A-side postings shrink to the rarest ``|A|-c+1`` prefix — the
+    outer side must stay fully indexed (anything might contain A).
+    Candidates also require ``|B| >= t*|A|`` (B too small can't hold
+    the needed overlap). Verification computes exact containment, so
+    the output equals the all-pairs truth — same losslessness argument
+    as the Jaccard prefix, one-sided.
+    """
+    sets = _shingle_sets(df, id_col, text_col, n).persist()
+    if cleanup is not None:
+        cleanup.append(sets)
+
+    posting = sets.select("doc", "n_sh", F.explode("st").alias("sh"))
+    freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        posting.join(freq, "sh")
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("doc").orderBy("df", "sh")))
+    )
+    prefix = ranked.where(
+        F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(threshold)
+                                               * F.col("n_sh")) + 1)
+
+    a, b = prefix.alias("a"), posting.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc") != F.col("b.doc"))
+               & (F.col("b.n_sh") >= F.col("a.n_sh") * threshold))
+        .select(F.col("a.doc").alias("inner_id"),
+                F.col("b.doc").alias("outer_id"))
+        .distinct()
+    )
+
+    s1 = sets.select(F.col("doc").alias("inner_id"),
+                     F.col("st").alias("st1"), F.col("n_sh").alias("n1"))
+    s2 = sets.select(F.col("doc").alias("outer_id"),
+                     F.col("st").alias("st2"))
+    containment = (F.size(F.array_intersect("st1", "st2")).cast("double")
+                   / F.col("n1"))
+    return (
+        cand.join(s1, "inner_id").join(s2, "outer_id")
+        .where(containment >= threshold)
+        .select("inner_id", "outer_id",
+                F.round(containment, 6).alias("containment"))
+    )
