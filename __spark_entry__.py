@@ -108,7 +108,8 @@ _PRIORITY = [
     # j11_fuzzy_blocked_linkage text_decontaminate_bloom
     # corpus_stratified_sample corpus_weighted_sample
     # dq_column_profile j12_interval_overlap_join
-    # attribution_multitouch dedup_containment corpus_fixed_k_sample --
+    # attribution_multitouch dedup_containment corpus_fixed_k_sample
+    # ts_rolling_distinct_users --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

@@ -176,6 +176,9 @@ HEADLINE = [
     # exactly-k-per-stratum content-stable sample
     "dedup_containment",
     "corpus_fixed_k_sample",
+    # exact sliding-window cardinality (distinct-collapse -> x7 window
+    # explode -> dedup -> count; no windowed count-distinct in Spark)
+    "ts_rolling_distinct_users",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -211,3 +211,35 @@ def test_attribution_multitouch_planted(spark, tmp_path):
         ("first", 102): 12.0,
         ("last", 103): 6.0, ("last", 104): 6.0,    # tied last split
     }
+
+
+def test_rolling_distinct_users_planted(spark, tmp_path):
+    """Hand-checkable 7-day rolling distinct counts: repeat visits
+    inside one window count once; windows slide daily; only event days
+    emit rows."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    d = dt.datetime
+    rows = [
+        # user 1 active two days in the same week -> counts once in
+        # windows covering both; user 2 once; user 3 far later.
+        (1, d(2024, 1, 1, 10), 1, "click", 0.0),
+        (2, d(2024, 1, 3, 10), 1, "view", 0.0),
+        (3, d(2024, 1, 3, 11), 2, "click", 0.0),
+        (4, d(2024, 1, 20, 9), 3, "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    sf = str(tmp_path / "roll_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = {r.window_end.isoformat(): r.n_users for r in
+           catalog.QUERIES["ts_rolling_distinct_users"](spark, sf).collect()}
+    assert got == {
+        "2024-01-01": 1,          # only user 1 so far
+        "2024-01-03": 2,          # users 1 and 2 within [12-28..1-03]
+        "2024-01-20": 1,          # user 3; window misses the early days
+    }

@@ -5872,3 +5872,48 @@ def corpus_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
     return (docs.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= 10))
+
+
+@register(
+    "ts_rolling_distinct_users",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    member AS (
+      SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS wend
+      FROM ud, generate_series(0, 6) AS t(i)),
+    counted AS (
+      SELECT wend, count(*) AS n_users FROM member GROUP BY wend)
+    SELECT days.d AS window_end, counted.n_users
+    FROM counted JOIN days ON counted.wend = days.d
+    """,
+)
+def ts_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact 7-day ROLLING distinct-user counts — the sliding-window
+    # cardinality a windowed count(DISTINCT) cannot express in Spark
+    # (distinct aggregates are unsupported over window frames) and a
+    # naive per-day self-join makes quadratic. Scale-correct shape:
+    # collapse to distinct (user, day) FIRST (the only corpus-sized
+    # agg, partial map-side), then each membership day explodes to the
+    # <=7 window-end days it serves; dedup (user, window_end) — a user
+    # active 5 days in one window still counts once — and count per
+    # window end. Work after the collapse is |active-user-days| x 7,
+    # independent of raw event volume; window ends are kept only where
+    # an event day exists (broadcast semi join with the tiny day
+    # dimension). For the approximate tier at 100 TB, swap the final
+    # count for an HLL-sketch union per window (a11 machinery) and
+    # skip the explode dedup.
+    ud = (_t(spark, sf_dir, "events")
+          .select("user_id", F.to_date("ts").alias("d")).distinct())
+    days = ud.select("d").distinct()
+    member = (ud.select("user_id",
+                        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+                        "d")
+              .select("user_id", F.date_add(F.col("d"), F.col("i"))
+                      .alias("wend"))
+              .distinct())
+    counted = member.groupBy("wend").agg(F.count(F.lit(1)).alias("n_users"))
+    return (counted.join(F.broadcast(days),
+                         counted["wend"] == days["d"])
+            .select(F.col("d").alias("window_end"), "n_users"))
