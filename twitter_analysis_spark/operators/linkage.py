@@ -1,6 +1,6 @@
 """Similarity joins for record linkage / entity resolution.
 
-Two classic linkage primitives the reference's exact-match joins
+Three classic linkage primitives the reference's exact-match joins
 (app.py:106-191 equality lookups) cannot express, built Spark-first:
 
 * :func:`set_similarity_join` — exact set-similarity self-join
@@ -11,13 +11,17 @@ Two classic linkage primitives the reference's exact-match joins
   the output is exactly the all-pairs result, but only candidate
   pairs that share a *rare-prefix* token are ever materialized.
 
+* :func:`containment_join` — the ASYMMETRIC variant
+  (|A∩B|/|A| >= t): doc-in-doc / quote detection, with the prefix
+  filter applied one-sided (only the contained side shrinks).
+
 * :func:`blocked_fuzzy_pairs` — blocked edit-distance linkage:
   candidates from an equality join on a cheap blocking key, verified
   with ``levenshtein`` (JVM built-in). Blocking is part of the
   operator contract (recall bounded by the blocking function), the
   same honesty contract the LSH rows declare.
 
-Both are pure DataFrame compositions — no UDFs, whole-stage codegen
+All are pure DataFrame compositions — no UDFs, whole-stage codegen
 end to end.
 """
 
