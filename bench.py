@@ -179,6 +179,8 @@ HEADLINE = [
     # exact sliding-window cardinality (distinct-collapse -> x7 window
     # explode -> dedup -> count; no windowed count-distinct in Spark)
     "ts_rolling_distinct_users",
+    # within-session event-path mining (discovery sibling of funnel)
+    "s10_event_paths",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -243,3 +243,32 @@ def test_rolling_distinct_users_planted(spark, tmp_path):
         "2024-01-03": 2,          # users 1 and 2 within [12-28..1-03]
         "2024-01-20": 1,          # user 3; window misses the early days
     }
+
+
+def test_event_paths_planted(spark, tmp_path):
+    """One user, one session of 4 events -> two overlapping trigram
+    paths; a 30-minute gap starts a new session so no path crosses it."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0 + 0 * m, 1, "view", 0.0),
+        (2, t0 + 1 * m, 1, "click", 0.0),
+        (3, t0 + 2 * m, 1, "view", 0.0),
+        (4, t0 + 3 * m, 1, "purchase", 0.0),
+        # new session (45 min gap): only 2 events -> no trigram
+        (5, t0 + 48 * m, 1, "view", 0.0),
+        (6, t0 + 49 * m, 1, "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    sf = str(tmp_path / "paths_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = {r.path: r.cnt for r in
+           catalog.QUERIES["s10_event_paths"](spark, sf).collect()}
+    assert got == {"view>click>view": 1, "click>view>purchase": 1}

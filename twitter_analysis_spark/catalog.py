@@ -5917,3 +5917,72 @@ def ts_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counted.join(F.broadcast(days),
                          counted["wend"] == days["d"])
             .select(F.col("d").alias("window_end"), "n_users"))
+
+
+@register(
+    "s10_event_paths",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ), seq AS (
+      SELECT user_id, session_id,
+             list(event_type ORDER BY ts, event_id) AS types
+      FROM sess GROUP BY user_id, session_id
+    ), paths AS (
+      SELECT array_to_string(types[i:i+2], '>') AS path
+      FROM (SELECT types, unnest(generate_series(1, len(types) - 2)) AS i
+            FROM seq WHERE len(types) >= 3))
+    SELECT path, count(*) AS cnt
+    FROM paths GROUP BY path
+    ORDER BY cnt DESC, path LIMIT 20
+    """,
+)
+def s10_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Path analysis — the DISCOVERY sibling of the fixed-step funnel:
+    # top-20 most common within-session event-type trigram paths
+    # (e.g. view>click>purchase). Sessionize with the s9 lag-gap
+    # machinery (same one user-keyed exchange for both windows), fold
+    # each session to its ordered type sequence with ONE sort_array
+    # over collected (ts, event_id, type) structs — deterministic
+    # total order, no per-session window sort — then slide a width-3
+    # window over the array map-side and count paths globally
+    # (partial-agg + TakeOrderedAndProject). Per-session arrays are
+    # bounded by session length (minutes of activity), not corpus
+    # size.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000),
+        F.lit(1)).otherwise(F.lit(0))
+    wsum = (Window.partitionBy("user_id")
+            .orderBy(F.asc("ts"), F.asc("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    seq = (
+        ev.withColumn("session_id",
+                      F.sum(new_session).over(wsum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))).alias("evs"))
+        .select(F.transform("evs", lambda x: x.event_type).alias("types"))
+    )
+    paths = seq.where(F.size("types") >= 3).select(
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("types") - 2),
+            lambda i: F.concat_ws(">", F.slice("types", i, 3)),
+        )).alias("path"))
+    return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("path")).limit(20))
