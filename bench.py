@@ -181,6 +181,8 @@ HEADLINE = [
     "ts_rolling_distinct_users",
     # within-session event-path mining (discovery sibling of funnel)
     "s10_event_paths",
+    # order-independent table content checksum (replication sign-off)
+    "dq_table_fingerprint",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -89,3 +89,23 @@ def test_column_profile_single_scan_single_expand(spark, sf_dir):
         and "Expand" in plan
     # exact distincts come from the one Expand, not repeated scans
     assert plan.count("Expand") == 1
+
+
+def test_table_fingerprint_invariant_and_sensitive(spark):
+    from twitter_analysis_spark.operators.dq import table_fingerprint
+    rows = [(1, "a"), (2, None), (3, "c")]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    fp = lambda d: tuple(table_fingerprint(d, ["id", "s"], "t").first())
+    base = fp(df)
+    assert base[1] == 3
+    # invariant under repartitioning / reordering
+    assert fp(df.repartition(7)) == base
+    assert fp(spark.createDataFrame(list(reversed(rows)), ["id", "s"])) == base
+    # sensitive to a single changed cell
+    changed = spark.createDataFrame([(1, "a"), (2, None), (3, "X")],
+                                    ["id", "s"])
+    assert fp(changed) != base
+    # NULL is not the string 'null'
+    nulled = spark.createDataFrame([(1, "a"), (2, "null"), (3, "c")],
+                                   ["id", "s"])
+    assert fp(nulled) != base

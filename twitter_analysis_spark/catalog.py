@@ -5986,3 +5986,46 @@ def s10_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("path"))
     return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("path")).limit(20))
+
+
+def _fingerprint_oracle() -> str:
+    tables = {"documents": ["doc_id", "text", "lang", "source", "n_chars"],
+              "nation": ["n_nationkey", "n_name", "n_regionkey"],
+              "region": ["r_regionkey", "r_name"]}
+    rows = []
+    for t, cols in tables.items():
+        parts = ", ".join(
+            f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in cols)
+        rows.append(
+            f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
+            f"CAST(sum(CAST(('0x' || substr(md5("
+            f"concat_ws(chr(31), {parts})), 1, 15)) AS BIGINT)) "
+            f"AS DECIMAL(38,0)) AS fingerprint FROM {t}")
+    return " UNION ALL ".join(rows)
+
+
+@register("dq_table_fingerprint", _fingerprint_oracle())
+def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order/partitioning-independent content checksums
+    # (operators/dq.py:table_fingerprint) for three tables in one
+    # result: the "are these two 100 TB copies identical?" primitive
+    # behind replication checks, migration sign-offs, and the
+    # snapshot-diff fast path (equal fingerprints -> skip the full
+    # key diff). Commutative sum of portable md5 row hashes — the
+    # oracle recomputes it from scratch in DuckDB, certifying
+    # engine-independence of the checksum itself.
+    from .operators.dq import table_fingerprint
+
+    fp = [table_fingerprint(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"], "documents"),
+        table_fingerprint(
+            _t(spark, sf_dir, "nation"),
+            ["n_nationkey", "n_name", "n_regionkey"], "nation"),
+        table_fingerprint(
+            _t(spark, sf_dir, "region"),
+            ["r_regionkey", "r_name"], "region")]
+    out = fp[0]
+    for f in fp[1:]:
+        out = out.unionByName(f)
+    return out

@@ -44,3 +44,31 @@ def column_profile(df: DataFrame,
         f"stack({len(cols)}, {stacked}) AS "
         "(column_name, n_rows, n_nonnull, n_distinct, min_value, "
         "max_value, sum_value)")
+
+
+def table_fingerprint(df: DataFrame, cols: list[str],
+                      table_name: str) -> DataFrame:
+    """Order- and partitioning-independent content checksum:
+    one row (table_name, n_rows, fingerprint) where fingerprint =
+    SUM over rows of a 60-bit md5-derived row hash, as DECIMAL(38,0).
+
+    Addition is commutative, so the checksum is invariant under
+    re-partitioning, re-ordering, compaction, and engine choice
+    (md5 + decimal sum are portable) — the cheap way to answer "is
+    this 100 TB copy byte-equal to that one?" without a sorted
+    compare: one scan, one map-side-combined aggregate, 16 bytes of
+    state. NULLs hash distinctly from empty strings via a sentinel;
+    columns join with an unlikely separator. A multiset-sum checksum
+    cannot see swaps that preserve the sum (adversarial collisions) —
+    it is a drift tripwire, not a cryptographic commitment.
+    """
+    parts: list = []
+    for c in cols:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15),
+        16, 10).cast("bigint")
+    return df.agg(
+        F.lit(table_name).alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash.cast("decimal(38,0)")).alias("fingerprint"))
