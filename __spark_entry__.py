@@ -109,7 +109,8 @@ _PRIORITY = [
     # corpus_stratified_sample corpus_weighted_sample
     # dq_column_profile j12_interval_overlap_join
     # attribution_multitouch dedup_containment corpus_fixed_k_sample
-    # ts_rolling_distinct_users s10_event_paths dq_table_fingerprint --
+    # ts_rolling_distinct_users s10_event_paths dq_table_fingerprint
+    # ts_trend_slope --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

@@ -183,6 +183,8 @@ HEADLINE = [
     "s10_event_paths",
     # order-independent table content checksum (replication sign-off)
     "dq_table_fingerprint",
+    # exact-arithmetic least-squares daily trend per event type
+    "ts_trend_slope",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

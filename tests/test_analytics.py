@@ -272,3 +272,29 @@ def test_event_paths_planted(spark, tmp_path):
     got = {r.path: r.cnt for r in
            catalog.QUERIES["s10_event_paths"](spark, sf).collect()}
     assert got == {"view>click>view": 1, "click>view>purchase": 1}
+
+
+def test_trend_slope_planted_exact_line(spark, tmp_path):
+    """Values on an exact line (value = 2 + 3*day_offset, one event per
+    day) recover slope 3e6 micro-units/day exactly; a flat series
+    gives slope 0; repartitioning cannot change the answer (integer
+    accumulation)."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    d0 = dt.datetime(2024, 2, 1, 12, 0, 0)
+    rows = []
+    for i in range(10):
+        rows.append((i, d0 + dt.timedelta(days=i), 1, "up", 2.0 + 3.0 * i))
+        rows.append((100 + i, d0 + dt.timedelta(days=i), 1, "flat", 7.5))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    sf = str(tmp_path / "trend_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.repartition(13).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet"))
+    got = {r.event_type: (r.n_days, r.slope_micro_per_day) for r in
+           catalog.QUERIES["ts_trend_slope"](spark, sf).collect()}
+    assert got == {"up": (10, 3_000_000.0), "flat": (10, 0.0)}

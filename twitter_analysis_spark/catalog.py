@@ -6029,3 +6029,63 @@ def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in fp[1:]:
         out = out.unionByName(f)
     return out
+
+
+@register(
+    "ts_trend_slope",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS s
+      FROM events GROUP BY 1, 2),
+    pts AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS x, s
+      FROM daily),
+    sums AS (
+      SELECT event_type,
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(s) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(x * s) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+      FROM pts GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_micro_per_day
+    FROM sums
+    """,
+)
+def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-type least-squares trend over daily totals — regression
+    # analytics done EXACTLY: floating sums are order-dependent across
+    # partitionings (and engines), so every accumulation here is
+    # integer/decimal — per-row floor(value*1e6) (bit-identical IEEE
+    # multiply+floor), bigint daily totals, DECIMAL(38,0) moment sums
+    # — and the only float op is the final single division of two
+    # exact decimals. Shape: one (type, day) agg (partial map-side),
+    # one per-type moments agg; both tiny after the first collapse.
+    # Spark's regr_slope would be one call but accumulates doubles —
+    # irreproducible under AQE re-partitioning; this is the portable
+    # spelling.
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.sum(F.floor(F.col("value") * 1e6).cast("bigint"))
+                  .alias("s")))
+    pts = daily.select(
+        "event_type",
+        F.datediff("d", F.to_date(F.lit("1970-01-01")))
+        .cast("bigint").alias("x"), "s")
+    dec = "decimal(38,0)"
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("s").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("s")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.select(
+        "event_type", F.col("n").cast("bigint").alias("n_days"),
+        (num.cast("double") / den.cast("double"))
+        .alias("slope_micro_per_day"))

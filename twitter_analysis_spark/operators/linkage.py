@@ -45,6 +45,29 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def _prefix_postings(sets: DataFrame, threshold: float):
+    """(full posting list, rarest-first prefix slice) for a sets table.
+
+    Posting = one (doc, n_sh, sh) row per set element; prefix keeps
+    each doc's first ``|S| - ceil(t*|S|) + 1`` elements under the
+    global (df asc, sh asc) order — the shared machinery of the
+    symmetric (Jaccard) and asymmetric (containment) prefix joins.
+    The frequency agg and the rank join both key on sh, so they share
+    one exchange.
+    """
+    posting = sets.select("doc", "n_sh", F.explode("st").alias("sh"))
+    freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        posting.join(freq, "sh")
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("doc").orderBy("df", "sh")))
+    )
+    prefix = ranked.where(
+        F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(threshold)
+                                               * F.col("n_sh")) + 1)
+    return posting, prefix
+
+
 def set_similarity_join(df: DataFrame, id_col: str, text_col: str = "text",
                         threshold: float = 0.5, n: int = 3,
                         cleanup: list | None = None) -> DataFrame:
@@ -88,21 +111,7 @@ def set_similarity_join(df: DataFrame, id_col: str, text_col: str = "text",
     if cleanup is not None:
         cleanup.append(sets)
 
-    posting = sets.select("doc", "n_sh", F.explode("st").alias("sh"))
-    # Global shingle document frequency — the canonical rarest-first
-    # order. Co-partitioned with the join below (both key on sh).
-    freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-
-    ranked = (
-        posting.join(freq, "sh")
-        .withColumn("rnk", F.row_number().over(
-            Window.partitionBy("doc").orderBy("df", "sh")))
-    )
-    # prefix length |S| - ceil(t|S|) + 1
-    prefix = ranked.where(
-        F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(threshold)
-                                               * F.col("n_sh")) + 1)
-
+    posting, prefix = _prefix_postings(sets, threshold)
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -191,17 +200,7 @@ def containment_join(df: DataFrame, id_col: str, text_col: str = "text",
     if cleanup is not None:
         cleanup.append(sets)
 
-    posting = sets.select("doc", "n_sh", F.explode("st").alias("sh"))
-    freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        posting.join(freq, "sh")
-        .withColumn("rnk", F.row_number().over(
-            Window.partitionBy("doc").orderBy("df", "sh")))
-    )
-    prefix = ranked.where(
-        F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(threshold)
-                                               * F.col("n_sh")) + 1)
-
+    posting, prefix = _prefix_postings(sets, threshold)
     a, b = prefix.alias("a"), posting.alias("b")
     cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
