@@ -185,6 +185,8 @@ HEADLINE = [
     "dq_table_fingerprint",
     # exact-arithmetic least-squares daily trend per event type
     "ts_trend_slope",
+    # 3-hop BFS neighborhood (frontier + visited anti-join rounds)
+    "graph_bfs_khop",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -156,3 +156,22 @@ def test_triangles_match_bruteforce(spark):
     pairs = [(0, i) for i in range(1, 8)] + \
             [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (1, 3), (9, 10)]
     assert _tri(spark, pairs) == _python_triangles(pairs)
+
+
+def test_bfs_khop_planted(spark):
+    from twitter_analysis_spark.operators.graph import bfs_khop
+    # chain 0-1-2-3-4-5 plus shortcut 0-3 (min-depth wins) and an
+    # edge INTO 0 (undirected view reaches it); 9 isolated elsewhere
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3), (7, 0), (8, 9)],
+        ["src", "dst"])
+    got = {r.node: r.depth for r in bfs_khop(edges, 0, 3).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 7: 1, 2: 2, 4: 2, 5: 3}
+    # 8, 9 unreachable; 5 reachable only at hop 3 via the shortcut
+
+
+def test_bfs_khop_isolated_source(spark):
+    from twitter_analysis_spark.operators.graph import bfs_khop
+    edges = spark.createDataFrame([(5, 6)], ["src", "dst"])
+    got = {r.node: r.depth for r in bfs_khop(edges, 0, 2).collect()}
+    assert got == {0: 0}

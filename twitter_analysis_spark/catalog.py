@@ -6089,3 +6089,41 @@ def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("n").cast("bigint").alias("n_days"),
         (num.cast("double") / den.cast("double"))
         .alias("slope_micro_per_day"))
+
+
+@register(
+    "graph_bfs_khop",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT user_id AS src,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) % 150 AS dst
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+        AND user_id <> CAST(json_extract_string(props, '$.k') AS BIGINT) % 150),
+    und AS (
+      SELECT src AS a, dst AS b FROM e
+      UNION SELECT dst, src FROM e),
+    bfs AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+      UNION ALL
+      SELECT u.b, bfs.depth + 1
+      FROM bfs JOIN und u ON u.a = bfs.node
+      WHERE bfs.depth < 3),
+    best AS (SELECT node, min(depth) AS depth FROM bfs GROUP BY node)
+    SELECT node, CAST(depth AS INT) AS depth FROM best
+    """,
+)
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-hop BFS neighborhood of node 0 over the undirected interaction
+    # graph (operators/graph.py:bfs_khop — frontier join + visited
+    # anti-join per round, fixed driver-side hop bound, no data on the
+    # driver). The oracle is a recursive CTE taking min(depth) — the
+    # textbook spelling Spark lacks; the anti-join plan computes the
+    # same min-depth set without enumerating paths. NOTE the DuckDB
+    # recursion is UNION ALL bounded at 3 hops (path enumeration),
+    # safe only because the oracle graph is sf0.01-sized; the Spark
+    # side is the one that scales.
+    from .operators.graph import bfs_khop, interaction_edges
+
+    edges = interaction_edges(_t(spark, sf_dir, "events"))
+    return bfs_khop(edges, source=0, max_hops=3)

@@ -184,3 +184,39 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                    .cast("bigint").alias("n_triangles")))
     oriented.unpersist()
     return out
+
+
+def bfs_khop(edges: DataFrame, source: int, max_hops: int) -> DataFrame:
+    """Minimum-hop distance from ``source`` to every node within
+    ``max_hops``, breadth-first over the UNDIRECTED edge view.
+    Returns (node, depth), depth in [0, max_hops].
+
+    The k-hop neighborhood primitive (ego-net extraction, blast-radius
+    queries). Each of the ``max_hops`` rounds is one frontier⋈edges
+    join + an anti-join against the visited set — the frontier only
+    carries NEWLY reached nodes, so total work is O(edges touched), 
+    not O(paths): the anti-join is what keeps a dense graph from
+    enumerating its path explosion. The loop is a fixed Python range
+    over a driver-side CONSTANT (the hop bound — not data), exactly
+    like pagerank_exact's iteration count; no data ever reaches the
+    driver. Visited sets persist per round; a localCheckpoint every
+    round keeps the lineage flat at any hop count.
+    """
+    sess = edges.sparkSession
+    und = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+           .union(edges.select(F.col("dst").alias("a"),
+                               F.col("src").alias("b")))
+           .distinct().persist())
+    reached = sess.createDataFrame([(source, 0)], "node LONG, depth INT") \
+        .persist()
+    frontier = reached.select("node")
+    for d in range(1, max_hops + 1):
+        nxt = (frontier.join(und, frontier["node"] == und["a"])
+               .select(F.col("b").alias("node")).distinct()
+               .join(reached, "node", "left_anti")
+               .withColumn("depth", F.lit(d))
+               .localCheckpoint())
+        reached = reached.unionByName(nxt).persist()
+        frontier = nxt.select("node")
+    und.unpersist()
+    return reached
