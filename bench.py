@@ -187,6 +187,8 @@ HEADLINE = [
     "ts_trend_slope",
     # 3-hop BFS neighborhood (frontier + visited anti-join rounds)
     "graph_bfs_khop",
+    # lexicon sentiment per source (EDBT'16 Twitter-on-Spark shape)
+    "text_sentiment_lexicon",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -134,3 +134,25 @@ def test_hash_bow_dense_round_trip(spark, sf_dir):
                                      threshold=0.95)
     for p in pairs.collect():
         assert 0.95 <= p["cosine"] <= 1.0
+
+
+def test_sentiment_lexicon_planted(spark, tmp_path):
+    """Hand-checkable lexicon scores: multiplicity counts, zero-match
+    docs stay in the denominator with score 0."""
+    import os
+    from twitter_analysis_spark import catalog
+
+    rows = [
+        (1, "fast fast slow", "en", "s1", 14),   # 2*2 - 2 = +2
+        (2, "the a key",      "en", "s1", 9),    # no lexicon words -> 0
+        (3, "dup dup",        "en", "s2", 7),    # -6
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf = str(tmp_path / "sent_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {r.source: (r.n_docs, r.sum_score, r.mean_score) for r in
+           catalog.QUERIES["text_sentiment_lexicon"](spark, sf).collect()}
+    assert got == {"s1": (2, 2, 1.0), "s2": (1, -6, -6.0)}

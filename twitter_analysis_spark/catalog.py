@@ -6127,3 +6127,61 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = interaction_edges(_t(spark, sf_dir, "events"))
     return bfs_khop(edges, source=0, max_hops=3)
+
+
+#: Tiny AFINN-style lexicon over the corpus vocabulary (word, score).
+#: Stands in for the published AFINN list the EDBT'16 Twitter-on-Spark
+#: pipeline broadcasts; same shape, embeddable in the oracle.
+_SENTIMENT_LEXICON = [("fast", 2), ("slow", -2), ("big", 1),
+                      ("small", -1), ("dup", -3), ("merge", 1),
+                      ("filter", 1), ("scan", -1)]
+
+_LEX_VALUES_SQL = ", ".join(f"('{w}', {s})" for w, s in _SENTIMENT_LEXICON)
+
+
+@register(
+    "text_sentiment_lexicon",
+    f"""
+    WITH lex AS (SELECT * FROM (VALUES {_LEX_VALUES_SQL}) t(word, score)),
+    toks AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
+    tok AS (SELECT doc_id, source, unnest(tk) AS w FROM toks),
+    per_doc AS (
+      SELECT tok.doc_id, sum(lex.score) AS s
+      FROM tok JOIN lex ON tok.w = lex.word
+      GROUP BY tok.doc_id)
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(coalesce(per_doc.s, 0)) AS BIGINT) AS sum_score,
+           CAST(sum(coalesce(per_doc.s, 0)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_score
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    GROUP BY d.source
+    """,
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lexicon-based sentiment per source — the EDBT'16 "Large Scale
+    # Sentiment Analysis on Twitter with Spark" shape (PAPERS.md):
+    # token explode ⋈ broadcast lexicon (a few hundred rows in the
+    # real AFINN — always broadcastable), per-doc integer score sum,
+    # then a per-source rollup that KEEPS zero-match documents (left
+    # join: a doc mentioning no lexicon word scores 0, it does not
+    # vanish from the denominator). All sums are exact integers; the
+    # mean is one bigint/bigint division, so cross-engine hash parity
+    # holds with no float accumulation.
+    docs = _t(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_SENTIMENT_LEXICON, ["word", "score"])
+    tok = (docs.select("doc_id", _dedup.tokens(F.col("text")).alias("_tk"))
+           .select("doc_id", F.explode("_tk").alias("w")))
+    per_doc = (tok.join(F.broadcast(lex), tok["w"] == lex["word"])
+               .groupBy("doc_id").agg(F.sum("score").alias("s")))
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.coalesce(F.col("s"), F.lit(0))).cast("bigint")
+             .alias("sum_score"))
+        .withColumn("mean_score",
+                    F.col("sum_score").cast("double")
+                    / F.col("n_docs").cast("double"))
+    )
