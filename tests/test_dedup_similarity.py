@@ -605,3 +605,31 @@ def test_weighted_sample_topk_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan   # never a global sort
     assert "partial_max" in plan             # explode collapses pre-shuffle
+
+
+def test_ivf_append_equals_fresh_build(spark, sf_dir, tmp_path):
+    """Appending a batch to a saved IVF index (frozen centroids) gives
+    byte-identical probe results to a fresh build over the union."""
+    import pyspark.sql.functions as F
+    from twitter_analysis_spark.operators import similarity as S
+    from twitter_analysis_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    cents = S.ivf_centroids(base)            # centroids from BASE only
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+
+    inc_path = str(tmp_path / "ivf_inc")
+    S.save_ivf_index(base, cents, inc_path)
+    S.append_to_ivf_index(batch, cents, inc_path)
+
+    fresh_path = str(tmp_path / "ivf_fresh")
+    S.save_ivf_index(emb, cents, fresh_path)
+
+    got = [tuple(r) for r in
+           S.ivf_probe(spark, inc_path, cents, qvec, k=10, nprobe=2).collect()]
+    want = [tuple(r) for r in
+            S.ivf_probe(spark, fresh_path, cents, qvec, k=10,
+                        nprobe=2).collect()]
+    assert got == want and len(got) == 10

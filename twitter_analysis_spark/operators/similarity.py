@@ -702,3 +702,23 @@ def ivf_probe(spark, path: str, centroids: list[tuple[int, list[float]]],
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def append_to_ivf_index(emb_new: DataFrame,
+                        centroids: list[tuple[int, list[float]]],
+                        path: str, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Incrementally grow a saved IVF index: assign ONLY the new
+    vectors against the index's frozen centroids and append them to
+    their cell partitions — no rebuild, no touch of existing cells'
+    data, cost proportional to the batch (the vector-corpus analogue
+    of streaming_ingest_dedup's index maintenance).
+
+    Frozen centroids keep probe results exactly equal to a fresh
+    build over the union (tests pin this): cells drift from optimal
+    as the distribution shifts, which a real deployment handles with
+    a periodic re-train + full rewrite (the compaction of this
+    index); recall monitoring decides when, not this function.
+    """
+    (ivf_assign(emb_new, centroids, id_col, vec_col)
+     .write.mode("append").partitionBy("cell").parquet(path))
