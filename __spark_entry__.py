@@ -110,7 +110,8 @@ _PRIORITY = [
     # dq_column_profile j12_interval_overlap_join
     # attribution_multitouch dedup_containment corpus_fixed_k_sample
     # ts_rolling_distinct_users s10_event_paths dq_table_fingerprint
-    # ts_trend_slope graph_bfs_khop text_sentiment_lexicon --
+    # ts_trend_slope graph_bfs_khop text_sentiment_lexicon
+    # ts_winsorized_mean --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

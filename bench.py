@@ -189,6 +189,8 @@ HEADLINE = [
     "graph_bfs_khop",
     # lexicon sentiment per source (EDBT'16 Twitter-on-Spark shape)
     "text_sentiment_lexicon",
+    # 5/95 winsorized mean with exact-integer accumulation
+    "ts_winsorized_mean",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -298,3 +298,35 @@ def test_trend_slope_planted_exact_line(spark, tmp_path):
     got = {r.event_type: (r.n_days, r.slope_micro_per_day) for r in
            catalog.QUERIES["ts_trend_slope"](spark, sf).collect()}
     assert got == {"up": (10, 3_000_000.0), "flat": (10, 0.0)}
+
+
+def test_winsorized_mean_planted(spark, tmp_path):
+    """An extreme outlier moves the plain mean but is clipped to the
+    95th-percentile bound in the winsorized mean."""
+    import os
+    import datetime as dt
+    from twitter_analysis_spark import catalog
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [float(v) for v in range(1, 20)] + [10_000.0]   # 20 values
+    rows = [(i, t0, 1, "t", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    sf = str(tmp_path / "win_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    r = catalog.QUERIES["ts_winsorized_mean"](spark, sf).first()
+    assert r.n == 20
+    # hi = quantile_cont(0.95): sorted index 0.95*(20-1)=18.05 ->
+    # 19 + 0.05*(10000-19) = 518.05; lo = 1 + 0.95*(2-1) = 1.95.
+    # Replicating the interpolation in Python floats lands within
+    # 1 ulp of the engine (engine-vs-engine identity is the oracle's
+    # job); assert to micro-unit tolerance per row here.
+    import math
+    clipped = [min(max(v, 1.95), 518.05) for v in vals]
+    want = sum(math.floor(v * 1e6) for v in clipped)
+    assert abs(r.sum_micro - want) <= len(vals)
+    # the outlier is tamed: plain mean ~534, winsorized mean ~35.5
+    assert r.winsorized_mean_micro < 40_000_000
+    assert abs(r.winsorized_mean_micro - r.sum_micro / 20) < 1e-6

@@ -6185,3 +6185,50 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("sum_score").cast("double")
                     / F.col("n_docs").cast("double"))
     )
+
+
+@register(
+    "ts_winsorized_mean",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type),
+    clipped AS (
+      SELECT e.event_type,
+             CAST(FLOOR(least(greatest(e.value, b.lo), b.hi) * 1e6)
+                  AS BIGINT) AS v
+      FROM events e JOIN b ON e.event_type = b.event_type)
+    SELECT event_type, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_micro,
+           CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS winsorized_mean_micro
+    FROM clipped GROUP BY event_type
+    """,
+)
+def ts_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust-stats preprocessing: per-type 5/95 winsorization (clip to
+    # the exact interpolated percentiles — a7 machinery) followed by
+    # an EXACT mean: clip, floor to integer micro-units per row
+    # (bit-identical IEEE ops), integer-sum — so the "mean" survives
+    # repartitioning and engine changes where a double sum does not.
+    # Two passes by necessity (percentiles are holistic), but the
+    # bounds frame is type-cardinality-sized and broadcasts; at 100 TB
+    # swap pass one for approx_percentile and keep pass two exact.
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("hi"))
+    clipped = (ev.join(F.broadcast(b), "event_type")
+               .select("event_type",
+                       F.floor(F.least(F.greatest(F.col("value"),
+                                                  F.col("lo")),
+                                       F.col("hi")) * 1e6)
+                       .cast("bigint").alias("v")))
+    return (clipped.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").cast("bigint").alias("sum_micro"))
+            .withColumn("winsorized_mean_micro",
+                        F.col("sum_micro").cast("double")
+                        / F.col("n").cast("double")))
