@@ -1454,7 +1454,7 @@ def w1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s9_sessionization",
     """
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -1462,7 +1462,8 @@ def w1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sess AS (
       SELECT user_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM gaps
     )
@@ -1486,7 +1487,12 @@ def s9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = us - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
     new_session = F.when(
         gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0))
-    wsum = (Window.partitionBy("user_id").orderBy(F.asc("ts"))
+    # event_id tiebreak on BOTH windows: with ts ties the cumsum's row
+    # order would otherwise be ambiguous and session ids partitioning-
+    # dependent (the gap window always had the tiebreak; the oracle
+    # carries the identical ORDER BY).
+    wsum = (Window.partitionBy("user_id")
+            .orderBy(F.asc("ts"), F.asc("event_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
         ev.withColumn("new_session", new_session)
