@@ -191,6 +191,8 @@ HEADLINE = [
     "text_sentiment_lexicon",
     # 5/95 winsorized mean with exact-integer accumulation
     "ts_winsorized_mean",
+    # real audio loudness kernel (PCM parse + numpy reduction)
+    "mm_audio_stats",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -227,3 +227,21 @@ def test_ahash_pairs_identical_images_distance_zero(spark):
     df = _media_df(spark, [(5, _ppm(8, 8, pix)), (9, _ppm(8, 8, pix))])
     pairs = M.ahash_pairs(M.ahash_bands(df), max_dist=0).collect()
     assert [(r["a"], r["b"], r["dist"]) for r in pairs] == [(5, 9, 0)]
+
+
+def test_audio_stats_python_replay(spark, sf_dir):
+    """The Spark kernel's integer loudness stats equal a direct Python
+    replay over the same synthetic blobs."""
+    from twitter_analysis_spark.operators import multimodal as M
+    from twitter_analysis_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    got = {r.doc_id: (r.n_samples, r.peak_dev, r.sum_sq) for r in
+           M.audio_stats(M.synthetic_media_table(docs)).collect()}
+    assert got
+    for did, (n, peak, ssq) in got.items():
+        _mt, blob = M.encode_media(did)
+        _r, _c, _b, data = M._parse_wav(blob)
+        dev = [abs(b - 128) for b in data]
+        assert (n, peak, ssq) == (len(data), max(dev),
+                                  sum((b - 128) ** 2 for b in data))

@@ -6238,3 +6238,31 @@ def ts_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("winsorized_mean_micro",
                         F.col("sum_micro").cast("double")
                         / F.col("n").cast("double")))
+
+
+@register(
+    "mm_audio_stats",
+    """
+    WITH a AS (SELECT doc_id, doc_id % 2000 + 1 AS n FROM documents
+               WHERE doc_id % 3 = 1),
+    s AS (SELECT doc_id, n,
+                 ((doc_id * 17 + i * 5) % 256) - 128 AS d
+          FROM (SELECT doc_id, n,
+                       unnest(generate_series(0, n - 1)) AS i
+                FROM a))
+    SELECT doc_id, n AS n_samples,
+           CAST(max(abs(d)) AS BIGINT) AS peak_dev,
+           CAST(sum(d * d) AS BIGINT) AS sum_sq
+    FROM s GROUP BY doc_id, n
+    """,
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Real audio loudness kernel (operators/multimodal.py:audio_stats):
+    # parse RIFF/WAVE PCM with the stdlib parser, center on the 8-bit
+    # midpoint, reduce with vectorized numpy (Arrow-batched
+    # mapInPandas) to integer peak deviation and energy. The oracle
+    # recomputes both from the closed-form synthetic sample formula
+    # ((doc_id*17 + i*5) % 256) without touching a byte — the
+    # mm_decode contract extended to signal statistics.
+    media = _mm.synthetic_media_table(_t(spark, sf_dir, "documents"))
+    return _mm.audio_stats(media)

@@ -475,3 +475,34 @@ def ahash_pairs(hashes: DataFrame, max_dist: int = 6) -> DataFrame:
                for k in range(4))
     return (cand.select("a", "b", dist.cast("int").alias("dist"))
             .where(F.col("dist") <= max_dist))
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL loudness statistics per audio row: parse the RIFF/WAVE PCM
+    payload and emit (doc_id, n_samples, peak_dev, sum_sq) where
+    samples are centered on the 8-bit midpoint (128) — peak_dev is the
+    max absolute deviation, sum_sq the integer energy (RMS^2 * n).
+    All-integer outputs, so the DuckDB oracle can recompute them from
+    the closed-form synthetic-blob formulas and a hash match certifies
+    the parser + the vectorized numpy reduction end to end.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_samples", "peak_dev", "sum_sq")}
+            for did, mt, blob in zip(pdf["doc_id"], pdf["media_type"],
+                                     pdf["content"]):
+                if mt != "audio":
+                    continue
+                _rate, _ch, _bits, data = _parse_wav(bytes(blob))
+                d = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+                out["doc_id"].append(did)
+                out["n_samples"].append(len(d))
+                out["peak_dev"].append(int(np.abs(d).max()) if len(d) else 0)
+                out["sum_sq"].append(int((d * d).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "doc_id long, n_samples long, peak_dev long, sum_sq long")
