@@ -173,6 +173,18 @@ def main() -> None:
             quarantine_path=os.path.join(base, "quarantine"),
             checkpoint=os.path.join(base, "ckpt"))
 
+    def sketch_run(tag: str) -> None:
+        # continuously-maintained Count-Min sketch: constant-size state
+        # merged per micro-batch (streaming/sketch_ingest.py)
+        from twitter_analysis_spark.streaming.sketch_ingest import (
+            streaming_sketch_ingest,
+        )
+        base = os.path.join(root, f"sketch_{tag}")
+        streaming_sketch_ingest(
+            spark, doc_drop,
+            sketch_path=os.path.join(base, "sketch"),
+            checkpoint=os.path.join(base, "ckpt"))
+
     def drain(df, name: str, mode: str) -> None:
         q = (df.writeStream.format("memory").queryName(name)
              .outputMode(mode).trigger(availableNow=True).start())
@@ -208,6 +220,8 @@ def main() -> None:
         # decontaminating ingestion: build-once Bloom prefilter probed
         # per batch, clean/quarantine routing
         "stream_ingest_decontaminate": decon_run,
+        # constant-state CM-sketch maintenance (merge per micro-batch)
+        "stream_sketch_ingest": sketch_run,
     }
 
     timings: dict[str, float] = {}

@@ -534,3 +534,55 @@ def test_streaming_ingest_decontaminate(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} \
         == got_c
     assert len(spark.read.parquet(quarantine).collect()) == len(truth)
+
+
+def test_streaming_sketch_ingest(spark, tmp_path):
+    """Two drained drops: the maintained sketch equals a from-scratch
+    batch build over the union, cell for cell; estimates stay
+    one-sided; a re-drain (marker) is a no-op."""
+    import json
+
+    from twitter_analysis_spark.operators.sketches import (
+        cms_build, cms_estimate)
+    from twitter_analysis_spark.operators.dedup import tokens
+    from twitter_analysis_spark.streaming.sketch_ingest import (
+        streaming_sketch_ingest)
+    import pyspark.sql.functions as F
+
+    drop = tmp_path / "sk_drop"
+    drop.mkdir()
+    sk_path = str(tmp_path / "sk_sketch")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    d1 = [(1, "spark spark table"), (2, "table scan")]
+    d2 = [(3, "spark join join join")]
+    write_drop("d1.json", d1)
+    streaming_sketch_ingest(spark, str(drop), sk_path,
+                            checkpoint=str(tmp_path / "sk_ckpt"))
+    write_drop("d2.json", d2)
+    streaming_sketch_ingest(spark, str(drop), sk_path,
+                            checkpoint=str(tmp_path / "sk_ckpt"))
+
+    all_docs = spark.createDataFrame(d1 + d2, ["doc_id", "text"])
+    want = sorted(map(tuple, cms_build(
+        all_docs.select(F.explode(tokens(F.col("text"))).alias("token")),
+        "token").collect()))
+    got = sorted(map(tuple, spark.read.parquet(sk_path).collect()))
+    assert got == want
+
+    # estimates over the maintained sketch: >= truth, exact for these
+    # collision-free small counts
+    q = spark.createDataFrame([("spark",), ("join",), ("absent",)], ["token"])
+    est = {r.token: r.est_cnt for r in cms_estimate(
+        spark.read.parquet(sk_path), q, "token").collect()}
+    assert est["spark"] == 3 and est["join"] == 3 and est["absent"] == 0
+
+    # replay: no double counting
+    streaming_sketch_ingest(spark, str(drop), sk_path,
+                            checkpoint=str(tmp_path / "sk_ckpt"))
+    assert sorted(map(tuple,
+                      spark.read.parquet(sk_path).collect())) == want
