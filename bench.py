@@ -193,6 +193,8 @@ HEADLINE = [
     "ts_winsorized_mean",
     # real audio loudness kernel (PCM parse + numpy reduction)
     "mm_audio_stats",
+    # RAKE keyphrases (integer degree/frequency ranking)
+    "text_keyphrases_rake",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -156,3 +156,29 @@ def test_sentiment_lexicon_planted(spark, tmp_path):
     got = {r.source: (r.n_docs, r.sum_score, r.mean_score) for r in
            catalog.QUERIES["text_sentiment_lexicon"](spark, sf).collect()}
     assert got == {"s1": (2, 2, 1.0), "s2": (1, -6, -6.0)}
+
+
+def test_rake_keyphrases_planted(spark, tmp_path):
+    """Hand-checkable RAKE scoring: phrase runs split at stopwords,
+    degree counts full phrase length per occurrence, integer ranking."""
+    import os
+    from twitter_analysis_spark import catalog
+
+    rows = [
+        # "fast join" twice, "fast" once alone; "the"/"a" are stopwords
+        (1, "the fast join a fast join", "en", "s1", 24),
+        (2, "a fast the", "en", "s1", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf = str(tmp_path / "rake_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = [(r.phrase, r.n_occ, r.deg_sum, r.freq_sum) for r in
+           catalog.QUERIES["text_keyphrases_rake"](spark, sf).collect()]
+    # word stats: fast: freq 3 (2 in "fast join" + 1 alone),
+    #             deg 2+2+1 = 5; join: freq 2, deg 4.
+    # phrase "fast join": deg_sum 5+4=9, freq_sum 3+2=5, n_occ 2
+    # phrase "fast": deg_sum 5, freq_sum 3, n_occ 1
+    assert got == [("fast join", 2, 9, 5), ("fast", 1, 5, 3)]

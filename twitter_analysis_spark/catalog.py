@@ -6266,3 +6266,92 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mm_decode contract extended to signal statistics.
     media = _mm.synthetic_media_table(_t(spark, sf_dir, "documents"))
     return _mm.audio_stats(media)
+
+
+# RAKE-style keyphrase extraction (Rose et al. 2010): phrases are
+# maximal stopword-free token runs; canonical RAKE ranks by
+# sum(deg(w)/freq(w)) — a float sum whose accumulation order is
+# engine-dependent, so this row ranks by the INTEGER pair
+# (sum deg(w), sum freq(w)) instead: deg-dominant ordering preserves
+# RAKE's co-occurrence preference while every compared quantity stays
+# exact (the rational score is recoverable by the caller as
+# deg_sum/freq_sum per word if wanted).
+from .functions.text import STOPWORDS as _TEXT_STOPWORDS  # noqa: E402
+
+_RAKE_STOPS_RE = "|".join(_TEXT_STOPWORDS)
+_RAKE_PHRASES_SQL = f"""
+    list_filter(
+      string_split_regex(
+        array_to_string(
+          list_transform({{tk}},
+            t -> CASE WHEN regexp_full_match(t, '({_RAKE_STOPS_RE})')
+                      THEN chr(167) ELSE t END),
+          ' '),
+        ' *\\xa7+ *'),
+      p -> p <> '')
+"""
+
+
+@register(
+    "text_keyphrases_rake",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    occ AS (
+      SELECT unnest({_RAKE_PHRASES_SQL.format(tk='tk')}) AS phrase
+      FROM toks),
+    occw AS (
+      SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+             unnest(string_split(phrase, ' ')) AS w
+      FROM occ),
+    ws AS (
+      SELECT w, count(*) AS freq, sum(plen) AS deg
+      FROM occw GROUP BY w),
+    ptypes AS (
+      SELECT phrase, count(*) AS n_occ FROM occ GROUP BY phrase),
+    pw AS (
+      SELECT p.phrase, p.n_occ, unnest(string_split(p.phrase, ' ')) AS w
+      FROM ptypes p)
+    SELECT pw.phrase, any_value(pw.n_occ) AS n_occ,
+           CAST(sum(ws.deg) AS BIGINT) AS deg_sum,
+           CAST(sum(ws.freq) AS BIGINT) AS freq_sum
+    FROM pw JOIN ws ON pw.w = ws.w
+    GROUP BY pw.phrase
+    ORDER BY deg_sum DESC, freq_sum DESC, phrase LIMIT 20
+    """,
+)
+def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-20 RAKE keyphrases. Phrase extraction is map-only (token
+    # transform -> sentinel join -> regex split — no per-doc window);
+    # word degree/frequency is one hash-agg over exploded phrase
+    # words; phrase-type scores join the (vocabulary-sized,
+    # size-gated-broadcastable) word-stats table back to the distinct
+    # phrase list. Ranking uses exact integer (deg_sum, freq_sum) —
+    # see the block comment above for why not canonical float scores.
+    docs = _t(spark, sf_dir, "documents")
+    stops_re = f"({_RAKE_STOPS_RE})"
+    phrases_col = F.filter(
+        F.split(
+            F.array_join(
+                F.transform(_dedup.tokens(F.col("text")),
+                            lambda t: F.when(t.rlike(f"^{stops_re}$"),
+                                             F.lit("\xa7")).otherwise(t)),
+                " "),
+            " *\xa7+ *"),
+        lambda p: p != "")
+    occ = docs.select(F.explode(phrases_col).alias("phrase"))
+    occ = occ.persist()
+    occw = occ.select(
+        "phrase", F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"))
+    ws = occw.groupBy("w").agg(F.count(F.lit(1)).alias("freq"),
+                               F.sum("plen").alias("deg"))
+    ptypes = occ.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    pw = ptypes.select("phrase", "n_occ",
+                       F.explode(F.split("phrase", " ")).alias("w"))
+    return (pw.join(maybe_broadcast(ws), "w")
+            .groupBy("phrase")
+            .agg(F.any_value("n_occ").alias("n_occ"),
+                 F.sum("deg").cast("bigint").alias("deg_sum"),
+                 F.sum("freq").cast("bigint").alias("freq_sum"))
+            .orderBy(F.desc("deg_sum"), F.desc("freq_sum"), F.asc("phrase"))
+            .limit(20))
