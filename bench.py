@@ -195,6 +195,8 @@ HEADLINE = [
     "mm_audio_stats",
     # RAKE keyphrases (integer degree/frequency ranking)
     "text_keyphrases_rake",
+    # CUSUM change-point per event type (integer-scaled statistic)
+    "ts_changepoint_cusum",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -330,3 +330,33 @@ def test_winsorized_mean_planted(spark, tmp_path):
     # the outlier is tamed: plain mean ~534, winsorized mean ~35.5
     assert r.winsorized_mean_micro < 40_000_000
     assert abs(r.winsorized_mean_micro - r.sum_micro / 20) < 1e-6
+
+
+def test_changepoint_cusum_planted(spark, tmp_path):
+    """A level shift mid-series puts the CUSUM extremum at the last
+    pre-shift day; a flat series yields S == 0 everywhere (earliest
+    day wins the tie)."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    d0 = dt.datetime(2024, 4, 1)
+    rows = []
+    # "shift": 5 days at 10.0 then 5 days at 20.0 -> extremum at day 5
+    for i in range(10):
+        rows.append((i, d0 + dt.timedelta(days=i), 1, "shift",
+                     10.0 if i < 5 else 20.0))
+    # "flat": constant 7.0
+    for i in range(10):
+        rows.append((100 + i, d0 + dt.timedelta(days=i), 1, "flat", 7.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    sf = str(tmp_path / "cusum_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = {r.event_type: (r.changepoint_day.isoformat(), r.s_scaled) for r in
+           catalog.QUERIES["ts_changepoint_cusum"](spark, sf).collect()}
+    # shift: T = 150e6, D = 10; S_5 = 5*(10*10e6 - 150e6) = -250e6
+    assert got["shift"] == ("2024-04-05", -250_000_000)
+    assert got["flat"] == ("2024-04-01", 0)

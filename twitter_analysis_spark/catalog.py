@@ -6355,3 +6355,57 @@ def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("freq").cast("bigint").alias("freq_sum"))
             .orderBy(F.desc("deg_sum"), F.desc("freq_sum"), F.asc("phrase"))
             .limit(20))
+
+
+@register(
+    "ts_changepoint_cusum",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, count(*) AS nd, sum(v) AS t
+      FROM daily GROUP BY event_type),
+    cus AS (
+      SELECT daily.event_type, d,
+             sum(tot.nd * daily.v - tot.t) OVER (
+               PARTITION BY daily.event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily JOIN tot ON daily.event_type = tot.event_type),
+    ranked AS (
+      SELECT event_type, d, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(s) DESC, d) AS rk
+      FROM cus)
+    SELECT event_type, d AS changepoint_day,
+           CAST(s AS BIGINT) AS s_scaled
+    FROM ranked WHERE rk = 1
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM change-point estimate per event type: the day k maximizing
+    # |S_k|, S_k = sum_{d<=k} (D*v_d - T) over daily micro-unit totals
+    # (D = day count, T = grand total — multiplying through by D keeps
+    # every deviation INTEGER, so the cumsum, the argmax, and its
+    # tie-break are exact on both engines; the conventional
+    # float-mean CUSUM differs only by the 1/D scale). Shapes: one
+    # (type, day) agg, a type-cardinality totals join, one per-type
+    # window pass — the same agg-first discipline as t9/anomaly.
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.sum(F.floor(F.col("value") * 1e6).cast("bigint"))
+                  .alias("v")))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("v").alias("t"))
+    wcum = (Window.partitionBy("event_type").orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cus = (daily.join(maybe_broadcast(tot), "event_type")
+           .withColumn("s", F.sum(F.col("nd") * F.col("v") - F.col("t"))
+                       .over(wcum)))
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.asc("d"))
+    return (cus.withColumn("rk", F.row_number().over(wrk))
+            .where(F.col("rk") == 1)
+            .select("event_type", F.col("d").alias("changepoint_day"),
+                    F.col("s").cast("bigint").alias("s_scaled")))
