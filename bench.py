@@ -197,6 +197,8 @@ HEADLINE = [
     "text_keyphrases_rake",
     # CUSUM change-point per event type (integer-scaled statistic)
     "ts_changepoint_cusum",
+    # Benford leading-digit profile (decimal-rendering extraction)
+    "dq_benford_digits",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -109,3 +109,25 @@ def test_table_fingerprint_invariant_and_sensitive(spark):
     nulled = spark.createDataFrame([(1, "a"), (2, "null"), (3, "c")],
                                    ["id", "s"])
     assert fp(nulled) != base
+
+
+def test_benford_digit_extraction(spark, tmp_path):
+    """Leading digits come from the decimal rendering (power-of-ten
+    values stay digit 1; sub-1 values find their first significant
+    digit); non-positive values are excluded."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1000.0, 999.999999, 0.00042, 7.5, 0.0, -3.0, 1.0]
+    rows = [(i, t0, 1, "t", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    sf = str(tmp_path / "benford_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = {r.digit: r.n for r in
+           catalog.QUERIES["dq_benford_digits"](spark, sf).collect()}
+    assert got == {1: 2, 9: 1, 4: 1, 7: 1}   # 0.0 and -3.0 excluded

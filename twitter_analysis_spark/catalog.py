@@ -6409,3 +6409,32 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rk") == 1)
             .select("event_type", F.col("d").alias("changepoint_day"),
                     F.col("s").cast("bigint").alias("s_scaled")))
+
+
+@register(
+    "dq_benford_digits",
+    """
+    SELECT event_type,
+           CAST(substr(regexp_replace(printf('%.6f', value), '[0.]', '', 'g'),
+                       1, 1) AS INT) AS digit,
+           count(*) AS n
+    FROM events
+    WHERE value > 0
+    GROUP BY 1, 2
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leading-digit (Benford) profile per event type — the classic
+    # fabricated-data tripwire. The digit is extracted from the
+    # C-style '%.6f' RENDERING of the value (both engines format
+    # through the same printf semantics), NOT from floor(log10()):
+    # at exact powers of ten a 1-ulp log10 difference flips the digit
+    # between 9 and 1 across engines, while the decimal rendering is
+    # deterministic. Counts are exact integers; the chi-square against
+    # log10(1+1/d) is one driver-side map over 9 cells if wanted.
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 0)
+    digit = F.substring(
+        F.regexp_replace(F.format_string("%.6f", F.col("value")),
+                         "[0.]", ""), 1, 1).cast("int")
+    return (ev.groupBy("event_type", digit.alias("digit"))
+            .agg(F.count(F.lit(1)).alias("n")))
