@@ -199,6 +199,8 @@ HEADLINE = [
     "ts_changepoint_cusum",
     # Benford leading-digit profile (decimal-rendering extraction)
     "dq_benford_digits",
+    # sorted-neighborhood linkage pass (third ER candidate generator)
+    "j13_sorted_neighborhood",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -361,3 +361,39 @@ def test_fixed_k_sample_exact_k_and_stable(spark):
                       .where("rk <= 10").collect()}
     a, b = pick(df), pick(df2)
     assert a == b and len(a) == 30              # exactly 10 x 3 strata, stable
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs: the third candidate generator
+# ---------------------------------------------------------------------------
+
+def test_snm_finds_what_blocking_missed(spark):
+    # "red widget" vs "red widgex": the typo is in the BLOCK KEY (last
+    # token), so head-noun blocking misses the pair — but the names
+    # are lexicographic neighbors, so SNM finds it.
+    df = spark.createDataFrame(
+        [("red widget",), ("red widgex",), ("blue bolt",), ("tiny gear",)],
+        ["p_name"])
+    blocked = {(r.name_a, r.name_b) for r in linkage.blocked_fuzzy_pairs(
+        df, "p_name", F.element_at(F.split(F.col("name"), " "), -1),
+        max_dist=2).collect()}
+    snm = {(r.name_a, r.name_b): (r.dist, r.rank_gap) for r in
+           linkage.sorted_neighborhood_pairs(df, "p_name", window=2,
+                                             max_dist=2).collect()}
+    assert not any("widgex" in p for pair in blocked for p in pair)
+    assert snm == {("red widget", "red widgex"): (1, 1)}
+
+
+def test_snm_window_bound_and_exactly_once(spark):
+    # names sorted a,b,c,d,e with window 2: pairs at gap 1 and 2 only,
+    # each exactly once (the grid-block trick must not duplicate).
+    names = [("aa",), ("ab",), ("ac",), ("ad",), ("ae",)]
+    df = spark.createDataFrame(names, ["p_name"])
+    rows = linkage.sorted_neighborhood_pairs(df, "p_name", window=2,
+                                             max_dist=9).collect()
+    got = sorted((r.name_a, r.name_b, r.rank_gap) for r in rows)
+    assert got == sorted(
+        [("aa", "ab", 1), ("aa", "ac", 2), ("ab", "ac", 1),
+         ("ab", "ad", 2), ("ac", "ad", 1), ("ac", "ae", 2),
+         ("ad", "ae", 1)])
+    assert len(got) == len(set(got))

@@ -6438,3 +6438,33 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "[0.]", ""), 1, 1).cast("int")
     return (ev.groupBy("event_type", digit.alias("digit"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "j13_sorted_neighborhood",
+    """
+    WITH names AS (SELECT p_name AS nm FROM part GROUP BY 1),
+    r AS (SELECT nm, row_number() OVER (ORDER BY nm, nm) AS rnk
+          FROM names)
+    SELECT a.nm AS name_a, b.nm AS name_b,
+           levenshtein(a.nm, b.nm) AS dist,
+           b.rnk - a.rnk AS rank_gap
+    FROM r a JOIN r b
+      ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+    WHERE levenshtein(a.nm, b.nm) <= 3
+    """,
+)
+def j13_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sorted-Neighborhood linkage pass over distinct part names
+    # (operators/linkage.py:sorted_neighborhood_pairs, window 5,
+    # levenshtein <= 3): the candidate generator complementary to
+    # j11's equality blocking — a typo in the BLOCK KEY escapes j11
+    # but often leaves the name lexicographically adjacent, which is
+    # exactly what SNM catches. The oracle replays rank + band +
+    # verify; the engine's band join is the grid-block trick (one
+    # block plus its successor per left row — exactly-once meeting).
+    from .operators.linkage import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "part"), "p_name",
+        window=5, max_dist=3)
