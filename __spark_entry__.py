@@ -112,7 +112,8 @@ _PRIORITY = [
     # ts_rolling_distinct_users s10_event_paths dq_table_fingerprint
     # ts_trend_slope graph_bfs_khop text_sentiment_lexicon
     # ts_winsorized_mean mm_audio_stats text_keyphrases_rake
-    # ts_changepoint_cusum dq_benford_digits j13_sorted_neighborhood --
+    # ts_changepoint_cusum dq_benford_digits j13_sorted_neighborhood
+    # ts_peak_concurrency --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

@@ -201,6 +201,8 @@ HEADLINE = [
     "dq_benford_digits",
     # sorted-neighborhood linkage pass (third ER candidate generator)
     "j13_sorted_neighborhood",
+    # sweep-line peak interval concurrency (+1/-1 running sum)
+    "ts_peak_concurrency",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -93,3 +93,33 @@ def test_interval_overlap_join_no_nested_loop(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_peak_concurrency_planted(spark, tmp_path):
+    """Hand-checkable sweep: nested + touching intervals; inclusive
+    ends count as overlap; disjoint suppliers don't mix."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    d = dt.datetime
+    # supplier 1: [1,10], [3,5], [5,7] -> at day 5 all three open = 3
+    # supplier 2: [1,2], [3,4] -> never overlap = 1
+    rows = [
+        (1, 1, 1, 1, 9.0, 0.0, 0.0, 0.0, "N", "O", d(2024, 1, 1)),
+        (2, 1, 1, 2, 2.0, 0.0, 0.0, 0.0, "N", "O", d(2024, 1, 3)),
+        (3, 1, 1, 3, 2.0, 0.0, 0.0, 0.0, "N", "O", d(2024, 1, 5)),
+        (4, 2, 1, 1, 1.0, 0.0, 0.0, 0.0, "N", "O", d(2024, 1, 1)),
+        (5, 2, 1, 2, 1.0, 0.0, 0.0, 0.0, "N", "O", d(2024, 1, 3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_partkey long, "
+              "l_linenumber int, l_quantity double, l_extendedprice double, "
+              "l_discount double, l_tax double, l_returnflag string, "
+              "l_linestatus string, l_shipdate timestamp")
+    sf = str(tmp_path / "sweep_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "lineitem.parquet"))
+    got = {r.l_suppkey: r.peak_concurrency for r in
+           catalog.QUERIES["ts_peak_concurrency"](spark, sf).collect()}
+    assert got == {1: 3, 2: 1}

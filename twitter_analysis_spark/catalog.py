@@ -6468,3 +6468,51 @@ def j13_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         _t(spark, sf_dir, "part"), "p_name",
         window=5, max_dist=3)
+
+
+@register(
+    "ts_peak_concurrency",
+    """
+    WITH iv AS (
+      SELECT l_suppkey AS s, CAST(l_shipdate AS DATE) AS d0,
+             CAST(l_shipdate AS DATE)
+               + CAST(FLOOR(l_quantity) AS INTEGER) AS d1
+      FROM lineitem),
+    ev AS (
+      SELECT s, d0 AS t, 1 AS dlt FROM iv
+      UNION ALL
+      SELECT s, d1, -1 FROM iv),
+    run AS (
+      SELECT s, sum(dlt) OVER (PARTITION BY s ORDER BY t, dlt DESC
+                               ROWS UNBOUNDED PRECEDING) AS r
+      FROM ev)
+    SELECT s AS l_suppkey, CAST(max(r) AS INT) AS peak_concurrency
+    FROM run GROUP BY s
+    """,
+)
+def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sweep-line interval stabbing: the peak number of simultaneously
+    # open shipment windows per supplier (same intervals as j12).
+    # Each interval contributes a +1/-1 event pair; one per-supplier
+    # ordered pass takes the running sum's max — O(n log n) in the
+    # per-key sort the window already pays, vs the quadratic
+    # pairwise-overlap count. Tie rule: starts sort before ends at the
+    # same day (dlt DESC), making inclusive-end overlap count; within
+    # a group of identical (t, dlt) rows the prefix-sum MULTISET is
+    # order-invariant, so the per-supplier max is deterministic even
+    # though individual row attribution under ties is not.
+    li = _t(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_suppkey").alias("s"),
+        F.to_date("l_shipdate").alias("d0"),
+        F.date_add(F.to_date("l_shipdate"),
+                   F.floor("l_quantity").cast("int")).alias("d1"))
+    ev = (iv.select("s", F.col("d0").alias("t"), F.lit(1).alias("dlt"))
+          .unionByName(
+              iv.select("s", F.col("d1").alias("t"),
+                        F.lit(-1).alias("dlt"))))
+    w = (Window.partitionBy("s").orderBy(F.asc("t"), F.desc("dlt"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ev.withColumn("r", F.sum("dlt").over(w))
+            .groupBy(F.col("s").alias("l_suppkey"))
+            .agg(F.max("r").cast("int").alias("peak_concurrency")))
