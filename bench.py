@@ -203,6 +203,9 @@ HEADLINE = [
     "j13_sorted_neighborhood",
     # sweep-line peak interval concurrency (+1/-1 running sum)
     "ts_peak_concurrency",
+    # gaps-and-islands longest streak + MAD robust spread
+    "ts_longest_streak",
+    "ts_mad_robust",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

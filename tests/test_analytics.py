@@ -360,3 +360,53 @@ def test_changepoint_cusum_planted(spark, tmp_path):
     # shift: T = 150e6, D = 10; S_5 = 5*(10*10e6 - 150e6) = -250e6
     assert got["shift"] == ("2024-04-05", -250_000_000)
     assert got["flat"] == ("2024-04-01", 0)
+
+
+def test_longest_streak_planted(spark, tmp_path):
+    """Consecutive-day islands: 3-day streak beats two 1-day islands;
+    multiple events per day collapse; tie picks the earliest streak."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    d = dt.datetime
+    rows = [
+        # user 1: Jan 1,2,3 (streak 3), then Jan 10 (streak 1)
+        (1, d(2024, 1, 1, 9), 1, "v", 0.0), (2, d(2024, 1, 1, 10), 1, "v", 0.0),
+        (3, d(2024, 1, 2, 9), 1, "v", 0.0), (4, d(2024, 1, 3, 9), 1, "v", 0.0),
+        (5, d(2024, 1, 10, 9), 1, "v", 0.0),
+        # user 2: two 2-day streaks -> earliest wins the tie
+        (6, d(2024, 2, 1, 9), 2, "v", 0.0), (7, d(2024, 2, 2, 9), 2, "v", 0.0),
+        (8, d(2024, 2, 10, 9), 2, "v", 0.0), (9, d(2024, 2, 11, 9), 2, "v", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    sf = str(tmp_path / "streak_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = {r.user_id: (r.streak_days, r.streak_start.isoformat()) for r in
+           catalog.QUERIES["ts_longest_streak"](spark, sf).collect()}
+    assert got == {1: (3, "2024-01-01"), 2: (2, "2024-02-01")}
+
+
+def test_mad_robust_planted(spark, tmp_path):
+    """MAD ignores the outlier that wrecks stddev: values 1..9 plus
+    1000 -> median 5.5, MAD 2.5."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    rows = [(i, t0, 1, "t", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    sf = str(tmp_path / "mad_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    r = catalog.QUERIES["ts_mad_robust"](spark, sf).first()
+    assert r.median_value == 5.5
+    # deviations sorted: 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5
+    assert r.mad == 2.5

@@ -6516,3 +6516,84 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.withColumn("r", F.sum("dlt").over(w))
             .groupBy(F.col("s").alias("l_suppkey"))
             .agg(F.max("r").cast("int").alias("peak_concurrency")))
+
+
+@register(
+    "ts_longest_streak",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM ud),
+    streaks AS (
+      SELECT user_id, count(*) AS len, min(d) AS streak_start
+      FROM isl GROUP BY user_id, grp),
+    best AS (
+      SELECT user_id, len, streak_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rk
+      FROM streaks)
+    SELECT user_id, CAST(len AS INT) AS streak_days, streak_start
+    FROM best WHERE rk = 1
+    ORDER BY streak_days DESC, user_id LIMIT 20
+    """,
+)
+def ts_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    # days, via the classic d - row_number trick (consecutive days
+    # share the derived group key because both advance by one). The
+    # only corpus-sized step is the distinct (user, day) collapse —
+    # map-side partial — then two user-keyed window/agg passes over
+    # active-day rows (one exchange, reused) and a top-20
+    # TakeOrderedAndProject. Ties on streak length pick the earliest
+    # streak; the leaderboard ties break by user_id.
+    ud = (_t(spark, sf_dir, "events")
+          .select("user_id", F.to_date("ts").alias("d")).distinct())
+    wrn = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(wrn)))
+    streaks = (isl.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).alias("len"),
+                    F.min("d").alias("streak_start")))
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("streak_start"))
+    return (streaks.withColumn("rk", F.row_number().over(wbest))
+            .where(F.col("rk") == 1)
+            .select("user_id", F.col("len").cast("int").alias("streak_days"),
+                    "streak_start")
+            .orderBy(F.desc("streak_days"), F.asc("user_id")).limit(20))
+
+
+@register(
+    "ts_mad_robust",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           any_value(med.med) AS median_value,
+           quantile_cont(abs(e.value - med.med), 0.5) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type
+    """,
+)
+def ts_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Median absolute deviation per event type — the robust spread
+    # estimate (breakdown point 50% vs stddev's 0). Two holistic
+    # passes by necessity: exact interpolated median (a7 parity
+    # precedent), broadcast the type-cardinality medians back, exact
+    # median of absolute deviations. |x - med| is one IEEE subtract —
+    # bit-identical across engines — and percentile interpolation
+    # follows the proven a7 contract, so the row hash-matches without
+    # tolerance. At 100 TB both passes swap to approx_percentile.
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med"))
+    return (ev.join(F.broadcast(med), "event_type")
+            .groupBy("event_type")
+            .agg(F.any_value("med").alias("median_value"),
+                 F.percentile(F.abs(F.col("value") - F.col("med")),
+                              F.lit(0.5)).alias("mad")))
