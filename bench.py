@@ -206,6 +206,8 @@ HEADLINE = [
     # gaps-and-islands longest streak + MAD robust spread
     "ts_longest_streak",
     "ts_mad_robust",
+    # ABC/Pareto contribution classes (integer cross-multiplied knees)
+    "a18_abc_classification",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

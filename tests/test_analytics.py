@@ -410,3 +410,31 @@ def test_mad_robust_planted(spark, tmp_path):
     assert r.median_value == 5.5
     # deviations sorted: 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5
     assert r.mad == 2.5
+
+
+def test_abc_classification_planted(spark, tmp_path):
+    """Hand-checkable knees: revenues 80, 15, 5 (in cents after the
+    floor) land exactly on the 80/95 boundaries -> one part per class
+    (boundary rows belong to the better class: cum*100 <= t*80)."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, 1, 1, 1.0, 0.80, 0.0, 0.0, "N", "O", d),
+        (2, 2, 2, 1, 1.0, 0.15, 0.0, 0.0, "N", "O", d),
+        (3, 3, 3, 1, 1.0, 0.05, 0.0, 0.0, "N", "O", d),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_partkey long, "
+              "l_linenumber int, l_quantity double, l_extendedprice double, "
+              "l_discount double, l_tax double, l_returnflag string, "
+              "l_linestatus string, l_shipdate timestamp")
+    sf = str(tmp_path / "abc_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "lineitem.parquet"))
+    got = {r.abc_class: (r.n_parts, r.revenue_cents, r.share) for r in
+           catalog.QUERIES["a18_abc_classification"](spark, sf).collect()}
+    assert got == {"A": (1, 80, 0.80), "B": (1, 15, 0.15),
+                   "C": (1, 5, 0.05)}

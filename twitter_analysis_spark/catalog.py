@@ -6597,3 +6597,59 @@ def ts_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.any_value("med").alias("median_value"),
                  F.percentile(F.abs(F.col("value") - F.col("med")),
                               F.lit(0.5)).alias("mad")))
+
+
+@register(
+    "a18_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS v
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(v) AS t, count(*) AS np FROM rev),
+    ranked AS (
+      SELECT l_partkey, v,
+             sum(v) OVER (ORDER BY v DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev)
+    SELECT CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                WHEN cum * 100 <= t * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           CAST(sum(v) AS BIGINT) AS revenue_cents,
+           CAST(sum(v) AS DOUBLE) / CAST(any_value(t) AS DOUBLE) AS share
+    FROM ranked CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def a18_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ABC / Pareto contribution analysis: parts ranked by revenue,
+    # classified A/B/C at the 80/95% cumulative-share knees. Exactness
+    # discipline: per-row revenue floors to integer cents BEFORE any
+    # aggregation (sums and the ranked cumsum stay exact bigints), and
+    # the class test cross-multiplies (cum*100 <= t*80) instead of
+    # dividing — no float enters until the reported share, one
+    # division per output row. The ranked cumsum is a single
+    # unpartitioned window over the PART-cardinality aggregate (the
+    # q11 precedent: dimension-sized, not corpus-sized — at larger
+    # dimensions, two-phase it like skyline_2d_global); the one-row
+    # total broadcasts via crossJoin.
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.floor(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100)
+                      .cast("bigint")).alias("v")))
+    tot = rev.agg(F.sum("v").alias("t"))
+    wcum = (Window.orderBy(F.desc("v"), F.asc("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = rev.withColumn("cum", F.sum("v").over(wcum)) \
+        .crossJoin(F.broadcast(tot))
+    cls = (F.when(F.col("cum") * 100 <= F.col("t") * 80, "A")
+           .when(F.col("cum") * 100 <= F.col("t") * 95, "B")
+           .otherwise("C"))
+    return (ranked.groupBy(cls.alias("abc_class"))
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("v").cast("bigint").alias("revenue_cents"),
+                 (F.sum("v").cast("double")
+                  / F.any_value("t").cast("double")).alias("share")))
