@@ -208,6 +208,8 @@ HEADLINE = [
     "ts_mad_robust",
     # ABC/Pareto contribution classes (integer cross-multiplied knees)
     "a18_abc_classification",
+    # RFM segmentation by quantile thresholds (map-only scoring)
+    "a19_rfm_segments",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -438,3 +438,31 @@ def test_abc_classification_planted(spark, tmp_path):
            catalog.QUERIES["a18_abc_classification"](spark, sf).collect()}
     assert got == {"A": (1, 80, 0.80), "B": (1, 15, 0.15),
                    "C": (1, 5, 0.05)}
+
+
+def test_rfm_boundary_scores_low(spark, tmp_path):
+    """Five customers with strictly increasing monetary totals land in
+    five distinct m_score buckets; a value exactly ON a threshold
+    scores into the lower bucket (strict >)."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    d = dt.datetime(2024, 1, 1)
+    # one order per customer, totals 10,20,30,40,50 -> m quintile
+    # thresholds 18,26,34,42; same date -> r_days identical for all.
+    rows = [(i, i, f"P{i}", 10.0 * i, d) for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderpriority string, "
+              "o_totalprice double, o_orderdate timestamp")
+    sf = str(tmp_path / "rfm_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+    got = {r.m_score: r.n_customers for r in
+           catalog.QUERIES["a19_rfm_segments"](spark, sf).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    all_rows = catalog.QUERIES["a19_rfm_segments"](spark, sf).collect()
+    # identical recency/frequency -> every row shares r=5 (0 days
+    # behind the max -> best) and f bucket 1 (all on the threshold)
+    assert {r.r_score for r in all_rows} == {5}
+    assert {r.f_score for r in all_rows} == {1}

@@ -6653,3 +6653,77 @@ def a18_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("v").cast("bigint").alias("revenue_cents"),
                  (F.sum("v").cast("double")
                   / F.any_value("t").cast("double")).alias("share")))
+
+
+@register(
+    "a19_rfm_segments",
+    """
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS r FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT r FROM ref)) AS r_days,
+             count(*) AS f_cnt,
+             sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS m_cents
+      FROM orders GROUP BY o_custkey),
+    th AS (
+      SELECT quantile_cont(r_days, 0.2) AS r1, quantile_cont(r_days, 0.4) AS r2,
+             quantile_cont(r_days, 0.6) AS r3, quantile_cont(r_days, 0.8) AS r4,
+             quantile_cont(f_cnt, 0.2) AS f1, quantile_cont(f_cnt, 0.4) AS f2,
+             quantile_cont(f_cnt, 0.6) AS f3, quantile_cont(f_cnt, 0.8) AS f4,
+             quantile_cont(m_cents, 0.2) AS m1, quantile_cont(m_cents, 0.4) AS m2,
+             quantile_cont(m_cents, 0.6) AS m3, quantile_cont(m_cents, 0.8) AS m4
+      FROM cust)
+    SELECT CAST(5 - ((r_days > r1)::INT + (r_days > r2)::INT
+                     + (r_days > r3)::INT + (r_days > r4)::INT) AS INT)
+             AS r_score,
+           CAST(1 + (f_cnt > f1)::INT + (f_cnt > f2)::INT
+                  + (f_cnt > f3)::INT + (f_cnt > f4)::INT AS INT) AS f_score,
+           CAST(1 + (m_cents > m1)::INT + (m_cents > m2)::INT
+                  + (m_cents > m3)::INT + (m_cents > m4)::INT AS INT)
+             AS m_score,
+           count(*) AS n_customers,
+           CAST(sum(m_cents) AS BIGINT) AS m_cents_total
+    FROM cust CROSS JOIN th
+    GROUP BY 1, 2, 3
+    """,
+)
+def a19_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFM customer segmentation, the quantile-THRESHOLD way: per-
+    # customer recency/frequency/monetary roll-up (exact integers —
+    # cents floored per row), 12 exact percentiles in ONE one-row
+    # aggregate (a7 parity contract), broadcast back, scores by
+    # comparison. No ntile and no global rank window: an ntile
+    # formulation needs a total order over the CUSTOMER-cardinality
+    # table (grows with sf); thresholds make scoring map-only at any
+    # scale, at the price of uneven buckets under heavy ties —
+    # boundary rows score LOW (strict >), pinned in tests. Recency
+    # scores invert (smaller gap = better = 5).
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("r"))
+    cust = (o.groupBy("o_custkey")
+            .agg(F.max(F.to_date("o_orderdate")).alias("last_d"),
+                 F.count(F.lit(1)).alias("f_cnt"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("m_cents"))
+            .crossJoin(F.broadcast(ref))
+            .withColumn("r_days", F.datediff("r", "last_d")))
+    th = cust.agg(*[
+        F.percentile(F.col(c), F.lit(q)).alias(f"{c[0]}{i+1}")
+        for c in ("r_days", "f_cnt", "m_cents")
+        for i, q in enumerate((0.2, 0.4, 0.6, 0.8))])
+    j = cust.crossJoin(F.broadcast(th))
+
+    def score(col, pfx):
+        s = F.lit(0)
+        for i in range(1, 5):
+            s = s + (F.col(col) > F.col(f"{pfx}{i}")).cast("int")
+        return s
+
+    return (j.select((F.lit(5) - score("r_days", "r")).alias("r_score"),
+                     (F.lit(1) + score("f_cnt", "f")).alias("f_score"),
+                     (F.lit(1) + score("m_cents", "m")).alias("m_score"),
+                     "m_cents")
+            .groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("m_cents").cast("bigint").alias("m_cents_total")))
