@@ -210,6 +210,9 @@ HEADLINE = [
     "a18_abc_classification",
     # RFM segmentation by quantile thresholds (map-only scoring)
     "a19_rfm_segments",
+    # Gini concentration (exact rank-weighted sum) + market baskets
+    "a20_gini_concentration",
+    "a21_copurchase_pairs",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

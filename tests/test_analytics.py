@@ -466,3 +466,69 @@ def test_rfm_boundary_scores_low(spark, tmp_path):
     # behind the max -> best) and f bucket 1 (all on the threshold)
     assert {r.r_score for r in all_rows} == {5}
     assert {r.f_score for r in all_rows} == {1}
+
+
+def test_gini_extremes(spark, tmp_path):
+    """Equal revenues -> Gini ~0 ((n-1)-scaled exact: (n+1) formula
+    gives 0 for perfectly equal v); total concentration -> (n-1)/n."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    d = dt.datetime(2024, 1, 1)
+
+    def write_sf(name, prices):
+        rows = [(i, 1, i, 1, 1.0, p, 0.0, 0.0, "N", "O", d)
+                for i, p in enumerate(prices, start=1)]
+        df = spark.createDataFrame(
+            rows, "l_orderkey long, l_suppkey long, l_partkey long, "
+                  "l_linenumber int, l_quantity double, "
+                  "l_extendedprice double, l_discount double, l_tax double, "
+                  "l_returnflag string, l_linestatus string, "
+                  "l_shipdate timestamp")
+        sf = str(tmp_path / name)
+        os.makedirs(sf, exist_ok=True)
+        df.write.mode("overwrite").parquet(
+            os.path.join(sf, "lineitem.parquet"))
+        return sf
+
+    equal = catalog.QUERIES["a20_gini_concentration"](
+        spark, write_sf("gini_eq", [5.0] * 4)).first()
+    assert equal.gini == 0.0
+    conc = catalog.QUERIES["a20_gini_concentration"](
+        spark, write_sf("gini_cc", [0.01, 0.0, 0.0, 100.0])).first()
+    # one part holds ~all revenue of 4 -> Gini near (n-1)/n = 0.75
+    assert 0.74 < conc.gini <= 0.75
+
+
+def test_copurchase_pairs_planted(spark, tmp_path):
+    """Pair support counts ORDERS, not line items: a part repeated in
+    one order contributes once; pairs never cross orders."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [
+        # order 1: parts 10, 20 (20 twice -> still support 1)
+        (1, 1, 10, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (1, 1, 20, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (1, 1, 20, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        # order 2: parts 10, 20, 30
+        (2, 1, 10, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (2, 1, 20, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (2, 1, 30, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        # order 3: single item -> no pairs
+        (3, 1, 40, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_partkey long, "
+              "l_linenumber int, l_quantity double, l_extendedprice double, "
+              "l_discount double, l_tax double, l_returnflag string, "
+              "l_linestatus string, l_shipdate timestamp")
+    sf = str(tmp_path / "basket_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "lineitem.parquet"))
+    got = {(r.p1, r.p2): r.support for r in
+           catalog.QUERIES["a21_copurchase_pairs"](spark, sf).collect()}
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}

@@ -6727,3 +6727,86 @@ def a19_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.sum("m_cents").cast("bigint").alias("m_cents_total")))
+
+
+@register(
+    "a20_gini_concentration",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS v
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, l_partkey) AS i
+      FROM rev),
+    s AS (SELECT count(*) AS n, sum(v) AS sv, sum(i * v) AS siv
+          FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           CAST(sv AS BIGINT) AS revenue_cents,
+           CAST(2 * siv - (n + 1) * sv AS DOUBLE)
+             / CAST(n * sv AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def a20_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini coefficient of revenue concentration across parts — the
+    # scalar companion to a18's ABC classes. Exact-integer discipline
+    # end to end: cents floored per row, the rank-weighted sum
+    # ``sum(i*v)`` over ascending order (ties contribute v*sum(i)
+    # regardless of intra-tie order, so the statistic is deterministic
+    # without caring which tied row gets which rank), one final
+    # division. The rank window is dimension-sized (a18/q11
+    # precedent; two-phase via bucket offsets at larger dimensions).
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.floor(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100)
+                      .cast("bigint")).alias("v")))
+    w = Window.orderBy(F.asc("v"), F.asc("l_partkey"))
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    return (ranked.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("v").alias("sv"),
+                       F.sum(F.col("i") * F.col("v")).alias("siv"))
+            .select(F.col("n").cast("bigint").alias("n_parts"),
+                    F.col("sv").cast("bigint").alias("revenue_cents"),
+                    ((2 * F.col("siv") - (F.col("n") + 1) * F.col("sv"))
+                     .cast("double")
+                     / (F.col("n") * F.col("sv")).cast("double"))
+                    .alias("gini")))
+
+
+@register(
+    "a21_copurchase_pairs",
+    """
+    WITH b AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      GROUP BY l_orderkey, l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+       AND a.l_partkey < c.l_partkey)
+    SELECT p1, p2, count(*) AS support
+    FROM pairs GROUP BY p1, p2
+    ORDER BY support DESC, p1, p2 LIMIT 20
+    """,
+)
+def a21_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Market-basket mining: top-20 co-purchased part pairs by order
+    # support. Baskets dedup to distinct (order, part) first, the
+    # upper-triangle pair build joins WITHIN the order key (pair count
+    # per order is quadratic only in basket size — single digits
+    # here; cap baskets before the join for pathological orders, the
+    # LSH hot-bucket precedent), and support partial-aggregates before
+    # one pair-keyed exchange; TakeOrderedAndProject for the top-20.
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(c, (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("c.l_partkey"))) \
+        .select(F.col("a.l_partkey").alias("p1"),
+                F.col("c.l_partkey").alias("p2"))
+    return (pairs.groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
+            .limit(20))
