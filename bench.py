@@ -213,6 +213,8 @@ HEADLINE = [
     # Gini concentration (exact rank-weighted sum) + market baskets
     "a20_gini_concentration",
     "a21_copurchase_pairs",
+    # degree assortativity (exact integer moments over edge ends)
+    "graph_assortativity",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

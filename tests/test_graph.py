@@ -175,3 +175,26 @@ def test_bfs_khop_isolated_source(spark):
     edges = spark.createDataFrame([(5, 6)], ["src", "dst"])
     got = {r.node: r.depth for r in bfs_khop(edges, 0, 2).collect()}
     assert got == {0: 0}
+
+
+def test_assortativity_star_is_negative(spark, tmp_path):
+    """A star graph is maximally disassortative (hub degree n meets
+    leaf degree 1 on every edge): r == -1 exactly."""
+    import json
+    import os
+    import datetime as dt
+    from twitter_analysis_spark import catalog
+
+    # hub = bucket 0; leaves = users 201..205 -> edges (leaf, 0)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 200 + i, "click", 0.0, json.dumps({"k": 150 * i}))
+            for i in range(1, 6)]   # k%150 == 0 for all -> hub node 0
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    sf = str(tmp_path / "assort_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    r = catalog.QUERIES["graph_assortativity"](spark, sf).first()
+    assert r.n_edge_ends == 10
+    assert abs(r.assortativity + 1.0) < 1e-12

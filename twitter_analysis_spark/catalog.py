@@ -6810,3 +6810,75 @@ def a21_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("support"))
             .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
             .limit(20))
+
+
+@register(
+    "graph_assortativity",
+    """
+    WITH e AS (
+      SELECT DISTINCT user_id AS src,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) % 150 AS dst
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+        AND user_id <> CAST(json_extract_string(props, '$.k') AS BIGINT) % 150),
+    und AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+      GROUP BY 1, 2),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+      GROUP BY v),
+    ends AS (
+      SELECT da.d AS x, db.d AS y
+      FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+      UNION ALL
+      SELECT db.d, da.d
+      FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM ends)
+    SELECT CAST(n AS BIGINT) AS n_edge_ends,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree assortativity (Newman 2002) of the undirected interaction
+    # graph: Pearson correlation between the degrees at the two ends
+    # of every edge (both orientations, the standard symmetrization).
+    # Degrees are integers, so all five moment sums accumulate
+    # EXACTLY; the only float ops are the final subtraction-products,
+    # sqrt and division — each a fixed expression, bit-identical
+    # across engines (the ts_trend_slope discipline applied to a graph
+    # statistic). Shapes: canonical-edge dedup, one degree hash-agg,
+    # two degree joins (vertex-keyed), one scalar moments row.
+    from .operators.graph import interaction_edges
+
+    e = interaction_edges(_t(spark, sf_dir, "events"))
+    und = (e.select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b")).distinct())
+    deg = (und.select(F.col("a").alias("v"))
+           .unionByName(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("xa"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("xb"))
+    j = und.join(da, "a").join(db, "b")
+    ends = (j.select(F.col("xa").alias("x"), F.col("xb").alias("y"))
+            .unionByName(j.select(F.col("xb").alias("x"),
+                                  F.col("xa").alias("y"))))
+    m = ends.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).cast("double")
+                 * (F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(F.col("n").cast("bigint").alias("n_edge_ends"),
+                    (num / den).alias("assortativity"))
