@@ -115,7 +115,8 @@ _PRIORITY = [
     # ts_changepoint_cusum dq_benford_digits j13_sorted_neighborhood
     # ts_peak_concurrency ts_longest_streak ts_mad_robust
     # a18_abc_classification a19_rfm_segments
-    # a20_gini_concentration a21_copurchase_pairs graph_assortativity --
+    # a20_gini_concentration a21_copurchase_pairs graph_assortativity
+    # t11_ship_latency_percentiles --
     "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
 ]
 

@@ -215,6 +215,8 @@ HEADLINE = [
     "a21_copurchase_pairs",
     # degree assortativity (exact integer moments over edge ends)
     "graph_assortativity",
+    # order-to-ship latency SLA percentiles per priority
+    "t11_ship_latency_percentiles",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md

@@ -532,3 +532,36 @@ def test_copurchase_pairs_planted(spark, tmp_path):
     got = {(r.p1, r.p2): r.support for r in
            catalog.QUERIES["a21_copurchase_pairs"](spark, sf).collect()}
     assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+
+
+def test_ship_latency_percentiles_planted(spark, tmp_path):
+    """Latency gaps 1..4 days for one priority: exact interpolated
+    percentiles; orders without matching lines are absent."""
+    import datetime as dt
+    import os
+    from twitter_analysis_spark import catalog
+
+    d = dt.datetime
+    orders = [(k, 1, "1-URGENT", 10.0, d(2024, 1, 1)) for k in (1, 2, 3, 4)]
+    orders.append((9, 1, "5-LOW", 10.0, d(2024, 1, 1)))   # no lines
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderpriority string, "
+                "o_totalprice double, o_orderdate timestamp")
+    lines = [(k, 1, k, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+              d(2024, 1, 1 + k)) for k in (1, 2, 3, 4)]
+    ldf = spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long, l_partkey long, "
+               "l_linenumber int, l_quantity double, l_extendedprice double, "
+               "l_discount double, l_tax double, l_returnflag string, "
+               "l_linestatus string, l_shipdate timestamp")
+    sf = str(tmp_path / "lat_sf")
+    os.makedirs(sf, exist_ok=True)
+    odf.write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+    ldf.write.mode("overwrite").parquet(os.path.join(sf, "lineitem.parquet"))
+    got = {r.o_orderpriority: r for r in
+           catalog.QUERIES["t11_ship_latency_percentiles"](
+               spark, sf).collect()}
+    assert set(got) == {"1-URGENT"}
+    r = got["1-URGENT"]
+    assert (r.n_lines, r.p50_days, r.max_days) == (4, 2.5, 4)
+    assert r.p90_days == 1 + 0.9 * 3   # interpolated over 1..4

@@ -6882,3 +6882,41 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.col("sy") * F.col("sy")).cast("double"))
     return m.select(F.col("n").cast("bigint").alias("n_edge_ends"),
                     (num / den).alias("assortativity"))
+
+
+@register(
+    "t11_ship_latency_percentiles",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           quantile_cont(days, 0.5) AS p50_days,
+           quantile_cont(days, 0.9) AS p90_days,
+           quantile_cont(days, 0.99) AS p99_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def t11_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fulfillment-latency distribution per order priority: integer
+    # order->ship day gaps through the exact interpolated percentile
+    # (a7 contract). One fact-fact join keyed on orderkey (lineitem
+    # pre-aggregates nothing — the gap needs both dates), priority-
+    # cardinality output. The operational SLA readout every log
+    # pipeline ships; p99/max are where skew and stuck orders show.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .select("o_orderpriority",
+                   F.datediff(F.to_date("l_shipdate"),
+                              F.to_date("o_orderdate")).alias("days")))
+    return (lat.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.percentile(F.col("days"), F.lit(0.5)).alias("p50_days"),
+                 F.percentile(F.col("days"), F.lit(0.9)).alias("p90_days"),
+                 F.percentile(F.col("days"), F.lit(0.99)).alias("p99_days"),
+                 F.max("days").cast("bigint").alias("max_days")))
