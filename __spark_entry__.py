@@ -30,94 +30,52 @@ from twitter_analysis_spark import catalog  # noqa: E402
 # oldest remaining evidence tier. Python dicts preserve insertion
 # order, so this is the order the driver iterates.
 _PRIORITY = [
-    # -- round-6 rotation. First: the 10 queries round 5 listed past
-    # index 49 (the driver never reached them — their evidence is r3,
-    # the oldest in the catalog) --
-    "text_decontaminate", "text_repetition_quality",
-    "corpus_pack_sequences", "corpus_domain_mix", "sim_kmeans_ivf",
-    "corpus_training_set", "q15_top_supplier", "q21_waiting_suppliers",
-    "ts_hourly_rollup", "ts_rollup_reagg",
-    # -- new this round (never swept): TPC-H Q9/Q12/Q20 shapes,
-    # ExactSubstr duplicated-span stats --
-    "q9_product_profit", "q12_shipmode_priority", "q20_excess_suppliers",
-    "text_dup_spans", "text_unigram_xent", "text_vocab_coverage",
-    "dedup_canonical", "dedup_incremental",
-    "mm_resize_images", "mm_frame_sample", "mm_resample_audio",
-    "corpus_weighted_repeat", "text_nb_classifier", "corpus_budget_select",
-    "text_cut_dup_spans", "text_bigram_xent", "corpus_report",
-    "text_hash_bow", "corpus_split_leakage", "dedup_clusters_star",
-    "text_bpe_tokenize", "dedup_semantic",
-    # -- changed this round: a11 converted from rows-only to a
-    # tolerance-contract oracle; broadcast hints size-gated
-    # (maybe_broadcast) across the TPC-H suite; q17 oracle decimal
-    # hardening — results should be identical, but the changed plans
-    # need fresh evidence --
-    "a11_approx_sketches",
-    # (q3_top_revenue_orders displaced to the round-7 head by the DQ
-    # report row below)
-    "dq_constraint_report", "mm_image_ahash", "layout_rank_bucketize",
-    # (q2_groupwise_argmin displaced to the round-7 head by the aHash
-    # row above)
-    # (q5_local_supplier_volume displaced to the round-7 head by the
-    # rank-bucketize row above)
-    # -- new linkage/skyline tier (never swept): lossless PPJoin
-    # set-similarity join + per-brand Pareto front. They displace
-    # text_tfidf_topk and q7_volume_shipping (r5-hash-green; their
-    # round-6 change is the size-gated broadcast hint, which is
-    # results-identical by construction and plan-pinned in
-    # tests/test_plans.py — re-evidence joins the round-7 head).
-    # j11_fuzzy_blocked_linkage and text_decontaminate_bloom (also
-    # new, locally oracle-parity-green via tests/test_oracle_parity)
-    # wait for round 7 as well — 50 slots, 25+ new rows this round.
-    "j10_set_similarity_join", "a15_skyline_pareto",
-    "q8_market_share",
-    "q17_small_quantity_revenue",
-    # -- more never-swept rows: triangle counting + Count-Min sketch
-    # (displacing the r4-evidence q10/q14 to the round-7 head) --
-    "graph_triangles", "sketch_countmin_topk",
-    # co-occurrence PMI + anomaly z-score (displacing flagship_search
-    # and j1_broadcast_user_join — r4-evidence, to the round-7 head;
-    # flagship stays exercised every round by entry() itself) --
-    "text_cooccur_pmi", "ts_anomaly_zscore",
-    # -- new analytics tier (never swept): funnel / cohort / SCD2.
-    # These displace q11/q16/q19 (changed by the broadcast gating but
-    # r5-hash-green with identical results; their re-evidence joins
-    # the round-7 carry-over head) --
-    "funnel_conversion", "cohort_retention", "scd2_intervals",
-    # -- fill to 50 with r4-evidence rows (2 sweeps old at round end
-    # otherwise). The 36 r4 rows that do NOT fit below (round 6 added
-    # 21 new/converted rows, displacing fill slots) must head the
-    # round-7 rotation: a1_count_star a2_top_keywords
-    # j2_dim_chain_join j3_collect_assembly
-    # j4_semi_join j5_union_harvest j6_asof_join j7_range_join
-    # p1_projection q13_order_distribution q18_large_orders
-    # t10_window_suite t1_topk_multisort t6_group_topk t8_moving_avg
-    # t9_cumulative_daily text_bigram_topk u3_intersect_except
-    # f9_conjunctive_filter f8_date_range f7_prefix_filter
-    # f6_disjunctive_filter f5_point_lookup f3_equality_filter
-    # f2_array_membership f1_keyword_regex f13_not_in_subquery
-    # f12_scalar_subquery f11_exists_subquery dedup_clusters
-    # corpus_split_assign a9_rollup_revenue c_scalar_suite
-    # a8_salted_skew_agg a6_distinct_cardinality a4_conditional_counts
+    # -- round-7 rotation: catalog growth is FROZEN this round (the
+    # round-6 verdict's evidence-debt directive), so all 50 slots go
+    # to existing rows. First the 30 rows that have NEVER appeared in
+    # any CORRECTNESS file (round-6 additions past the 50-slot cap;
+    # all oracle-parity-green locally via tests/test_oracle_parity) --
+    "j11_fuzzy_blocked_linkage", "text_decontaminate_bloom",
+    "corpus_stratified_sample", "corpus_weighted_sample",
+    "dq_column_profile", "j12_interval_overlap_join",
+    "attribution_multitouch", "dedup_containment",
+    "corpus_fixed_k_sample", "ts_rolling_distinct_users",
+    "s10_event_paths", "dq_table_fingerprint",
+    "ts_trend_slope", "graph_bfs_khop", "text_sentiment_lexicon",
+    "ts_winsorized_mean", "mm_audio_stats", "text_keyphrases_rake",
+    "ts_changepoint_cusum", "dq_benford_digits",
+    "j13_sorted_neighborhood", "ts_peak_concurrency",
+    "ts_longest_streak", "ts_mad_robust", "a18_abc_classification",
+    "a19_rfm_segments", "a20_gini_concentration",
+    "a21_copurchase_pairs", "graph_assortativity",
+    "t11_ship_latency_percentiles",
+    # -- fill to 50 with 20 of the 43 r4-evidence rows, oldest tier in
+    # the catalog. Changed-plan rows first (the round-6 size-gated
+    # maybe_broadcast touched flagship/j1/q2/q5 — results identical by
+    # construction, plan-pinned in tests/test_plans.py, but the
+    # changed plans deserve fresh driver evidence), then the core
+    # join/sort/window tier in catalog order --
+    "flagship_search", "j1_broadcast_user_join", "q2_groupwise_argmin",
+    "q5_local_supplier_volume",
+    "p1_projection", "j2_dim_chain_join", "j3_collect_assembly",
+    "j4_semi_join", "j5_union_harvest", "j6_asof_join", "j7_range_join",
+    "a1_count_star", "a2_top_keywords",
+    "t1_topk_multisort", "t6_group_topk", "t8_moving_avg",
+    "t9_cumulative_daily", "u3_intersect_except",
+    "q13_order_distribution", "q18_large_orders",
+    # -- the 23 remaining r4 rows MUST head the round-8 rotation (they
+    # will be 3 sweeps old otherwise): f1_keyword_regex
+    # f2_array_membership f3_equality_filter f5_point_lookup
+    # f6_disjunctive_filter f7_prefix_filter f8_date_range
+    # f9_conjunctive_filter f11_exists_subquery f12_scalar_subquery
+    # f13_not_in_subquery a4_conditional_counts
+    # a6_distinct_cardinality a8_salted_skew_agg a9_rollup_revenue
     # a10_grouped_distinct a13_grouping_sets a14_multi_distinct
-    # q11_important_nations q16_supplier_count q19_disjunctive_revenue
-    # q10_returned_items q14_promo_effect flagship_search
-    # j1_broadcast_user_join q3_top_revenue_orders
-    # q2_groupwise_argmin q5_local_supplier_volume
-    # text_tfidf_topk q7_volume_shipping
-    # j11_fuzzy_blocked_linkage text_decontaminate_bloom
-    # corpus_stratified_sample corpus_weighted_sample
-    # dq_column_profile j12_interval_overlap_join
-    # attribution_multitouch dedup_containment corpus_fixed_k_sample
-    # ts_rolling_distinct_users s10_event_paths dq_table_fingerprint
-    # ts_trend_slope graph_bfs_khop text_sentiment_lexicon
-    # ts_winsorized_mean mm_audio_stats text_keyphrases_rake
-    # ts_changepoint_cusum dq_benford_digits j13_sorted_neighborhood
-    # ts_peak_concurrency ts_longest_streak ts_mad_robust
-    # a18_abc_classification a19_rfm_segments
-    # a20_gini_concentration a21_copurchase_pairs graph_assortativity
-    # t11_ship_latency_percentiles --
-    "graph_pagerank", "j9_salted_skew_join", "layout_zorder_key",
+    # c_scalar_suite t10_window_suite text_bigram_topk dedup_clusters
+    # corpus_split_assign -- then fill with the oldest r5 tier
+    # (q3_top_revenue_orders q7_volume_shipping q10_returned_items
+    # q14_promo_effect q11_important_nations q16_supplier_count
+    # q19_disjunctive_revenue text_tfidf_topk ...) --
 ]
 
 
