@@ -376,15 +376,73 @@ def main() -> None:
             sum(math.log(c["factor"]) for c in controls.values())
             / len(controls)), 3)
 
-    print(json.dumps({
+    # Automated regression flags against the machine-readable record
+    # map (BASELINE_RECORDS.json, extracted from BASELINE.md prose):
+    # a row regresses when measured / control_factor > 2 x record.
+    # The bloom twin's documented bound is relative to its exact-row
+    # sibling in the SAME sweep (broadcast-threshold economics), so it
+    # is checked that way rather than against a fixed record.
+    records_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BASELINE_RECORDS.json")
+    regressions: list[dict] = []
+    if os.path.exists(records_path):
+        with open(records_path) as fh:
+            records = json.load(fh)["records"]
+        cf = control_factor or 1.0
+        for name, sec in timings.items():
+            rec = records.get(name)
+            if rec is None:
+                continue
+            normalized = sec / cf
+            if name == "text_decontaminate_bloom":
+                exact = timings.get("text_decontaminate")
+                if exact is not None and sec > 2.5 * exact:
+                    regressions.append({
+                        "query": name, "sec": sec,
+                        "bound": round(2.5 * exact, 3),
+                        "rule": "<=2.5x text_decontaminate same sweep"})
+                continue
+            if normalized > 2 * rec["record_sec"]:
+                regressions.append({
+                    "query": name, "sec": sec,
+                    "normalized_sec": round(normalized, 3),
+                    "record_sec": rec["record_sec"],
+                    "rule": "normalized > 2x record"})
+
+    artifact = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "n_queries": len(timings),
         "queries": timings,
         "controls": controls,
         "control_factor": control_factor,
+        "regressions": regressions,
         "sf": sf_val,
-    }))
+    }
+    # Full per-query artifact goes to a sidecar file; the printed line
+    # must stay well under the driver's ~2000-char stdout capture (the
+    # round-6 117-row line overflowed it and the round recorded
+    # parsed:null — BENCH_r06 postmortem). Print the compact line with
+    # the totals/controls/regressions intact and as many of the most
+    # expensive per-query rows as fit the budget.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+
+    line_budget = 1900
+    compact = dict(artifact)
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    keep = len(by_cost)
+    while keep > 0:
+        compact["queries"] = {n: timings[n] for n in by_cost[:keep]}
+        compact["queries_truncated_to_top"] = (keep if keep < len(by_cost)
+                                               else None)
+        line = json.dumps(compact)
+        if len(line) <= line_budget:
+            break
+        keep -= 5
+    print(line)
 
 
 if __name__ == "__main__":
