@@ -467,7 +467,19 @@ def test_set_similarity_no_cartesian(spark, sf_dir):
     # The PPJoin candidate stage is an equi-join on the prefix shingle
     # plus inequality residuals — never a cartesian/broadcast-NL scan
     # of all pairs, which is the whole point of prefix filtering.
-    plan = plan_of(spark, sf_dir, "j10_set_similarity_join")
+    # Plan is taken from the library operator directly: the catalog row
+    # localCheckpoints its result to honor the persist-cleanup
+    # contract, which truncates the returned frame's lineage.
+    from twitter_analysis_spark.operators import linkage as _lk
+    from twitter_analysis_spark.sources.io import load_table
+
+    cleanup: list = []
+    df = _lk.set_similarity_join(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.5, n=3, cleanup=cleanup)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frame in cleanup:
+        frame.unpersist()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # rarest-first rank is a per-doc window, not a global one

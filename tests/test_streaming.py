@@ -586,3 +586,34 @@ def test_streaming_sketch_ingest(spark, tmp_path):
                             checkpoint=str(tmp_path / "sk_ckpt"))
     assert sorted(map(tuple,
                       spark.read.parquet(sk_path).collect())) == want
+
+
+def test_streaming_sketch_redelivery_after_crash(spark, tmp_path):
+    """The last-applied batch id commits in the SAME atomic swap as the
+    sketch cells, so a batch re-delivered with an id the sketch has
+    already absorbed is skipped — even when the checkpoint that would
+    normally suppress the redelivery is gone (the crash-window case:
+    merge landed, downstream marker didn't)."""
+    import json
+
+    from twitter_analysis_spark.streaming.sketch_ingest import (
+        streaming_sketch_ingest)
+
+    drop = tmp_path / "sk_drop"
+    drop.mkdir()
+    sk_path = str(tmp_path / "sk_sketch")
+    with open(drop / "d1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "spark spark table"}) + "\n")
+
+    streaming_sketch_ingest(spark, str(drop), sk_path,
+                            checkpoint=str(tmp_path / "sk_ckpt"))
+    want = sorted(map(tuple, spark.read.parquet(sk_path).collect()))
+    assert os.path.exists(os.path.join(sk_path, "_last_batch_id"))
+
+    # Simulate the worst redelivery: lose the checkpoint entirely so the
+    # drain re-sends the whole drop as batch 0 again. The id stored in
+    # the swapped artifact (0 >= 0) must suppress the double-add.
+    shutil.rmtree(tmp_path / "sk_ckpt")
+    streaming_sketch_ingest(spark, str(drop), sk_path,
+                            checkpoint=str(tmp_path / "sk_ckpt"))
+    assert sorted(map(tuple, spark.read.parquet(sk_path).collect())) == want

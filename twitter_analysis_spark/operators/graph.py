@@ -216,7 +216,13 @@ def bfs_khop(edges: DataFrame, source: int, max_hops: int) -> DataFrame:
                .join(reached, "node", "left_anti")
                .withColumn("depth", F.lit(d))
                .localCheckpoint())
-        reached = reached.unionByName(nxt).persist()
+        prev = reached
+        # The checkpointed union no longer references prev's cached
+        # partitions, so each round releases the previous visited set
+        # — without this, max_hops cached copies of the growing
+        # `reached` frame accumulate for the life of the session.
+        reached = prev.unionByName(nxt).localCheckpoint()
+        prev.unpersist()
         frontier = nxt.select("node")
     und.unpersist()
     return reached
