@@ -99,3 +99,27 @@ def test_bpe_encode_replace_equals_fold(spark):
     # escaped-metacharacter words survive the string round-trip
     joined = {"".join(r["subwords"]) for r in fast}
     assert "a[b]" + bpe.EOW in joined and "[[" + bpe.EOW in joined
+
+
+def test_bpe_auto_guard_forces_distributed_on_high_type_count(
+        spark, monkeypatch):
+    """The driver fast path's Heaps-law bound is ENFORCED, not assumed:
+    when the counted word-type table exceeds ``max_driver_vocab`` the
+    auto strategy must run the distributed rounds — no word-type
+    collect can reach the driver. Pinned by making the driver-path
+    trainer explode: an adversarial corpus (every word a distinct
+    type, the shape Heaps' law fails on) must still train, and must
+    produce the same merges as the unguarded driver path."""
+    words = {f"w{i:03d}xyz": 1 for i in range(40)}
+    words.update({"newest": 6, "widest": 3})
+    df = _corpus(spark, words)
+    kw = dict(num_merges=4, min_pair_count=2)
+
+    want = bpe.bpe_train(df, strategy="driver", **kw)
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "driver-path merge loop ran despite type count > cap")
+    monkeypatch.setattr(bpe, "_train_local", boom)
+    got = bpe.bpe_train(df, strategy="auto", max_driver_vocab=8, **kw)
+    assert got == want and len(got) == 4
