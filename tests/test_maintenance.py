@@ -94,3 +94,116 @@ def test_swap_crash_never_loses_table(spark, tmp_path, monkeypatch):
         pass
     monkeypatch.setattr(m.shutil, "rmtree", shutil.rmtree)
     assert {r["k"] for r in spark.read.parquet(path).collect()} == {1, 2}
+
+
+def _partition_state(root: str) -> dict[str, set[tuple[str, int, int]]]:
+    """Map grain_date=... partition dir -> its (file, size, mtime_ns)
+    set — the physical identity that proves a partition was or wasn't
+    rewritten."""
+    out: dict[str, set[tuple[str, int, int]]] = {}
+    for part in os.listdir(root):
+        pdir = os.path.join(root, part)
+        if not (os.path.isdir(pdir) and part.startswith("grain_date=")):
+            continue
+        out[part] = {
+            (f, os.path.getsize(os.path.join(pdir, f)),
+             os.stat(os.path.join(pdir, f)).st_mtime_ns)
+            for f in os.listdir(pdir) if f.endswith(".parquet")}
+    return out
+
+
+def test_steady_state_rollup_rewrites_only_touched_partitions(
+        spark, tmp_path):
+    """Three incremental drains: each refresh physically rewrites ONLY
+    the partitions whose dates the micro-batch touched — untouched
+    partitions keep byte-identical file sets (names, sizes, mtimes).
+    This is the steady-state behavior the single-drain bench cannot
+    show (one batch touching all dates = a full rebuild, BASELINE.md
+    round-6 streaming-rollup note); here batches touch 1-2 of up to 3
+    dates, the production shape. Afterwards, compaction collapses the
+    per-drain small files of the APPEND-mode lake without changing its
+    content — the other half of the steady-state story."""
+    import json
+
+    from twitter_analysis_spark.operators.rollup import rollup
+    from twitter_analysis_spark.streaming.rollup_ingest import (
+        streaming_rollup_ingest)
+
+    drop = tmp_path / "ss_drop"
+    drop.mkdir()
+    lake = str(tmp_path / "ss_lake")
+    index = str(tmp_path / "ss_index")
+    roll = str(tmp_path / "ss_rollup")
+    ckpt = str(tmp_path / "ss_ckpt")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for eid, ts, etype, val in rows:
+                f.write(json.dumps({
+                    "event_id": eid, "ts": ts, "user_id": eid % 5,
+                    "event_type": etype, "value": val}) + "\n")
+
+    def drain():
+        streaming_rollup_ingest(spark, str(drop), lake, index, roll,
+                                grain="hour", checkpoint=ckpt)
+
+    # drain 1: two dates
+    write_drop("d1.json", [
+        (1, "2024-03-01 10:05:00", "click", 1.5),
+        (2, "2024-03-02 09:00:00", "view", 4.0),
+    ])
+    drain()
+    s1 = _partition_state(roll)
+    assert set(s1) == {"grain_date=2024-03-01", "grain_date=2024-03-02"}
+
+    # drain 2: touches 03-02 (late event) and a new date 03-03;
+    # 03-01 must come through physically untouched.
+    write_drop("d2.json", [
+        (3, "2024-03-02 09:30:00", "view", 2.0),
+        (4, "2024-03-03 12:00:00", "click", 8.0),
+    ])
+    drain()
+    s2 = _partition_state(roll)
+    assert set(s2) == set(s1) | {"grain_date=2024-03-03"}
+    assert s2["grain_date=2024-03-01"] == s1["grain_date=2024-03-01"]
+    assert s2["grain_date=2024-03-02"] != s1["grain_date=2024-03-02"]
+
+    # drain 3: only 03-03; both earlier dates untouched.
+    write_drop("d3.json", [(5, "2024-03-03 13:00:00", "click", 1.0)])
+    drain()
+    s3 = _partition_state(roll)
+    assert s3["grain_date=2024-03-01"] == s2["grain_date=2024-03-01"]
+    assert s3["grain_date=2024-03-02"] == s2["grain_date=2024-03-02"]
+    assert s3["grain_date=2024-03-03"] != s2["grain_date=2024-03-03"]
+
+    # rollup still equals the from-scratch truth over the deduped lake
+    def key(r):
+        return (str(r["bucket_ts"]), r["event_type"], r["n_events"],
+                str(r["sum_value_dec"]))
+    truth = sorted(map(key, rollup(
+        spark.read.parquet(lake).dropDuplicates(["event_id"]),
+        "hour").collect()))
+    assert sorted(map(key, spark.read.parquet(roll).collect())) == truth
+
+    # steady-state lake hygiene: three append drains left >= 3 file
+    # generations; compaction shrinks the file count, keeps content.
+    before = {str(r["event_id"]) for r in
+              spark.read.parquet(lake).collect()}
+    n_files_before = sum(len(fs) for fs in _partition_state_lake(lake))
+    compact_parquet(spark, lake, target_file_mb=128,
+                    partition_by=["event_date"])
+    after = {str(r["event_id"]) for r in
+             spark.read.parquet(lake).collect()}
+    n_files_after = sum(len(fs) for fs in _partition_state_lake(lake))
+    assert after == before and len(before) == 5
+    assert n_files_after < n_files_before
+
+
+def _partition_state_lake(root: str) -> list[set[str]]:
+    out = []
+    for part in os.listdir(root):
+        pdir = os.path.join(root, part)
+        if os.path.isdir(pdir) and part.startswith("event_date="):
+            out.append({f for f in os.listdir(pdir)
+                        if f.endswith(".parquet")})
+    return out

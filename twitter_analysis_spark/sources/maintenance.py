@@ -64,17 +64,34 @@ def _swap_in(tmp: str, path: str) -> None:
 
 def compact_parquet(spark: SparkSession, path: str,
                     target_file_mb: int = 128,
-                    sort_within_by: list[str] | None = None) -> int:
+                    sort_within_by: list[str] | None = None,
+                    partition_by: list[str] | None = None) -> int:
     """Rewrite ``path`` into ceil(bytes / target) files; returns the
-    new file count. ``sort_within_by`` clusters rows inside each file
-    so min/max row-group stats prune reads on those columns."""
+    task count of the rewrite. ``sort_within_by`` clusters rows inside
+    each file so min/max row-group stats prune reads on those columns.
+
+    ``partition_by`` preserves a Hive-partitioned layout (e.g. the
+    incremental lake's ``event_date=...`` directories): rows are
+    shuffled BY the partition columns so each rewrite task holds whole
+    partitions and writes one file per directory it owns — without it
+    a plain rewrite of a partitioned table would flatten the layout
+    and silently break downstream partition pruning
+    (rollup.prune_to_dates). Appending writers leave one file
+    generation per drain; steady state is "compact every N drains",
+    and this is the call that does it."""
     n_files = max(1, math.ceil(_dir_bytes(path) / (target_file_mb << 20)))
     df = spark.read.parquet(path)
-    out = df.repartition(n_files)
+    if partition_by:
+        out = df.repartition(n_files, *partition_by)
+    else:
+        out = df.repartition(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     _swap_in(tmp, path)
     return n_files
 
