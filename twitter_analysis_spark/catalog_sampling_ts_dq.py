@@ -524,7 +524,7 @@ def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS s
+             sum(CAST(FLOOR(value * 1e6) AS DECIMAL(38,0))) AS s
       FROM events GROUP BY 1, 2),
     pts AS (
       SELECT event_type,
@@ -556,10 +556,14 @@ def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's regr_slope would be one call but accumulates doubles —
     # irreproducible under AQE re-partitioning; this is the portable
     # spelling.
+    # The daily totals themselves accumulate in decimal(38,0) too: a
+    # single (type, day) group's micro-unit sum can pass long range
+    # at 100 TB, and a wrapped daily total would poison every moment
+    # downstream no matter how exactly those accumulate.
     daily = (_t(spark, sf_dir, "events")
              .groupBy("event_type", F.to_date("ts").alias("d"))
-             .agg(F.sum(F.floor(F.col("value") * 1e6).cast("bigint"))
-                  .alias("s")))
+             .agg(F.sum(F.floor(F.col("value") * 1e6)
+                        .cast("decimal(38,0)")).alias("s")))
     pts = daily.select(
         "event_type",
         F.datediff("d", F.to_date(F.lit("1970-01-01")))
@@ -855,7 +859,7 @@ def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS v
+             sum(CAST(FLOOR(value * 1e6) AS DECIMAL(38,0))) AS v
       FROM events GROUP BY 1, 2),
     tot AS (
       SELECT event_type, count(*) AS nd, sum(v) AS t
@@ -885,10 +889,12 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float-mean CUSUM differs only by the 1/D scale). Shapes: one
     # (type, day) agg, a type-cardinality totals join, one per-type
     # window pass — the same agg-first discipline as t9/anomaly.
+    # Daily totals accumulate in decimal(38,0) (same rationale as
+    # ts_trend_slope: one day's micro-unit sum can pass long range).
     daily = (_t(spark, sf_dir, "events")
              .groupBy("event_type", F.to_date("ts").alias("d"))
-             .agg(F.sum(F.floor(F.col("value") * 1e6).cast("bigint"))
-                  .alias("v")))
+             .agg(F.sum(F.floor(F.col("value") * 1e6)
+                        .cast("decimal(38,0)")).alias("v")))
     tot = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nd"), F.sum("v").alias("t"))
     wcum = (Window.partitionBy("event_type").orderBy("d")
@@ -1346,8 +1352,12 @@ def a21_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT db.d, da.d
       FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
     m AS (
-      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      SELECT count(*) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+             sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
       FROM ends)
     SELECT CAST(n AS BIGINT) AS n_edge_ends,
            CAST(n * sxy - sx * sy AS DOUBLE)
@@ -1380,11 +1390,17 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = (j.select(F.col("xa").alias("x"), F.col("xb").alias("y"))
             .unionByName(j.select(F.col("xb").alias("x"),
                                   F.col("xa").alias("y"))))
+    # Moment sums accumulate in decimal(38,0): power-law hub degrees
+    # make x*y (and the n*s cross terms) overflow a silent LongType
+    # at 100 TB while DuckDB rides HUGEINT — cast operands BEFORE the
+    # multiply/sum (the ts_trend_slope discipline, judge-advice class).
+    dec = "decimal(38,0)"
     m = ends.agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
-                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
-                 F.sum(F.col("y") * F.col("y")).alias("syy"))
+                 F.sum(F.col("x").cast(dec)).alias("sx"),
+                 F.sum(F.col("y").cast(dec)).alias("sy"),
+                 F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"))
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
         .cast("double")
     den = F.sqrt((F.col("n") * F.col("sxx")
