@@ -238,3 +238,120 @@ def _skyline_pass(pts: DataFrame, group_col: str, min_col: str,
     return (best.withColumn("_mx", F.max(max_col).over(cheaper))
             .where(F.col("_mx").isNull() | (F.col(max_col) > F.col("_mx")))
             .drop("_mx"))
+
+
+#: Planner-estimate gate for :func:`ranked_cumsum`'s auto strategy —
+#: same philosophy as catalog.maybe_broadcast: under the gate, the
+#: plain single-window plan is provably cheap and skips the two-phase
+#: form's ~3 extra jobs (checkpoint, offset collect, join); above it,
+#: the unpartitioned window is a one-task wall and the two-phase plan
+#: takes over. Tests force the two-phase path explicitly.
+_WINDOW_GATE_BYTES = 64 << 20
+
+
+def ranked_cumsum(df: DataFrame, order_cols: Sequence[Column],
+                  value_col: str | Column | None = None,
+                  n_parts: int = 32,
+                  rank_col: str = "rank", cum_col: str = "cum",
+                  strategy: str = "auto",
+                  cleanup: list | None = None) -> DataFrame:
+    """Exact global ``row_number`` (and optional running sum) over a
+    TOTAL order — the dimension-rank primitive a18/a20 use.
+
+    ``Window.orderBy(...)`` with no partitioning funnels the whole
+    frame through ONE task: fine for a 25-row nation table, a wall at
+    a 10^8-row dimension. ``strategy``:
+
+    - ``"window"``: the plain single-task window (cheapest while the
+      frame is genuinely small — no extra jobs, fully lazy).
+    - ``"two_phase"``: (1) range-partition by the order key — rows
+      land in key-ordered partition bands; (2) per-PARTITION
+      ranks/cumsums via a window keyed by ``spark_partition_id()``;
+      (3) one bounded driver collect of per-partition (count, sum)
+      totals yields each band's global offset, added back through a
+      broadcast join (the zipWithIndex shape
+      ``sampling.global_shuffle_order`` also uses). Every step is
+      distributed; driver traffic is ``n_parts`` rows.
+    - ``"auto"`` (default): consult Catalyst's size estimate for the
+      optimized subplan — window under ``_WINDOW_GATE_BYTES``, two
+      phase above (the maybe_broadcast discipline; both paths produce
+      identical rows, asserted in tests, so the gate can never change
+      results).
+
+    ``order_cols`` MUST define a total order (end with a unique
+    tie-breaker): two-phase ranks of tied keys would otherwise depend
+    on which side of a band boundary they landed. In the two-phase
+    path the ranged frame is ``localCheckpoint``-ed to pin band
+    placement against recomputation (rank VALUES are placement-
+    independent, but the checkpoint keeps the count job and the
+    output plan reading one materialization); pass ``cleanup`` to
+    receive it for release (dedup.py convention).
+
+    Returns ``df``'s columns plus ``rank_col`` (1-based BIGINT) and,
+    when ``value_col`` is given, ``cum_col`` (inclusive running sum
+    of it, in its own sum type).
+    """
+    from pyspark.sql import Window
+
+    if strategy == "auto":
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+            strategy = ("window" if est <= _WINDOW_GATE_BYTES
+                        else "two_phase")
+        except Exception:   # Connect / stats unavailable
+            strategy = "two_phase"
+    if strategy == "window":
+        w = Window.orderBy(*order_cols)
+        out = df.withColumn(rank_col,
+                            F.row_number().over(w).cast("bigint"))
+        if value_col is not None:
+            vcol = (F.col(value_col) if isinstance(value_col, str)
+                    else value_col)
+            out = out.withColumn(
+                cum_col, F.sum(vcol).over(
+                    w.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)))
+        return out
+    if strategy != "two_phase":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    ranged = (df.repartitionByRange(n_parts, *order_cols)
+              .localCheckpoint())
+    if cleanup is not None:
+        cleanup.append(ranged)
+    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = pid.withColumn("_lrk", F.row_number().over(w).cast("bigint"))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if value_col is not None:
+        vcol = F.col(value_col) if isinstance(value_col, str) else value_col
+        local = local.withColumn(
+            "_lcs", F.sum(vcol).over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)))
+        aggs.append(F.sum(vcol).alias("_s"))
+    # Bounded collect: one row per range partition.
+    parts = {r["_pid"]: r for r in
+             local.groupBy("_pid").agg(*aggs).collect()}
+    rows, n_off, s_off = [], 0, 0
+    for p in sorted(parts):
+        rows.append((p, n_off, s_off))
+        n_off += parts[p]["_n"]
+        if value_col is not None:
+            s_off += parts[p]["_s"]
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        [(p, n, str(s)) for p, n, s in rows],
+        schema="_pid int, _noff bigint, _soff string")
+    out = (local.join(F.broadcast(offsets), "_pid")
+           .withColumn(rank_col, F.col("_noff") + F.col("_lrk")))
+    if value_col is not None:
+        # _soff travels as a string so arbitrary sum types (decimal,
+        # bigint) round-trip the driver exactly; cast back to the
+        # running sum's own type before adding.
+        out = out.withColumn(
+            cum_col,
+            F.col("_soff").cast(out.schema["_lcs"].dataType)
+            + F.col("_lcs"))
+    return out.drop("_pid", "_lrk", "_lcs", "_noff", "_soff")
