@@ -244,22 +244,24 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
     this operator.
 
     Scale shape: everything after the distinct-key collapse is
-    dictionary-sized (the blocked_fuzzy_pairs argument). The rank
-    window here is a single-partition sort of the DICTIONARY —
-    bounded by vocabulary, not corpus (rank_bucketize's distinct-value
-    precedent); for dictionaries too big for one task, compute ranks
-    with the bucket-offset machinery of sampling.global_shuffle_order
-    over the sort key instead. The neighbor band join avoids a theta
-    join via the grid trick: each rank lands in one ``window``-wide
-    block, the left side probes its own and the next block, and the
-    band predicate filters inside — every pair meets exactly once
-    (b's block is unique).
+    dictionary-sized (the blocked_fuzzy_pairs argument). Ranks come
+    from :func:`~.layout.ranked_cumsum`'s size-gated auto strategy:
+    the plain window while Catalyst's estimate says the dictionary is
+    small, the two-phase range-band plan (per-band ranks + bounded
+    offset collect) for dictionaries too big for one task — identical
+    ranks either way, so the gate can't change candidates. The
+    neighbor band join avoids a theta join via the grid trick: each
+    rank lands in one ``window``-wide block, the left side probes its
+    own and the next block, and the band predicate filters inside —
+    every pair meets exactly once (b's block is unique).
     """
+    from .layout import ranked_cumsum
+
     sort_key = F.col("name") if sort_key is None else sort_key
     names = (df.groupBy(F.col(key_col).alias("name"))
              .agg(F.count(F.lit(1)).alias("n")))
-    ranked = names.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(sort_key, F.col("name"))))
+    ranked = ranked_cumsum(names, [sort_key.asc(), F.col("name").asc()],
+                           rank_col="rnk")
     blk = (F.col("rnk") / window).cast("bigint")
     a = (ranked.withColumn(
         "_blk", F.explode(F.array(blk, blk + 1))).alias("a"))
