@@ -34,9 +34,6 @@ from .operators import rollup as _roll  # noqa: F401
 # here (CTEs reuse the exact per-stage SQL).
 # ---------------------------------------------------------------------------
 
-_CURATE_ORACLE = None  # assigned below once the stage oracles exist
-
-
 def _build_curate_oracle() -> str:
     feat = ORACLES["text_quality_features"].strip()
     pairs = ORACLES["dedup_ngram_jaccard"].strip()
