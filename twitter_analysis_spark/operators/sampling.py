@@ -285,7 +285,8 @@ def weighted_repeat(df: DataFrame, id_col: str, weight_col) -> DataFrame:
 
 
 def select_within_budget(df: DataFrame, id_col: str, quality_col: str,
-                         tokens_col: str, budget: int) -> DataFrame:
+                         tokens_col: str, budget: int,
+                         cleanup: list | None = None) -> DataFrame:
     """Greedy data selection under a token budget: keep the
     highest-quality documents whose cumulative token count fits
     ``budget`` — the "best N tokens for this training run" cut that
@@ -311,6 +312,8 @@ def select_within_budget(df: DataFrame, id_col: str, quality_col: str,
 
     q, t = F.col(quality_col), F.col(tokens_col).cast("bigint")
     per_q = df.groupBy(quality_col).agg(F.sum(t).alias("_qt")).persist()
+    if cleanup is not None:
+        cleanup.append(per_q)
     wq = (Window.orderBy(F.desc(quality_col))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = per_q.withColumn("_cum", F.sum("_qt").over(wq))

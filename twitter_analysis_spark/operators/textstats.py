@@ -158,7 +158,8 @@ def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def unigram_lm_xent(df: DataFrame, id_col: str, text_col: str = "text",
-                    model: DataFrame | None = None) -> DataFrame:
+                    model: DataFrame | None = None,
+                    cleanup: list | None = None) -> DataFrame:
     """Per-document cross-entropy under a Laplace-smoothed unigram LM
     — the CCNet/KenLM-style perplexity quality filter, reduced to the
     model order that needs no external artifact: documents of
@@ -190,6 +191,8 @@ def unigram_lm_xent(df: DataFrame, id_col: str, text_col: str = "text",
     — its lifecycle belongs to the caller.
     """
     m = model if model is not None else unigram_counts(df, text_col).persist()
+    if model is None and cleanup is not None:
+        cleanup.append(m)
     stats = m.agg(F.sum("c").alias("_N"),
                   F.count(F.lit(1)).alias("_V"))
     occ = df.select(F.col(id_col).alias("_doc"),
@@ -215,7 +218,8 @@ def unigram_lm_xent(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def vocab_topk(df: DataFrame, k: int = 100,
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               cleanup: list | None = None) -> DataFrame:
     """Top-k vocabulary with cumulative corpus coverage — the
     tokenizer-training prep table ("how many tokens does a k-entry
     vocab cover?"). Output: (rank, tok, c, coverage) where coverage =
@@ -233,6 +237,8 @@ def vocab_topk(df: DataFrame, k: int = 100,
     from pyspark.sql import Window
 
     counts = unigram_counts(df, text_col).persist()
+    if cleanup is not None:
+        cleanup.append(counts)
     total = counts.agg(F.sum("c").alias("_T"))
     top = (counts.orderBy(F.desc("c"), F.asc("tok")).limit(k))
     w = (Window.orderBy(F.desc("c"), F.asc("tok"))
@@ -251,7 +257,8 @@ def vocab_topk(df: DataFrame, k: int = 100,
 
 def nb_quality_classifier(df: DataFrame, id_col: str,
                           text_col: str = "text",
-                          label_col: Column | None = None) -> DataFrame:
+                          label_col: Column | None = None,
+                          cleanup: list | None = None) -> DataFrame:
     """Learned quality filter, GPT-3/CC-net shape: train a multinomial
     Naive Bayes on weak labels and score every document by its
     log-odds of being "high quality". The real pipelines train
@@ -287,6 +294,8 @@ def nb_quality_classifier(df: DataFrame, id_col: str,
               .agg(F.sum("_y").alias("c1"),
                    F.sum(1 - F.col("_y")).alias("c0"))
               .persist())
+    if cleanup is not None:
+        cleanup.append(counts)
     stats = counts.agg(F.sum("c1").alias("_n1"), F.sum("c0").alias("_n0"),
                        F.count(F.lit(1)).alias("_v"))
     priors = labeled.agg(F.sum("_y").alias("_d1"),
@@ -328,7 +337,8 @@ def _token_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def bigram_lm_xent(df: DataFrame, id_col: str, text_col: str = "text",
                    train: DataFrame | None = None,
-                   alpha: float = 0.4) -> DataFrame:
+                   alpha: float = 0.4,
+                   cleanup: list | None = None) -> DataFrame:
     """Order-2 LM quality score with STUPID BACKOFF (Brants et al.
     2007 — the un-normalized backoff used for web-scale LMs precisely
     because it needs no discounting state): score(t|prev) =
@@ -348,6 +358,8 @@ def bigram_lm_xent(df: DataFrame, id_col: str, text_col: str = "text",
     tr = train if train is not None else df
     t_occ = _token_pairs(tr, id_col, text_col)
     uni = t_occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")).persist()
+    if cleanup is not None:
+        cleanup.append(uni)
     stats = uni.agg(F.sum("c1").alias("_n"), F.count(F.lit(1)).alias("_v"))
     big = (t_occ.where(F.col("prev").isNotNull())
            .groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2")))
