@@ -102,3 +102,33 @@ def test_weighted_repeat_floor_ceil(sc_spark, ws):
     for i, w in rows:
         got = counts.get(i, 0)
         assert got in (math.floor(w), math.ceil(w)), (w, got)
+
+
+@given(vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                     min_size=1, max_size=60),
+       n_parts=st.integers(min_value=1, max_value=9))
+@settings(max_examples=15, deadline=None)
+def test_ranked_cumsum_two_phase_invariants(sc_spark, vals, n_parts):
+    """On ANY frame and band count, the two-phase rank is a permutation
+    of 1..n consistent with the order key, and the running sum at rank
+    n equals the total — the invariants that make the a18/a20 gate
+    safe regardless of where band boundaries fall."""
+    from twitter_analysis_spark.operators.layout import ranked_cumsum
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = sc_spark.createDataFrame(rows, "id long, v long").repartition(3)
+    got = ranked_cumsum(
+        df, [F.asc("v"), F.desc("id")],
+        value_col=F.col("v").cast("decimal(38,0)"),
+        n_parts=n_parts, strategy="two_phase").collect()
+    n = len(vals)
+    ranks = sorted(r["rank"] for r in got)
+    assert ranks == list(range(1, n + 1))
+    ordered = sorted(got, key=lambda r: r["rank"])
+    key = [(r["v"], -r["id"]) for r in ordered]
+    assert key == sorted(key)
+    assert int(ordered[-1]["cum"]) == sum(vals)
+    running = 0
+    for r in ordered:
+        running += r["v"]
+        assert int(r["cum"]) == running
