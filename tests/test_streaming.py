@@ -617,3 +617,52 @@ def test_streaming_sketch_redelivery_after_crash(spark, tmp_path):
     streaming_sketch_ingest(spark, str(drop), sk_path,
                             checkpoint=str(tmp_path / "sk_ckpt"))
     assert sorted(map(tuple, spark.read.parquet(sk_path).collect())) == want
+
+
+def test_streaming_rollup_survives_checkpoint_loss(spark, tmp_path):
+    """Losing the checkpoint (and with it the batch markers) re-delivers
+    the whole drop as batch 0 — the event-id index must absorb the
+    replay: no lake duplicates reach the rollup, and the stored rollup
+    still equals the from-scratch truth. This is the append-pipeline
+    counterpart of the sketch test above: sums would be unrepairable,
+    appends are guarded by the persistent index instead."""
+    import json
+
+    from twitter_analysis_spark.operators.rollup import rollup
+    from twitter_analysis_spark.streaming.rollup_ingest import (
+        streaming_rollup_ingest)
+
+    drop = tmp_path / "cl_drop"
+    drop.mkdir()
+    lake = str(tmp_path / "cl_lake")
+    index = str(tmp_path / "cl_index")
+    roll = str(tmp_path / "cl_rollup")
+
+    with open(drop / "d1.json", "w") as f:
+        for eid, ts in [(1, "2024-03-01 10:05:00"),
+                        (2, "2024-03-01 11:00:00"),
+                        (3, "2024-03-02 09:00:00")]:
+            f.write(json.dumps({"event_id": eid, "ts": ts,
+                                "user_id": eid, "event_type": "click",
+                                "value": 1.0}) + "\n")
+
+    streaming_rollup_ingest(spark, str(drop), lake, index, roll,
+                            grain="hour",
+                            checkpoint=str(tmp_path / "cl_ckpt"))
+    want = sorted(map(tuple, spark.read.parquet(roll).collect()))
+
+    shutil.rmtree(tmp_path / "cl_ckpt")
+    streaming_rollup_ingest(spark, str(drop), lake, index, roll,
+                            grain="hour",
+                            checkpoint=str(tmp_path / "cl_ckpt"))
+    assert sorted(map(tuple, spark.read.parquet(roll).collect())) == want
+    # and the truth recomputed from the (deduped) lake agrees
+    truth = sorted(map(tuple, rollup(
+        spark.read.parquet(lake).dropDuplicates(["event_id"]),
+        "hour").collect()))
+    stored = sorted(
+        tuple(r) for r in spark.read.parquet(roll)
+        .select(*[f.name for f in rollup(
+            spark.read.parquet(lake).dropDuplicates(["event_id"]),
+            "hour").schema.fields]).collect())
+    assert stored == truth
