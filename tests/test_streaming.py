@@ -666,3 +666,33 @@ def test_streaming_rollup_survives_checkpoint_loss(spark, tmp_path):
             spark.read.parquet(lake).dropDuplicates(["event_id"]),
             "hour").schema.fields]).collect())
     assert stored == truth
+
+
+def test_streaming_ingest_dedup_survives_checkpoint_loss(spark, tmp_path):
+    """Checkpoint loss re-delivers the whole drop with fresh batch ids;
+    the persistent content index classifies every replayed doc as
+    dup_of_corpus, so the corpus gains nothing — the id-indexed
+    pipelines self-heal without markers."""
+    import json
+
+    from twitter_analysis_spark.streaming.ingest import (
+        streaming_ingest_dedup)
+
+    drop = tmp_path / "cl2_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "cl2_corpus")
+    index = str(tmp_path / "cl2_index")
+    with open(drop / "d1.json", "w") as f:
+        for i, t in [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    streaming_ingest_dedup(spark, str(drop), corpus, index,
+                           checkpoint=str(tmp_path / "cl2_ckpt"))
+    want = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert len(want) == 2      # in-batch exact dup collapsed
+
+    shutil.rmtree(tmp_path / "cl2_ckpt")
+    streaming_ingest_dedup(spark, str(drop), corpus, index,
+                           checkpoint=str(tmp_path / "cl2_ckpt"))
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got == want
