@@ -562,7 +562,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as _graph
 
     events = _t(spark, sf_dir, "events")
-    return _graph.triangle_counts(_graph.interaction_edges(events))
+    cleanup: list = []
+    out = _graph.triangle_counts(_graph.interaction_edges(events),
+                                 cleanup=cleanup).localCheckpoint()
+    for frame in cleanup:
+        frame.unpersist()
+    return out
 
 
 ORACLE_CMS = f"""

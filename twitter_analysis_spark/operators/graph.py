@@ -122,7 +122,8 @@ def pagerank_exact(edges: DataFrame, iters: int = 6) -> DataFrame:
     return ranks
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame,
+                    cleanup: list | None = None) -> DataFrame:
     """Per-node triangle participation over an UNDIRECTED simple graph.
 
     Input: directed (src, dst) pairs; they are first symmetrized and
@@ -165,6 +166,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                                         F.col("a").alias("v")))
                     .alias("e"))
                 .select("e.u", "e.v").persist())
+    if cleanup is not None:
+        cleanup.append(oriented)
     # wedges at the low-degree apex u: (v, w) with v < w to count once
     w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
@@ -174,6 +177,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     tri = wedges.join(closing, ["x", "y"], "inner") \
         .select(F.col("apex").alias("c1"), F.col("x").alias("c2"),
                 F.col("y").alias("c3")).persist()
+    if cleanup is not None:
+        cleanup.append(tri)
     corners = (tri.select(F.col("c1").alias("node"))
                .union(tri.select(F.col("c2")))
                .union(tri.select(F.col("c3")))
@@ -182,7 +187,6 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
            .join(corners, "node", "left")
            .select("node", F.coalesce("n_triangles", F.lit(0))
                    .cast("bigint").alias("n_triangles")))
-    oriented.unpersist()
     return out
 
 
