@@ -306,6 +306,15 @@ def main() -> None:
         "text_unigram_xent", "text_vocab_coverage",
         # count() would prune the mask-reconstruction of clean_text
         "text_cut_dup_spans",
+        # JOIN-ELIMINATION class (round-7 audit): with
+        # propagateDistinctKeys, count() over a left/inner join whose
+        # other side is a provably-unique aggregate lets Catalyst drop
+        # the JOIN ITSELF — funnel_conversion timed 0 of its 5 joins,
+        # dedup_semantic skipped the in-cell cosine pair join,
+        # bigram_xent/countmin lost their probe joins. The audited
+        # graph_triangles row is honest via its own localCheckpoint.
+        "funnel_conversion", "dedup_semantic", "text_bigram_xent",
+        "sketch_countmin_topk",
     }
 
     def run(name: str) -> None:
