@@ -62,17 +62,18 @@ _PRIORITY = [
     "a1_count_star", "a2_top_keywords",
     "t1_topk_multisort", "t6_group_topk", "t8_moving_avg",
     "t9_cumulative_daily",
-    "q13_order_distribution",
     # -- changed this round (decimal-accumulation hardening landed in
-    # ts_anomaly_zscore; j10 now releases its persisted sets table via
-    # the cleanup contract; a20's equivalent change is covered by its
+    # ts_anomaly_zscore; j10 and graph_triangles now release their
+    # persisted intermediates via the cleanup contract + eager
+    # checkpoint; a20's equivalent change is covered by its
     # never-swept slot above) — changed plans outrank r4 fill per the
-    # ordering policy above. They displace u3_intersect_except and
-    # q18_large_orders to the round-8 head. --
-    "ts_anomaly_zscore", "j10_set_similarity_join",
-    # -- the 25 remaining r4 rows MUST head the round-8 rotation (they
+    # ordering policy above. They displace u3_intersect_except,
+    # q13_order_distribution and q18_large_orders to the round-8
+    # head. --
+    "ts_anomaly_zscore", "j10_set_similarity_join", "graph_triangles",
+    # -- the 26 remaining r4 rows MUST head the round-8 rotation (they
     # will be 3 sweeps old otherwise): u3_intersect_except
-    # q18_large_orders f1_keyword_regex
+    # q13_order_distribution q18_large_orders f1_keyword_regex
     # f2_array_membership f3_equality_filter f5_point_lookup
     # f6_disjunctive_filter f7_prefix_filter f8_date_range
     # f9_conjunctive_filter f11_exists_subquery f12_scalar_subquery
