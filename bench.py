@@ -259,6 +259,12 @@ FORCE_ALL_COLUMNS = {
     # incremental probe join and the docs<-sentiment-agg left join
     # are eliminable under count()
     "dedup_incremental", "text_sentiment_lexicon",
+    # WINDOW-pruning class (round-7 audit, third wave): a window whose
+    # output is projected but never filtered on is dead under count()
+    # — the as-of match window, scd2's lead-close, a20's rank, the
+    # peak-concurrency running sum, bpe's (30-row, cheap) rank.
+    "j6_asof_join", "scd2_intervals", "a20_gini_concentration",
+    "ts_peak_concurrency", "text_bpe_tokenize",
 }
 
 

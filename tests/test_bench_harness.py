@@ -26,6 +26,10 @@ def _joins(df) -> int:
     return df._jdf.queryExecution().optimizedPlan().toString().count("Join")
 
 
+def _windows(df) -> int:
+    return df._jdf.queryExecution().optimizedPlan().toString().count("Window")
+
+
 def test_known_pruned_rows_are_forced(spark, sf_dir):
     """The audited rows really do lose joins under count() — and each
     is in FORCE_ALL_COLUMNS so bench never times the pruned plan."""
@@ -35,11 +39,11 @@ def test_known_pruned_rows_are_forced(spark, sf_dir):
         assert name in bench.FORCE_ALL_COLUMNS, name
 
 
-def test_headline_count_plans_keep_their_joins(spark, sf_dir):
+def test_headline_count_plans_keep_their_joins_and_windows(spark, sf_dir):
     """Sweep every non-forced headline row: its count() plan must keep
-    every join of the full plan. A new query that fails here needs a
-    FORCE_ALL_COLUMNS entry (or in-row materialization) before its
-    bench number means anything."""
+    every join AND window of the full plan. A new query that fails
+    here needs a FORCE_ALL_COLUMNS entry (or in-row materialization)
+    before its bench number means anything."""
     extra = bench._extra_queries()
     offenders = []
     for name in bench.HEADLINE:
@@ -49,7 +53,8 @@ def test_headline_count_plans_keep_their_joins(spark, sf_dir):
         if fn is None:
             continue
         df = fn(spark, sf_dir)
-        if _joins(df.groupBy().count()) < _joins(df):
+        cnt = df.groupBy().count()
+        if _joins(cnt) < _joins(df) or _windows(cnt) < _windows(df):
             offenders.append(name)
         spark.catalog.clearCache()
     assert offenders == [], offenders
