@@ -225,52 +225,22 @@ HEADLINE = [
 #: regressed isolates machine drift, so the judge can normalize the
 #: whole table instead of trusting prose. If either query's code ever
 #: changes, re-pin here AND reset its BASELINE.md record.
-# Queries whose cost lives in map-only projections (regex scrub,
-# per-row array math, window arithmetic): count() would let the
-# optimizer PRUNE those expressions and time an empty scan, so
-# force every output column through a hash-sum aggregate instead
-# (one long per row to the driver-side sum, no wide collect).
-FORCE_ALL_COLUMNS = {
-    "text_pii_scrub", "text_decontaminate", "text_repetition_quality",
-    "text_chunk_windows",
-    "corpus_pack_sequences", "corpus_domain_mix",
-    "corpus_training_set",
-    # count() would prune the rollup's agg columns / the shuffle
-    # order's window+join position arithmetic
-    "ts_rollup_reagg", "corpus_shuffle_order",
-    # count() can eliminate the left join against the (unique-key)
-    # coverage aggregate and time a bare document count
-    "text_dup_spans", "text_dup_spans_xxhash64",
-    # count() would prune the unused -ln aggregate / running-sum
-    # window and time bare group counts
-    "text_unigram_xent", "text_vocab_coverage",
-    # count() would prune the mask-reconstruction of clean_text
-    "text_cut_dup_spans",
-    # JOIN-ELIMINATION class (round-7 audit): with
-    # propagateDistinctKeys, count() over a left/inner join whose
-    # other side is a provably-unique aggregate lets Catalyst drop
-    # the JOIN ITSELF — funnel_conversion timed 0 of its 5 joins,
-    # dedup_semantic skipped the in-cell cosine pair join,
-    # bigram_xent/countmin lost their probe joins. The audited
-    # graph_triangles row is honest via its own localCheckpoint.
-    "funnel_conversion", "dedup_semantic", "text_bigram_xent",
-    "sketch_countmin_topk",
-    # same class, caught by tests/test_bench_harness.py's sweep: the
-    # incremental probe join and the docs<-sentiment-agg left join
-    # are eliminable under count()
-    "dedup_incremental", "text_sentiment_lexicon",
-    # WINDOW-pruning class (round-7 audit, third wave): a window whose
-    # output is projected but never filtered on is dead under count()
-    # — the as-of match window, scd2's lead-close, a20's rank, the
-    # peak-concurrency running sum, bpe's (30-row, cheap) rank.
-    "j6_asof_join", "scd2_intervals", "a20_gini_concentration",
-    "ts_peak_concurrency", "text_bpe_tokenize",
-}
+# Round-7 note: the per-row FORCE_ALL_COLUMNS allowlist is gone — the
+# all-columns hash aggregate is now the DEFAULT evaluator for every
+# non-top-k row (see run()), because the count() evaluator was found
+# to let Catalyst prune joins (triangles/funnel), windows (as-of,
+# scd2, gini) and aggregate measures (q1's 7 decimal sums) — an
+# allowlist can only ever chase that class row by row.
 
 
 CONTROL_RECORDS = {
-    "q1_pricing_summary": 0.42,     # BASELINE.md record (r4 box)
-    "dedup_ngram_jaccard": 2.31,    # BASELINE.md record (r4 box)
+    # Re-pinned at the round-7 evaluator re-basing (BASELINE.md): the
+    # hash-forced evaluation makes q1 compute its actual 7 decimal
+    # sums (the count() basis timed a 3-column distinct — 0.42 s was
+    # never the query's cost). Code of both queries is UNCHANGED since
+    # their original records; only the measurement basis moved.
+    "q1_pricing_summary": 1.24,     # round-7 box, hash-forced basis
+    "dedup_ngram_jaccard": 2.43,    # round-7 box, hash-forced basis
 }
 
 
@@ -332,19 +302,26 @@ def main() -> None:
     def run(name: str) -> None:
         from pyspark.sql import functions as F
 
-        # count() forces full execution without shipping wide results
-        # to the driver; top-k queries are cheap to collect anyway.
         df = (extra[name] if name in extra
               else catalog.QUERIES[name])(spark, SF_DIR)
-        if name in FORCE_ALL_COLUMNS:
-            # bit_xor, not sum: ANSI mode makes a long-sum of hashes
-            # overflow-fatal, and xor forces evaluation just as well.
-            (df.select(F.xxhash64(*[F.col(c) for c in df.columns])
-                       .alias("h")).agg(F.expr("bit_xor(h)")).collect())
-        elif name.startswith(("t1", "t6", "flagship", "q3", "a2", "sim")):
+        if name.startswith(("t1", "t6", "flagship", "q3", "a2", "sim")):
+            # top-k rows: collecting the (bounded) result is already a
+            # full, honest evaluation — and what a caller would do.
             df.collect()
         else:
-            df.count()
+            # EVERY other row evaluates through the all-columns hash
+            # aggregate (round-7 re-basing): a bare count() lets
+            # Catalyst drop provably-unique-side joins, projection-
+            # only windows, aggregate measure expressions, and the
+            # scan columns that feed them — q1's "record" turned out
+            # to time a 3-column distinct, not its 7 decimal sums.
+            # Hashing every output column makes the entire plan
+            # load-bearing; bit_xor, not sum, because ANSI mode makes
+            # a long-sum of hashes overflow-fatal and xor forces
+            # evaluation just as well. One long per row to the
+            # aggregate, no wide collect.
+            (df.select(F.xxhash64(*[F.col(c) for c in df.columns])
+                       .alias("h")).agg(F.expr("bit_xor(h)")).collect())
         # Operators that persist() intermediates (LSH candidate sets)
         # would otherwise accumulate storage across the session and
         # skew later timings by 2-3x.
