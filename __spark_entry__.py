@@ -30,61 +30,50 @@ from twitter_analysis_spark import catalog  # noqa: E402
 # oldest remaining evidence tier. Python dicts preserve insertion
 # order, so this is the order the driver iterates.
 _PRIORITY = [
-    # -- round-7 rotation: catalog growth is FROZEN this round (the
-    # round-6 verdict's evidence-debt directive), so all 50 slots go
-    # to existing rows. First the 30 rows that have NEVER appeared in
-    # any CORRECTNESS file (round-6 additions past the 50-slot cap;
-    # all oracle-parity-green locally via tests/test_oracle_parity) --
-    "j11_fuzzy_blocked_linkage", "text_decontaminate_bloom",
-    "corpus_stratified_sample", "corpus_weighted_sample",
-    "dq_column_profile", "j12_interval_overlap_join",
-    "attribution_multitouch", "dedup_containment",
-    "corpus_fixed_k_sample", "ts_rolling_distinct_users",
-    "s10_event_paths", "dq_table_fingerprint",
-    "ts_trend_slope", "graph_bfs_khop", "text_sentiment_lexicon",
-    "ts_winsorized_mean", "mm_audio_stats", "text_keyphrases_rake",
-    "ts_changepoint_cusum", "dq_benford_digits",
-    "j13_sorted_neighborhood", "ts_peak_concurrency",
-    "ts_longest_streak", "ts_mad_robust", "a18_abc_classification",
-    "a19_rfm_segments", "a20_gini_concentration",
-    "a21_copurchase_pairs", "graph_assortativity",
-    "t11_ship_latency_percentiles",
-    # -- fill to 50 with 20 of the 43 r4-evidence rows, oldest tier in
-    # the catalog. Changed-plan rows first (the round-6 size-gated
-    # maybe_broadcast touched flagship/j1/q2/q5 — results identical by
-    # construction, plan-pinned in tests/test_plans.py, but the
-    # changed plans deserve fresh driver evidence), then the core
-    # join/sort/window tier in catalog order --
-    "flagship_search", "j1_broadcast_user_join", "q2_groupwise_argmin",
-    "q5_local_supplier_volume",
-    "p1_projection", "j2_dim_chain_join", "j3_collect_assembly",
-    "j4_semi_join", "j5_union_harvest", "j6_asof_join", "j7_range_join",
-    "a1_count_star", "a2_top_keywords",
-    "t1_topk_multisort", "t6_group_topk", "t8_moving_avg",
-    "t9_cumulative_daily",
-    # -- changed this round (decimal-accumulation hardening landed in
-    # ts_anomaly_zscore; j10 and graph_triangles now release their
-    # persisted intermediates via the cleanup contract + eager
-    # checkpoint; a20's equivalent change is covered by its
-    # never-swept slot above) — changed plans outrank r4 fill per the
-    # ordering policy above. They displace u3_intersect_except,
-    # q13_order_distribution and q18_large_orders to the round-8
-    # head. --
-    "ts_anomaly_zscore", "j10_set_similarity_join", "graph_triangles",
-    # -- the 26 remaining r4 rows MUST head the round-8 rotation (they
-    # will be 3 sweeps old otherwise): u3_intersect_except
-    # q13_order_distribution q18_large_orders f1_keyword_regex
-    # f2_array_membership f3_equality_filter f5_point_lookup
-    # f6_disjunctive_filter f7_prefix_filter f8_date_range
-    # f9_conjunctive_filter f11_exists_subquery f12_scalar_subquery
-    # f13_not_in_subquery a4_conditional_counts
-    # a6_distinct_cardinality a8_salted_skew_agg a9_rollup_revenue
-    # a10_grouped_distinct a13_grouping_sets a14_multi_distinct
-    # c_scalar_suite t10_window_suite text_bigram_topk dedup_clusters
-    # corpus_split_assign -- then fill with the oldest r5 tier
-    # (q3_top_revenue_orders q7_volume_shipping q10_returned_items
-    # q14_promo_effect q11_important_nations q16_supplier_count
-    # q19_disjunctive_revenue text_tfidf_topk ...) --
+    # -- round-8 rotation (round-7 verdict directive 2): clear the
+    # last evidence debt. Head: the 26 rows whose latest driver
+    # evidence is round 4 (computed from CORRECTNESS_r0{4..7}.json;
+    # everything else in the catalog is r5+). All locally green in
+    # tests/test_oracle_parity every round since. --
+    "u3_intersect_except", "q13_order_distribution", "q18_large_orders",
+    "f1_keyword_regex", "f2_array_membership", "f3_equality_filter",
+    "f5_point_lookup", "f6_disjunctive_filter", "f7_prefix_filter",
+    "f8_date_range", "f9_conjunctive_filter", "f11_exists_subquery",
+    "f12_scalar_subquery", "f13_not_in_subquery", "a4_conditional_counts",
+    "a6_distinct_cardinality", "a8_salted_skew_agg", "a9_rollup_revenue",
+    "a10_grouped_distinct", "a13_grouping_sets", "a14_multi_distinct",
+    "c_scalar_suite", "t10_window_suite", "text_bigram_topk",
+    "dedup_clusters", "corpus_split_assign",
+    # -- changed this round, needs fresh evidence: the r7 red row
+    # (oracle rebuilt on version-stable primitives: Horner hex fold,
+    # chr(1) sentinel, string-typed fingerprint) --
+    "dq_table_fingerprint",
+    # -- fill from the r5 tier, ANN/dedup rows first (verdict: their
+    # operators were touched by rounds 6-7 perf work) --
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_ngram_jaccard",
+    "sim_cosine_topk", "sim_pq_topk", "sim_lsh_topk", "sim_ivf_topk",
+    "sim_knn_join",
+    # -- then oldest remaining r5 rows in catalog order --
+    "q1_pricing_summary", "q3_top_revenue_orders",
+    "f2_nested_hashtag_path", "t7_pagination", "c1_c2_date_format",
+    "c10_page_count", "u2_union_results", "a7_percentiles",
+    "f4_absence_filter", "t2_top5_sidebar", "text_token_counts",
+    "text_quality_features",
+    # -- slot 50: the one catalog addition this round (verdict
+    # directive 7 — the documented-but-unexercised approx-percentile
+    # swap); rows-only driver check by design (approx results cannot
+    # hash-match an exact oracle), error bound pinned in
+    # tests/test_sampling.py --
+    "a7_percentiles_approx",
+    # -- round-9 rotation head: the r5 rows displaced here
+    # (text_lang_id text_fingerprint mm_media_metadata
+    # mm_decode_features w1_tumbling_window_agg s9_sessionization
+    # c13_json_extract a12_pivot_matrix text_tfidf_topk
+    # c14_array_hof_suite j8_snapshot_diff q4/q6/q7/q10/q11/q14/
+    # q16/q19/q22 corpus_curation corpus_shuffle_order
+    # text_chunk_windows text_unit_dedup text_pii_scrub) — then the
+    # r6 tier. --
 ]
 
 

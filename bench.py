@@ -428,19 +428,42 @@ def main() -> None:
                            "BENCH_FULL.json"), "w") as fh:
         json.dump(artifact, fh, indent=1, sort_keys=True)
 
-    line_budget = 1900
+    print(compact_line(artifact))
+
+
+def compact_line(artifact: dict, line_budget: int = 1900) -> str:
+    """Shrink the artifact to ONE stdout line <= ``line_budget`` chars,
+    guaranteed (the driver captures only ~2000 chars; an over-budget
+    line records parsed:null for the whole round — BENCH_r06).
+    Shrink order: per-query rows cheapest-first, then — because a
+    heavily-regressed run can make the `regressions` array itself the
+    bulk, and that is exactly the run whose artifact must parse —
+    drop queries entirely and truncate regressions worst-first,
+    recording how many were cut. Totals/controls always survive."""
+    timings = artifact.get("queries", {})
+    regressions = artifact.get("regressions", [])
     compact = dict(artifact)
     by_cost = sorted(timings, key=timings.get, reverse=True)
     keep = len(by_cost)
-    while keep > 0:
+    line = json.dumps(compact)
+    while keep > 0 and len(line) > line_budget:
+        keep = max(keep - 5, 0)
         compact["queries"] = {n: timings[n] for n in by_cost[:keep]}
-        compact["queries_truncated_to_top"] = (keep if keep < len(by_cost)
-                                               else None)
+        compact["queries_truncated_to_top"] = keep
         line = json.dumps(compact)
-        if len(line) <= line_budget:
-            break
-        keep -= 5
-    print(line)
+    if len(line) > line_budget:
+        compact["queries"] = {}
+        worst = sorted(regressions,
+                       key=lambda r: r.get("sec", 0), reverse=True)
+        n = len(worst)
+        while n >= 0:
+            compact["regressions"] = worst[:n]
+            compact["regressions_truncated"] = len(worst) - n
+            line = json.dumps(compact)
+            if len(line) <= line_budget:
+                break
+            n -= 1
+    return line
 
 
 if __name__ == "__main__":

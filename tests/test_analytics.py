@@ -565,3 +565,32 @@ def test_ship_latency_percentiles_planted(spark, tmp_path):
     r = got["1-URGENT"]
     assert (r.n_lines, r.p50_days, r.max_days) == (4, 2.5, 4)
     assert r.p90_days == 1 + 0.9 * 3   # interpolated over 1..4
+
+
+def test_a7_approx_within_rank_error_of_exact(spark, sf_dir):
+    """The 100 TB swap row (a7_percentiles_approx) is rows-only at the
+    driver — approx values can't hash-match an exact oracle — so its
+    numeric contract lives here: every approx percentile must fall
+    inside the exact ±0.01-quantile band around its target, 100x
+    slack over percentile_approx(accuracy=10000)'s n/10000 rank-error
+    guarantee. Schema must match a7_percentiles exactly (it is a
+    drop-in swap, not a different query)."""
+    approx = catalog.QUERIES["a7_percentiles_approx"](spark, sf_dir)
+    exact = catalog.QUERIES["a7_percentiles"](spark, sf_dir)
+    assert [f.name for f in approx.schema.fields] \
+        == [f.name for f in exact.schema.fields]
+
+    bands = {r["event_type"]: r for r in (
+        catalog._t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.49)").alias("p50_lo"),
+             F.expr("percentile(value, 0.51)").alias("p50_hi"),
+             F.expr("percentile(value, 0.94)").alias("p95_lo"),
+             F.expr("percentile(value, 0.96)").alias("p95_hi"))
+        .collect())}
+    rows = approx.collect()
+    assert len(rows) == len(bands) > 0
+    for r in rows:
+        b = bands[r["event_type"]]
+        assert b["p50_lo"] <= r["p50"] <= b["p50_hi"], r
+        assert b["p95_lo"] <= r["p95"] <= b["p95_hi"], r

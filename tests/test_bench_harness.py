@@ -83,3 +83,48 @@ def test_hash_evaluator_preserves_every_headline_plan(spark, sf_dir):
             offenders.append(name)
         spark.catalog.clearCache()
     assert offenders == [], offenders
+
+
+def test_compact_line_bounded_under_mass_regression():
+    """The printed artifact line must fit the driver's ~2000-char
+    stdout capture EVEN when the regressions array is huge — the
+    heavily-regressed run is exactly the one whose artifact matters
+    most (round-7 advice: the old shrink loop only trimmed queries,
+    so 13+ regression entries overflowed and printed an over-budget
+    line anyway)."""
+    import json as _json
+
+    timings = {f"query_{i:03d}": round(0.1 * i, 3) for i in range(120)}
+    regs = [{"query": f"query_{i:03d}", "sec": 9.9, "normalized_sec": 6.9,
+             "record_sec": 1.0, "rule": "normalized > 2x record"}
+            for i in range(40)]
+    artifact = {
+        "metric": "headline_queries_total", "value": 123.456,
+        "unit": "sec", "n_queries": len(timings), "queries": timings,
+        "controls": {"q1": 1.24}, "control_factor": 1.44,
+        "regressions": regs, "sf": 0.1,
+    }
+    line = bench.compact_line(artifact)
+    assert len(line) <= 1900
+    parsed = _json.loads(line)
+    # envelope survives; truncations are recorded, not silent
+    assert parsed["value"] == 123.456
+    assert parsed["control_factor"] == 1.44
+    assert parsed["regressions_truncated"] + len(parsed["regressions"]) \
+        == len(regs)
+    # worst-first means what remains is the most useful subset
+    if parsed["regressions"]:
+        assert parsed["regressions"][0]["sec"] == 9.9
+
+
+def test_compact_line_empty_timings_no_crash():
+    """Zero queries (a catastrophically failed run) must still print a
+    parseable line, not raise UnboundLocalError."""
+    import json as _json
+
+    artifact = {"metric": "headline_queries_total", "value": 0.0,
+                "unit": "sec", "n_queries": 0, "queries": {},
+                "controls": {}, "control_factor": 1.0,
+                "regressions": [], "sf": 0.1}
+    parsed = _json.loads(bench.compact_line(artifact))
+    assert parsed["n_queries"] == 0

@@ -199,6 +199,45 @@ def test_ranked_cumsum_matches_global_window(spark):
     assert got == want
 
 
+def test_ranked_cumsum_null_values_match_global_window(spark):
+    """NULL value_col rows — including an entire range partition of
+    them — must match the single-window semantics (F.sum skips nulls;
+    an all-NULL prefix contributes 0 to later offsets, and rows before
+    any non-null value carry a NULL running sum). The two-phase path
+    used to TypeError on an all-NULL partition's None offset."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    from twitter_analysis_spark.operators.layout import ranked_cumsum
+
+    def check(rows):
+        df = spark.createDataFrame(rows, "id long, v long").repartition(9)
+        cleanup: list = []
+        got = {r["id"]: (r["rank"], r["cum"]) for r in ranked_cumsum(
+            df, [F.asc("id")], value_col="v",
+            n_parts=6, strategy="two_phase", cleanup=cleanup).collect()}
+        for fr in cleanup:
+            fr.unpersist()
+        w = Window.orderBy(F.asc("id"))
+        want = {r["id"]: (r["rank"], r["cum"]) for r in (
+            df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .withColumn("cum", F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)))
+            .collect())}
+        assert got == want
+
+    # leading all-NULL range partitions (the TypeError case)
+    check([(i, None if i < 400 else i % 23) for i in range(1200)])
+    # interleaved NULL stretches: partitions whose LOCAL prefix is
+    # all-NULL but whose global prefix holds values — the running sum
+    # must carry the prior partitions' total, not go NULL
+    check([(i, None if (i // 150) % 2 == 0 else i % 23)
+           for i in range(1200)])
+    # all NULL everywhere: every cum is NULL, as the window says
+    check([(i, None) for i in range(300)])
+
+
 def test_ranked_cumsum_plan_has_no_global_window(spark):
     """Every Window in the two-phase plan is partitioned by _pid, and
     the order key reaches a RangePartitioning exchange — no stage

@@ -619,6 +619,64 @@ def test_streaming_sketch_redelivery_after_crash(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(sk_path).collect())) == want
 
 
+def test_streaming_sketch_checkpoint_loss_with_new_data(spark, tmp_path):
+    """Checkpoint loss restarts batch ids at 0, so the redelivered
+    batch 0 can contain BOTH the old files and files that arrived
+    after the crash. A bare `stored >= batch_id` skip would drop the
+    new file silently (estimate < truth — the one failure mode a CM
+    sketch promises away); the lineage-aware guard must instead
+    detect the new run id and rebuild from the full drop."""
+    import json
+
+    from twitter_analysis_spark.operators.sketches import cms_build
+    from twitter_analysis_spark.operators.dedup import tokens
+    from twitter_analysis_spark.streaming.sketch_ingest import (
+        streaming_sketch_ingest)
+    import pyspark.sql.functions as F
+
+    drop = tmp_path / "sk_drop"
+    drop.mkdir()
+    sk_path = str(tmp_path / "sk_sketch")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    d1 = [(1, "spark spark table"), (2, "table scan")]
+    d2 = [(3, "fresh fresh data")]
+    write_drop("d1.json", d1)
+    streaming_sketch_ingest(spark, str(drop), sk_path,
+                            checkpoint=str(tmp_path / "sk_ckpt"))
+
+    # crash: checkpoint gone; new data lands BEFORE the re-drain, so
+    # the new lineage's batch 0 = d1 + d2 under one already-seen id.
+    shutil.rmtree(tmp_path / "sk_ckpt")
+    write_drop("d2.json", d2)
+    streaming_sketch_ingest(spark, str(drop), sk_path,
+                            checkpoint=str(tmp_path / "sk_ckpt"))
+
+    all_docs = spark.createDataFrame(d1 + d2, ["doc_id", "text"])
+    want = sorted(map(tuple, cms_build(
+        all_docs.select(F.explode(tokens(F.col("text"))).alias("token")),
+        "token").collect()))
+    assert sorted(map(tuple,
+                      spark.read.parquet(sk_path).collect())) == want
+
+    # and a further same-lineage drain of yet another file MERGES
+    # (no rebuild regression in the normal path)
+    d3 = [(4, "spark merge")]
+    write_drop("d3.json", d3)
+    streaming_sketch_ingest(spark, str(drop), sk_path,
+                            checkpoint=str(tmp_path / "sk_ckpt"))
+    all_docs = spark.createDataFrame(d1 + d2 + d3, ["doc_id", "text"])
+    want = sorted(map(tuple, cms_build(
+        all_docs.select(F.explode(tokens(F.col("text"))).alias("token")),
+        "token").collect()))
+    assert sorted(map(tuple,
+                      spark.read.parquet(sk_path).collect())) == want
+
+
 def test_streaming_rollup_survives_checkpoint_loss(spark, tmp_path):
     """Losing the checkpoint (and with it the batch markers) re-delivers
     the whole drop as batch 0 — the event-id index must absorb the

@@ -804,6 +804,33 @@ def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("a7_percentiles_approx", None)
+def a7_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB form of a7, actually exercised (three rows document
+    # "swap to approx_percentile at scale" — ts_winsorized_mean,
+    # ts_mad_robust, a7 — this row RUNS that swap): same schema as
+    # a7_percentiles, but through percentile_approx's mergeable
+    # quantile sketch — fixed-size per-partition state, one partial
+    # agg, no global sort, which is the entire point of the swap.
+    # accuracy=10000 bounds rank error at n/10000 (1e-4 relative).
+    # Approx values cannot hash-match an exact SQL oracle, so the
+    # driver row is rows-only BY DESIGN; the numeric contract is
+    # pinned locally instead: tests/test_analytics.py::
+    # test_a7_approx_within_rank_error_of_exact asserts each approx
+    # percentile lies inside the exact ±0.01-quantile band (100x
+    # slack over the guarantee) against a7_percentiles' values.
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx(F.col("value"), F.lit(0.5), 10000)
+            .alias("p50"),
+            F.percentile_approx(F.col("value"), F.lit(0.95), 10000)
+            .alias("p95"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Remaining SURVEY §2 line items: F4 absence filter, T2/T4 sidebar
 # top-5, the C-function scalar suite, plus two scale-technique

@@ -477,18 +477,37 @@ def s10_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fingerprint_oracle() -> str:
+    # Engine-version-portable oracle: earlier spellings used
+    # CAST('0x' || substr(md5(..),1,15) AS BIGINT) and a chr(0) NUL
+    # sentinel — both behave differently across DuckDB builds (hex
+    # string->int casting rules; NUL-in-VARCHAR handling), which made
+    # the driver row red on an engine where a local DuckDB agreed.
+    # Rebuilt from version-stable primitives only: chr(1) sentinel
+    # (matches the Spark side's \x01) and an explicit Horner fold
+    # strpos('0123456789abcdef', ..)-1 over the 15 hex chars — pure
+    # integer arithmetic, < 16^15 = 2^60 so it fits BIGINT in any
+    # engine, no hex-literal casting involved.
+    def hex2dec(var: str) -> str:
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(1, 16):
+            digit = (f"(strpos('0123456789abcdef', "
+                     f"substr({var}, {i}, 1)) - 1)")
+            acc = f"(({acc}) * 16 + {digit})"
+        return acc
+
     tables = {"documents": ["doc_id", "text", "lang", "source", "n_chars"],
               "nation": ["n_nationkey", "n_name", "n_regionkey"],
               "region": ["r_regionkey", "r_name"]}
     rows = []
     for t, cols in tables.items():
         parts = ", ".join(
-            f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in cols)
+            f"coalesce(CAST({c} AS VARCHAR), chr(1) || 'null')" for c in cols)
         rows.append(
             f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
-            f"CAST(sum(CAST(('0x' || substr(md5("
-            f"concat_ws(chr(31), {parts})), 1, 15)) AS BIGINT)) "
-            f"AS DECIMAL(38,0)) AS fingerprint FROM {t}")
+            f"CAST(CAST(coalesce(sum({hex2dec('h')}), 0) "
+            f"AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint "
+            f"FROM (SELECT substr(md5(concat_ws(chr(31), {parts})), 1, 15) "
+            f"AS h FROM {t})")
     return " UNION ALL ".join(rows)
 
 
@@ -501,7 +520,11 @@ def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot-diff fast path (equal fingerprints -> skip the full
     # key diff). Commutative sum of portable md5 row hashes — the
     # oracle recomputes it from scratch in DuckDB, certifying
-    # engine-independence of the checksum itself.
+    # engine-independence of the checksum itself. The 21-digit sum is
+    # emitted as a STRING by both engines: a DECIMAL(38,0) survives
+    # the engines' SQL layers but not every transport (pandas
+    # narrows >int64 decimals to float64), and a checksum row must be
+    # representation-exact end to end, not just engine-exact.
     from .operators.dq import table_fingerprint
 
     fp = [table_fingerprint(
@@ -516,7 +539,10 @@ def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fp[0]
     for f in fp[1:]:
         out = out.unionByName(f)
-    return out
+    return out.select(
+        "table_name", "n_rows",
+        F.coalesce(F.col("fingerprint"), F.lit(0).cast("decimal(38,0)"))
+        .cast("string").alias("fingerprint"))
 
 
 @register(
@@ -974,9 +1000,15 @@ def j13_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # block plus its successor per left row — exactly-once meeting).
     from .operators.linkage import sorted_neighborhood_pairs
 
-    return sorted_neighborhood_pairs(
+    cleanup: list = []
+    out = sorted_neighborhood_pairs(
         _t(spark, sf_dir, "part"), "p_name",
-        window=5, max_dist=3)
+        window=5, max_dist=3, cleanup=cleanup)
+    if cleanup:     # two-phase rank path: materialize, then release
+        out = out.localCheckpoint()
+        for frame in cleanup:
+            frame.unpersist()
+    return out
 
 
 @register(

@@ -64,7 +64,11 @@ def table_fingerprint(df: DataFrame, cols: list[str],
     """
     parts: list = []
     for c in cols:
-        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+        # \x01 sentinel, not \x00: a NUL byte inside a VARCHAR is
+        # mishandled by some engine builds (DuckDB versions differ on
+        # NUL-in-string semantics), and the sentinel only needs to be
+        # a byte that cannot appear in a cast-to-string value.
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x01null")))
     row_hash = F.conv(
         F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15),
         16, 10).cast("bigint")

@@ -187,6 +187,15 @@ def triangle_counts(edges: DataFrame,
            .join(corners, "node", "left")
            .select("node", F.coalesce("n_triangles", F.lit(0))
                    .cast("bigint").alias("n_triangles")))
+    if cleanup is None:
+        # No caller-managed release: materialize the (per-node, small
+        # relative to |E|) result eagerly and drop the two internal
+        # persists now — otherwise `oriented` and `tri` stay cached
+        # for the life of the session on every bare call. Callers who
+        # want a lazy result pass `cleanup` and release it themselves.
+        out = out.localCheckpoint()
+        oriented.unpersist()
+        tri.unpersist()
     return out
 
 

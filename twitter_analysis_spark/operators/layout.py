@@ -330,28 +330,43 @@ def ranked_cumsum(df: DataFrame, order_cols: Sequence[Column],
             "_lcs", F.sum(vcol).over(
                 w.rowsBetween(Window.unboundedPreceding,
                               Window.currentRow)))
-        aggs.append(F.sum(vcol).alias("_s"))
+        aggs += [F.sum(vcol).alias("_s"), F.count(vcol).alias("_c")]
     # Bounded collect: one row per range partition.
     parts = {r["_pid"]: r for r in
              local.groupBy("_pid").agg(*aggs).collect()}
-    rows, n_off, s_off = [], 0, 0
+    rows, n_off, s_off, nn_off = [], 0, 0, 0
     for p in sorted(parts):
-        rows.append((p, n_off, s_off))
+        rows.append((p, n_off, s_off, nn_off))
         n_off += parts[p]["_n"]
         if value_col is not None:
-            s_off += parts[p]["_s"]
+            # A range partition whose value_col is entirely NULL
+            # aggregates _s = NULL; the single-window path treats such
+            # a stretch as contributing 0 to the running sum (F.sum
+            # skips nulls), so the offset must too — and a None here
+            # would both TypeError this loop and null-poison every
+            # later partition's cumsum through the string round-trip.
+            s = parts[p]["_s"]
+            s_off += s if s is not None else 0
+            nn_off += parts[p]["_c"]
     spark = df.sparkSession
     offsets = spark.createDataFrame(
-        [(p, n, str(s)) for p, n, s in rows],
-        schema="_pid int, _noff bigint, _soff string")
+        [(p, n, str(s), c) for p, n, s, c in rows],
+        schema="_pid int, _noff bigint, _soff string, _nnoff bigint")
     out = (local.join(F.broadcast(offsets), "_pid")
            .withColumn(rank_col, F.col("_noff") + F.col("_lrk")))
     if value_col is not None:
         # _soff travels as a string so arbitrary sum types (decimal,
         # bigint) round-trip the driver exactly; cast back to the
-        # running sum's own type before adding.
+        # running sum's own type before adding. Window semantics for
+        # NULL stretches: the running sum is NULL only while ZERO
+        # non-null values precede the row globally — so a row whose
+        # local prefix is all-NULL (_lcs IS NULL) still carries the
+        # prior partitions' sum if any of THEM held a value (_nnoff
+        # tracks that; `_soff + NULL` alone would null the row).
+        base = F.col("_soff").cast(out.schema["_lcs"].dataType)
         out = out.withColumn(
             cum_col,
-            F.col("_soff").cast(out.schema["_lcs"].dataType)
-            + F.col("_lcs"))
-    return out.drop("_pid", "_lrk", "_lcs", "_noff", "_soff")
+            F.when(F.col("_lcs").isNotNull(), base + F.col("_lcs"))
+            .when(F.col("_nnoff") > 0, base)
+            .otherwise(F.lit(None).cast(out.schema["_lcs"].dataType)))
+    return out.drop("_pid", "_lrk", "_lcs", "_noff", "_soff", "_nnoff")

@@ -230,7 +230,8 @@ def containment_join(df: DataFrame, id_col: str, text_col: str = "text",
 
 def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
                               window: int = 5, max_dist: int = 3,
-                              sort_key=None) -> DataFrame:
+                              sort_key=None,
+                              cleanup: list | None = None) -> DataFrame:
     """Sorted-Neighborhood Method (Hernandez & Stolfo 1995): rank the
     DISTINCT keys by a sort key, compare each key only to its next
     ``window`` neighbors in that order, verify with levenshtein.
@@ -249,7 +250,10 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
     the plain window while Catalyst's estimate says the dictionary is
     small, the two-phase range-band plan (per-band ranks + bounded
     offset collect) for dictionaries too big for one task — identical
-    ranks either way, so the gate can't change candidates. The
+    ranks either way, so the gate can't change candidates. When the
+    two-phase path fires it localCheckpoints the ranked frame; pass
+    ``cleanup`` (a list the caller later unpersists) to reclaim those
+    blocks — without it they live for the session. The
     neighbor band join avoids a theta join via the grid trick: each
     rank lands in one ``window``-wide block, the left side probes its
     own and the next block, and the band predicate filters inside —
@@ -261,7 +265,7 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
     names = (df.groupBy(F.col(key_col).alias("name"))
              .agg(F.count(F.lit(1)).alias("n")))
     ranked = ranked_cumsum(names, [sort_key.asc(), F.col("name").asc()],
-                           rank_col="rnk")
+                           rank_col="rnk", cleanup=cleanup)
     blk = (F.col("rnk") / window).cast("bigint")
     a = (ranked.withColumn(
         "_blk", F.explode(F.array(blk, blk + 1))).alias("a"))

@@ -34,7 +34,9 @@ stream == batch identity is pinned in tests cell-for-cell.
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,7 +59,22 @@ def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
     the atomically-swapped sketch directory (``_last_batch_id``), so
     a batch re-delivered after a crash — batch ids are monotone
     within a checkpoint lineage — is skipped, never double-counted,
-    with no window between "cells merged" and "batch recorded"."""
+    with no window between "cells merged" and "batch recorded".
+
+    Batch ids are only monotone WITHIN one checkpoint lineage: after
+    checkpoint loss they restart at 0, and a redelivered batch 0 can
+    carry old files AND files that arrived since the crash — skipping
+    it by id comparison would silently drop the new data (violating
+    the sketch's one-sided estimate >= truth guarantee from below).
+    So the swapped artifact also records the lineage it belongs to
+    (``_run_id`` — the streaming checkpoint's query id, which a lost
+    checkpoint cannot reproduce). On lineage mismatch the stored id
+    is meaningless and the sketch is REBUILT from scratch from the
+    redelivered drop (availableNow re-sends every file the new
+    lineage hasn't seen, i.e. all of them), trading a transient
+    undercount of any files deleted from the drop dir for never
+    dropping new data and never double-counting — the only sound
+    choice when the applied-set record is gone."""
     stream = (
         spark.readStream.schema(schema)
         .option("mode", "PERMISSIVE")
@@ -72,27 +89,65 @@ def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
                 return int(fh.read().strip())
         return None
 
+    def stored_run_id() -> str | None:
+        p = os.path.join(sketch_path, "_run_id")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return fh.read().strip()
+        return None
+
+    # Lineage identity for the batch-id skip guard: the checkpoint's
+    # query id (checkpoint/metadata, written by Spark at query start
+    # and stable for the checkpoint's whole life). A lost/recreated
+    # checkpoint gets a fresh query id, which is exactly the signal
+    # that stored batch ids can no longer be compared. Without a
+    # checkpoint every drain is its own lineage (availableNow
+    # re-sends everything, so rebuild-per-drain is the correct
+    # semantics there, not a pessimisation).
+    fallback_run = f"no-ckpt-{uuid.uuid4()}"
+    run_cache: dict[str, str] = {}
+
+    def current_run_id() -> str:
+        if "id" in run_cache:
+            return run_cache["id"]
+        rid = fallback_run
+        if checkpoint:
+            meta = os.path.join(checkpoint, "metadata")
+            if os.path.exists(meta):
+                with open(meta) as fh:
+                    rid = str(json.load(fh)["id"])
+        run_cache["id"] = rid
+        return rid
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        same_lineage = stored_run_id() == current_run_id()
         stored = stored_batch_id()
-        if stored is not None and stored >= batch_id:
+        if same_lineage and stored is not None and stored >= batch_id:
             return                            # re-delivered after crash
         occ = batch_df.select(
             F.explode(tokens(F.col("text"))).alias("token"))
         batch_sketch = cms_build(occ, "token", depth, width)
-        if os.path.exists(sketch_path):
+        if os.path.exists(sketch_path) and same_lineage:
             merged = (spark.read.parquet(sketch_path)
                       .unionByName(batch_sketch)
                       .groupBy("j", "bucket")
                       .agg(F.sum("cnt").cast("bigint").alias("cnt")))
         else:
+            # New lineage (checkpoint lost, or first build): the old
+            # artifact's applied-set is unknowable — rebuild from the
+            # redelivered drop instead of merging into it.
             merged = batch_sketch.select(
                 "j", "bucket", F.col("cnt").cast("bigint").alias("cnt"))
         tmp = f"{sketch_path}__tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        # The id rides in the SAME directory rename as the cells:
-        # underscore-prefixed files are hidden from Spark's reader.
+        # The id + lineage ride in the SAME directory rename as the
+        # cells: underscore-prefixed files are hidden from Spark's
+        # reader, and a marker written after the swap would leave a
+        # crash window in which cells landed but the marker didn't.
         with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
             fh.write(str(batch_id))
+        with open(os.path.join(tmp, "_run_id"), "w") as fh:
+            fh.write(current_run_id())
         _swap_in(tmp, sketch_path)            # commit point
 
     writer = stream.writeStream.foreachBatch(ingest) \
