@@ -400,12 +400,16 @@ def main() -> None:
                         "bound": round(2.5 * exact, 3),
                         "rule": "<=2.5x text_decontaminate same sweep"})
                 continue
-            if normalized > 2 * rec["record_sec"]:
+            # +0.25 s absolute slack on top of the 2x relative bound:
+            # the round-8 re-pin tightened records to honest measured
+            # cost, which for sub-second rows is mostly fixed stage
+            # overhead — a 0.07 s record must not flag a 0.15 s run.
+            if normalized > 2 * rec["record_sec"] + 0.25:
                 regressions.append({
                     "query": name, "sec": sec,
                     "normalized_sec": round(normalized, 3),
                     "record_sec": rec["record_sec"],
-                    "rule": "normalized > 2x record"})
+                    "rule": "normalized > 2x record + 0.25s"})
 
     artifact = {
         "metric": "headline_queries_total",

@@ -233,6 +233,52 @@ def main() -> None:
             el = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, el), el)
 
+    # Steady-state economics (BASELINE.md round-6 note: unshowable in
+    # a single drain, where one batch touching every date IS a full
+    # rebuild). Three drains against ONE checkpoint/lake: drain 1
+    # ingests the whole corpus; drains 2-3 each ingest a small late
+    # batch touching one date, so the partition-scoped refresh should
+    # cost a small fraction of drain 1 — the per-batch cost
+    # proportional to the BATCH, not the corpus. Run once (the cost
+    # RATIO is the signal, not the absolute number); correctness of
+    # the only-touched-partitions rewrite is pinned separately in
+    # tests/test_maintenance.py.
+    from pyspark.sql import functions as F
+    from twitter_analysis_spark.streaming.rollup_ingest import (
+        streaming_rollup_ingest,
+    )
+    ss_base = os.path.join(root, "rollup_steady")
+    ss_drop = os.path.join(ss_base, "drop")
+    os.makedirs(ss_drop, exist_ok=True)
+    ev = load_table(spark, SF_DIR, "events")
+    last_day = ev.agg(F.max(F.to_date("ts"))).first()[0]  # 1-row collect
+    for f in os.listdir(ev_drop):
+        if not f.startswith("_"):
+            shutil.copy(os.path.join(ev_drop, f), os.path.join(ss_drop, f))
+    ss_kwargs = dict(
+        lake_path=os.path.join(ss_base, "lake"),
+        index_path=os.path.join(ss_base, "index"),
+        rollup_path=os.path.join(ss_base, "rollup"),
+        grain="hour",
+        schema=("event_id LONG, ts TIMESTAMP, user_id LONG, "
+                "event_type STRING, value DOUBLE"),
+        checkpoint=os.path.join(ss_base, "ckpt"))
+    for n_drain in (1, 2, 3):
+        if n_drain > 1:
+            # a late micro-batch: 500 events, all on the last date
+            late = [json.dumps({
+                "event_id": 10_000_000 * n_drain + i,
+                "ts": f"{last_day}T1{n_drain}:{i % 60:02d}:00.000Z",
+                "user_id": i % 97, "event_type": "late_click",
+                "value": 1.0}) for i in range(500)]
+            with open(os.path.join(ss_drop, f"late{n_drain}.json"),
+                      "w") as fh:
+                fh.write("\n".join(late) + "\n")
+        t0 = time.perf_counter()
+        streaming_rollup_ingest(spark, ss_drop, **ss_kwargs)
+        timings[f"stream_rollup_steady_drain{n_drain}"] = round(
+            time.perf_counter() - t0, 3)
+
     shutil.rmtree(root, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

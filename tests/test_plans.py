@@ -528,3 +528,73 @@ def test_attribution_single_pid_exchange(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning\(pid", plan)) == 1
     assert plan.count("Join") >= 1
     assert "Union" not in plan
+
+
+def _scan_output_rows(df) -> int:
+    """Sum of `number of output rows` over the plan's scan leaves —
+    i.e. rows the parquet reader actually MATERIALIZED after
+    row-group (min/max) and page (column-index) pruning. Record-level
+    parquet filtering is off by default in Spark, so a scan count far
+    below the table count is positive proof that whole row
+    groups/pages were skipped at the reader, not filtered upstairs."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "Scan" not in node.nodeName():
+            continue
+        m = node.metrics()
+        if m.contains("numOutputRows"):
+            total += m.apply("numOutputRows").value()
+    return total
+
+
+def test_selective_scan_skips_row_groups(spark, tmp_path):
+    """SURVEY §4's min/max-skipping claim, measured (round-7 verdict
+    item 4): a selective F5-style point filter and an F8-style range
+    filter over a sort-clustered parquet table must materialize far
+    fewer rows AT THE SCAN than the table holds — the row-group/page
+    stats did the skipping — while an unclustered layout of the same
+    rows cannot skip (its every row group spans the full key range).
+    This is the physical mechanism behind the F3/F5/F8 catalog rows
+    at 100 TB: selective scans touch storage proportional to the
+    SELECTED data, but only if the layout clusters the key."""
+    import pyspark.sql.functions as F
+
+    n = 200_000
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 1000).alias("v"),
+        F.concat(F.lit("pad_"), F.col("id")).alias("pad"))
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    # small row groups => many stats units per file; sorted vs shuffled
+    (base.orderBy("k").coalesce(2).write
+     .option("parquet.block.size", 64 * 1024)
+     .mode("overwrite").parquet(clustered))
+    (base.orderBy(F.xxhash64("k")).coalesce(2).write
+     .option("parquet.block.size", 64 * 1024)
+     .mode("overwrite").parquet(scattered))
+
+    # F8-style range: 1% of the key space
+    lo, hi = 10_000, 12_000
+    rng = F.col("k").between(lo, hi)
+    got = _scan_output_rows(
+        spark.read.parquet(clustered).where(rng))
+    assert got >= hi - lo + 1          # correctness floor
+    assert got < n // 10, got          # >90% of rows never materialized
+    # the unclustered twin reads ~everything: stats can't help it
+    scat = _scan_output_rows(
+        spark.read.parquet(scattered).where(rng))
+    assert scat > n // 2, scat
+    # and the pushdown is visible in the plan text as well
+    plan = (spark.read.parquet(clustered).where(rng)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k," in plan
+
+    # F5-style point lookup: one row group's worth at most
+    point = _scan_output_rows(
+        spark.read.parquet(clustered).where(F.col("k") == 54_321))
+    assert 1 <= point < n // 10, point
