@@ -217,6 +217,9 @@ HEADLINE = [
     "graph_assortativity",
     # order-to-ship latency SLA percentiles per priority
     "t11_ship_latency_percentiles",
+    # the 100 TB approx-percentile swap, benched next to its exact
+    # twin a7 (round-8 catalog addition)
+    "a7_percentiles_approx",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md
@@ -427,9 +430,14 @@ def main() -> None:
     # round-6 117-row line overflowed it and the round recorded
     # parsed:null — BENCH_r06 postmortem). Print the compact line with
     # the totals/controls/regressions intact and as many of the most
-    # expensive per-query rows as fit the budget.
+    # expensive per-query rows as fit the budget. A BENCH_QUERIES
+    # subset run must NOT clobber the full-sweep sidecar (a 3-row
+    # debugging run would silently replace the round's 117-row
+    # artifact); subsets write a separate scratch file.
+    sidecar = ("BENCH_FULL.json" if not os.environ.get("BENCH_QUERIES")
+               else "BENCH_SUBSET.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as fh:
+                           sidecar), "w") as fh:
         json.dump(artifact, fh, indent=1, sort_keys=True)
 
     print(compact_line(artifact))

@@ -198,3 +198,30 @@ def test_assortativity_star_is_negative(spark, tmp_path):
     r = catalog.QUERIES["graph_assortativity"](spark, sf).first()
     assert r.n_edge_ends == 10
     assert abs(r.assortativity + 1.0) < 1e-12
+
+
+def test_triangles_bare_call_leaves_no_cached_frames(spark):
+    """cleanup=None (the library-caller default) must not leak the
+    two internal persists for the session (round-7 advice): the
+    operator checkpoints its small per-node result and releases
+    `oriented` and `tri` itself. localCheckpoint RDDs are reclaimed
+    by GC, not unpersist — so assert the STORAGE-level persists are
+    gone by diffing against the pre-call cache set."""
+    import gc
+
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    gc.collect()
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {r["node"]: r["n_triangles"]
+           for r in G.triangle_counts(_edges(spark, k4)).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    # the only new entries may be the localCheckpoint of the result
+    # itself (released on GC); no *storage-level persisted* operator
+    # internals may remain. Persisted frames register with storage
+    # level MEMORY_AND_DISK; localCheckpoints use MEMORY_AND_DISK too,
+    # so distinguish by count: the call adds at most ONE new cached
+    # RDD (the checkpointed result), never the two internals.
+    assert len(after - before) <= 1, after - before

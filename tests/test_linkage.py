@@ -397,3 +397,36 @@ def test_snm_window_bound_and_exactly_once(spark):
          ("ab", "ad", 2), ("ac", "ad", 1), ("ac", "ae", 2),
          ("ad", "ae", 1)])
     assert len(got) == len(set(got))
+
+
+def test_snm_two_phase_gate_identical_and_released(spark, monkeypatch):
+    """Force the ranked_cumsum size gate to the two-phase path (the
+    dictionary-too-big-for-one-task scale case): candidate pairs must
+    be bit-identical to the default-gate run, and the internally
+    checkpointed frame must reach the caller's cleanup list (round-7
+    advice: without the threading it stayed referenced for the
+    session). The checkpoint's blocks themselves are reclaimed by the
+    ContextCleaner once the handed-back reference drops — what the
+    contract guarantees is the PROMPT drop, pinned here as: the call
+    adds at most the one checkpoint entry to the persistent-RDD map,
+    never a second internal frame."""
+    from twitter_analysis_spark.operators import layout
+
+    names = [(f"name_{i:04d}",) for i in range(300)]
+    df = spark.createDataFrame(names, ["p_name"])
+    baseline = sorted(map(tuple, linkage.sorted_neighborhood_pairs(
+        df, "p_name", window=3, max_dist=9).collect()))
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    monkeypatch.setattr(layout, "_WINDOW_GATE_BYTES", 0)
+    cleanup: list = []
+    out = sorted(map(tuple, linkage.sorted_neighborhood_pairs(
+        df, "p_name", window=3, max_dist=9,
+        cleanup=cleanup).collect()))
+    assert out == baseline
+    assert cleanup, "two-phase path must hand its checkpointed frame back"
+    for fr in cleanup:
+        fr.unpersist(blocking=True)
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert len(after - before) <= 1, after - before

@@ -285,7 +285,13 @@ def ranked_cumsum(df: DataFrame, order_cols: Sequence[Column],
     placement against recomputation (rank VALUES are placement-
     independent, but the checkpoint keeps the count job and the
     output plan reading one materialization); pass ``cleanup`` to
-    receive it for release (dedup.py convention).
+    receive it for release (dedup.py convention). Release semantics:
+    ``unpersist()`` on a localCheckpoint is a cache-manager no-op —
+    the blocks are reclaimed by the ContextCleaner once the LAST
+    reference drops, so the cleanup threading's real job is making
+    the caller the owner of that last reference (drop it promptly
+    after materializing downstream). The frame is dictionary-sized
+    (the distinct order keys), never corpus-sized.
 
     Returns ``df``'s columns plus ``rank_col`` (1-based BIGINT) and,
     when ``value_col`` is given, ``cum_col`` (inclusive running sum
