@@ -279,6 +279,39 @@ def main() -> None:
         timings[f"stream_rollup_steady_drain{n_drain}"] = round(
             time.perf_counter() - t0, 3)
 
+    # Near-dup twin of the steady-state story: the persistent band
+    # index makes a late micro-batch cost one (band, bh) equi-join
+    # against the index — batch-proportional work — while drain 1
+    # pays the full-corpus build. If drains 2-3 ever approach drain 1,
+    # the index stopped doing its job (e.g. a corpus rescan crept in).
+    from twitter_analysis_spark.streaming.ingest import (
+        streaming_ingest_neardup,
+    )
+    nd_base = os.path.join(root, "neardup_steady")
+    nd_drop = os.path.join(nd_base, "drop")
+    os.makedirs(nd_drop, exist_ok=True)
+    for f in os.listdir(doc_drop):
+        if not f.startswith("_"):
+            shutil.copy(os.path.join(doc_drop, f), os.path.join(nd_drop, f))
+    nd_kwargs = dict(
+        corpus_path=os.path.join(nd_base, "corpus"),
+        band_index_path=os.path.join(nd_base, "index"),
+        checkpoint=os.path.join(nd_base, "ckpt"))
+    for n_drain in (1, 2, 3):
+        if n_drain > 1:
+            late = [json.dumps({
+                "doc_id": 10_000_000 * n_drain + i,
+                "text": f"late document {n_drain} {i} about spark "
+                        f"bands buckets and steady state economics"})
+                for i in range(200)]
+            with open(os.path.join(nd_drop, f"late{n_drain}.json"),
+                      "w") as fh:
+                fh.write("\n".join(late) + "\n")
+        t0 = time.perf_counter()
+        streaming_ingest_neardup(spark, nd_drop, **nd_kwargs)
+        timings[f"stream_neardup_steady_drain{n_drain}"] = round(
+            time.perf_counter() - t0, 3)
+
     shutil.rmtree(root, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
