@@ -179,7 +179,14 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                  if os.path.exists(band_index_path)
                  else _empty_band_index(spark))
 
-        # candidate pairs, normalized to (batch doc, partner doc)
+        # candidate pairs, normalized to (batch doc, partner doc).
+        # The early .distinct() on each branch is deliberate: a pair
+        # colliding in k <= 8 bands arrives k times, and cand feeds
+        # THREE consumers (partners, pair_keys, dropped) — deduping
+        # once at the source keeps the k-fold inflation out of all
+        # three (a round-8 A/B of removing these was inconclusive
+        # under box drift; the dedup-at-source shape is kept on the
+        # fan-out argument).
         vs_corpus = (
             banded.alias("b")
             .join(index.alias("i"), ["band", "bh"])
@@ -223,6 +230,14 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
         new_docs = (batch_df.join(dropped, "doc_id", "left_anti")
                     .persist())
         new_docs.write.mode("append").parquet(corpus_path)
+        # Recomputing the survivors' band rows looks wasteful next to
+        # a semi-join against the persisted `banded`; a round-8 A/B
+        # could not separate the variants from box noise (drain cost
+        # at sf0.1 is fixed stage overhead either way, and the box
+        # drifts ~1.3x within an hour). Kept as the recompute: one
+        # fewer exchange pair, and the map-side shingle+hash is
+        # batch-proportional. Revisit with cluster-scale batches
+        # where signature CPU could dominate exchange overhead.
         (banded_of(new_docs)
          .write.mode("append").parquet(band_index_path))
         for d in (new_docs, cand, banded, batch_df):
