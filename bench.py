@@ -67,7 +67,11 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_domain_mix",
     "corpus_training_set",
-    # rollup / shuffle-order / Q15+Q21 (round 3, late)
+    # rollup / shuffle-order / Q15+Q21 (round 3, late).
+    # ts_hourly_rollup re-added round 8: it had a record but fell out
+    # of the headline when ts_rollup_reagg superseded it — every
+    # recorded query should appear in the sweep artifact.
+    "ts_hourly_rollup",
     "ts_rollup_reagg",
     "corpus_shuffle_order",
     "q15_top_supplier",
