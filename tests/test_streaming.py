@@ -754,3 +754,62 @@ def test_streaming_ingest_dedup_survives_checkpoint_loss(spark, tmp_path):
                            checkpoint=str(tmp_path / "cl2_ckpt"))
     got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert got == want
+
+
+def test_streaming_ingest_neardup_survives_checkpoint_loss(spark, tmp_path):
+    """Near-dup twin of the dedup checkpoint-loss contract. With the
+    markers gone, the whole drop redelivers as batch 0 — and the
+    verify path alone would re-append every replayed doc (pair
+    generation is id1 < id2; a doc never matches itself). The
+    identity guard must catch the bdoc == pdoc probe collisions: the
+    corpus and band index stay duplicate-free, while a genuinely NEW
+    doc arriving with the replay still ingests (and a near-dup of a
+    corpus doc still drops)."""
+    import json
+
+    from twitter_analysis_spark.streaming.ingest import (
+        streaming_ingest_neardup)
+
+    drop = tmp_path / "cl3_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "cl3_corpus")
+    index = str(tmp_path / "cl3_index")
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "completely different content about spark streaming state",
+    }
+    with open(drop / "d1.json", "w") as f:
+        for i, t in texts.items():
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    streaming_ingest_neardup(spark, str(drop), corpus, index,
+                             threshold=0.5,
+                             checkpoint=str(tmp_path / "cl3_ckpt"))
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1, 2]
+    idx1 = sorted(map(tuple, spark.read.parquet(index).collect()))
+
+    # checkpoint lost; a new file arrives carrying a NEW doc and a
+    # NEAR-dup of doc 1 before the re-drain
+    shutil.rmtree(tmp_path / "cl3_ckpt")
+    with open(drop / "d2.json", "w") as f:
+        f.write(json.dumps({
+            "doc_id": 10,
+            "text": "fresh unrelated document on lineage guards"}) + "\n")
+        f.write(json.dumps({
+            "doc_id": 11,
+            "text": "the quick brown fox jumps over the lazy dog "
+                    "tomorrow"}) + "\n")
+    streaming_ingest_neardup(spark, str(drop), corpus, index,
+                             threshold=0.5,
+                             checkpoint=str(tmp_path / "cl3_ckpt"))
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    # replayed 1,2 absorbed; 10 ingested; 11 dropped as near-dup of 1
+    assert got == [1, 2, 10]
+    # the index gained exactly doc 10's band rows, no replay rows
+    idx2 = sorted(map(tuple, spark.read.parquet(index).collect()))
+    docs_in_idx2 = sorted({r[0] for r in idx2})
+    assert docs_in_idx2 == [1, 2, 10]
+    assert [r for r in idx2 if r[0] in (1, 2)] \
+        == [r for r in idx1 if r[0] in (1, 2)]

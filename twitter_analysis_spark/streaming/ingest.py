@@ -139,6 +139,13 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     band keys; the hot-bucket cap is inherited from the banded
     self-join defaults — a mega-bucket in the INDEX costs the probe
     join, so the cap applies to the index side too at deploy scale.
+
+    Checkpoint-loss replay is absorbed by an identity guard, not the
+    markers (markers die with the checkpoint): a redelivered doc
+    collides with its own index rows in every band, so the
+    ``bdoc == pdoc`` candidates from the probe join name exactly the
+    replayed ids and they drop without verification — the corpus and
+    index never double-append, at zero extra index contact.
     """
     from ..operators.dedup import (_jaccard_pairs_from, _signatures_from,
                                    doc_shingle_pairs)
@@ -226,8 +233,22 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
             .join(verified.select("id1", "id2"), ["id1", "id2"],
                   "left_semi")
             .select(F.col("bdoc").alias("doc_id")).distinct())
+        # Replay identity guard: after CHECKPOINT LOSS the whole drop
+        # redelivers as batch 0 with the markers gone, and the verify
+        # path would re-append every replayed doc (pair generation is
+        # id1 < id2, so a doc never Jaccard-matches itself). But a
+        # replayed doc X necessarily collides with its OWN index rows
+        # in every band, so the bdoc == pdoc candidates already name
+        # exactly the replayed ids — doc_ids are globally unique by
+        # this function's contract, same id = same doc, drop without
+        # verification. Zero extra index contact: the probe join
+        # already ran.
+        replayed = (cand.where(F.col("bdoc") == F.col("pdoc"))
+                    .select(F.col("bdoc").alias("doc_id")).distinct())
 
-        new_docs = (batch_df.join(dropped, "doc_id", "left_anti")
+        new_docs = (batch_df
+                    .join(dropped, "doc_id", "left_anti")
+                    .join(replayed, "doc_id", "left_anti")
                     .persist())
         new_docs.write.mode("append").parquet(corpus_path)
         # Recomputing the survivors' band rows looks wasteful next to
