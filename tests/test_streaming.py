@@ -813,3 +813,59 @@ def test_streaming_ingest_neardup_survives_checkpoint_loss(spark, tmp_path):
     assert docs_in_idx2 == [1, 2, 10]
     assert [r for r in idx2 if r[0] in (1, 2)] \
         == [r for r in idx1 if r[0] in (1, 2)]
+
+
+def test_streaming_decontaminate_checkpoint_loss_contract(spark, tmp_path):
+    """The decon pipeline's documented recovery is DIFFERENT from the
+    indexed pipelines: it keeps no identity artifact, so checkpoint
+    loss redelivers the whole drop and the clean corpus duplicates
+    wholesale — by contract, the duplicates are healed by the next
+    maintenance.upsert_by_key compaction, and the clean/quarantine
+    ROUTING stays deterministic (no doc changes side on replay).
+    This test pins both halves of that contract."""
+    import json
+
+    from twitter_analysis_spark.sources.maintenance import upsert_by_key
+    from twitter_analysis_spark.streaming.ingest import (
+        streaming_ingest_decontaminate)
+
+    drop = tmp_path / "cl4_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "cl4_corpus")
+    quarantine = str(tmp_path / "cl4_quar")
+    bench = spark.createDataFrame(
+        [(100, "leaked benchmark question about spark internals ok")],
+        ["doc_id", "text"])
+    with open(drop / "d1.json", "w") as f:
+        f.write(json.dumps({
+            "doc_id": 1,
+            "text": "clean document with entirely original words"}) + "\n")
+        f.write(json.dumps({
+            "doc_id": 2,
+            "text": "contains the leaked benchmark question about "
+                    "spark internals ok"}) + "\n")
+
+    streaming_ingest_decontaminate(
+        spark, str(drop), bench, corpus, quarantine,
+        checkpoint=str(tmp_path / "cl4_ckpt"))
+    assert [r["doc_id"] for r in spark.read.parquet(corpus).collect()] == [1]
+    assert [r["doc_id"] for r in
+            spark.read.parquet(quarantine).collect()] == [2]
+
+    # checkpoint loss: replay duplicates the clean corpus (documented),
+    # routing unchanged (doc 2 never reaches the corpus)
+    shutil.rmtree(tmp_path / "cl4_ckpt")
+    streaming_ingest_decontaminate(
+        spark, str(drop), bench, corpus, quarantine,
+        checkpoint=str(tmp_path / "cl4_ckpt"))
+    corpus_ids = sorted(r["doc_id"] for r in
+                        spark.read.parquet(corpus).collect())
+    assert corpus_ids == [1, 1]
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(quarantine).collect()) == [2, 2]
+
+    # the documented healer: key compaction collapses the replays
+    upsert_by_key(spark, corpus,
+                  spark.read.parquet(corpus).dropDuplicates(["doc_id"]),
+                  key="doc_id")
+    assert [r["doc_id"] for r in spark.read.parquet(corpus).collect()] == [1]

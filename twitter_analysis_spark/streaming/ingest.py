@@ -291,11 +291,16 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
     captured by the ``foreachBatch`` closure and baked into every
     micro-batch plan as a literal, and the exact-verify shingle set is
     persisted across batches; per-trigger cost is proportional to the
-    batch, never to the benchmark. Crash contract identical to
-    ``streaming_ingest_dedup``: both appends land before the
-    batch-id marker, a torn batch re-runs whole, and duplicate rows
-    from the crashed batch are cleaned by the next
-    ``maintenance.upsert_by_key`` compaction.
+    batch, never to the benchmark. Crash contract: both appends land
+    before the batch-id marker, a torn batch re-runs whole, and
+    duplicate rows from the crashed batch are cleaned by the next
+    ``maintenance.upsert_by_key`` compaction. Unlike the indexed
+    pipelines this one keeps NO identity artifact, so CHECKPOINT LOSS
+    redelivers the whole drop and duplicates the outputs wholesale —
+    same healer (key compaction), and the clean/quarantine routing is
+    deterministic so no doc changes side on replay (both halves
+    pinned in tests). Compose after ``streaming_ingest_dedup`` when
+    duplicates must never be visible between compactions.
     """
     from ..operators.curation import (build_decontamination_filter,
                                       decontaminate_probe)
