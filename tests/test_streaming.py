@@ -486,6 +486,20 @@ def test_streaming_anomaly_alerts(spark, tmp_path):
     run()
     assert spark.read.parquet(paths["alerts"]).count() == 1
 
+    # Checkpoint LOSS: the full drop redelivers as batch 0 — the
+    # rollup absorbs it via the event-id index, and the (type, day)
+    # anti-join against the persistent alerts table (keyed on content,
+    # not batch ids) must keep the alert set fixed. Completes the
+    # replay-contract matrix: every persistent-artifact pipeline is
+    # checkpoint-loss safe (indexed / identity-guarded / lineage-
+    # rebuilt) or documents compaction as its healer.
+    shutil.rmtree(paths["ckpt"])
+    run()
+    assert spark.read.parquet(paths["alerts"]).count() == 1
+    assert spark.read.parquet(paths["lake"]) \
+        .select("event_id").distinct().count() == \
+        spark.read.parquet(paths["lake"]).count()
+
 
 def test_streaming_ingest_decontaminate(spark, tmp_path):
     """Contaminated docs (sharing a word 4-gram with the benchmark) go
