@@ -131,3 +131,51 @@ def test_benford_digit_extraction(spark, tmp_path):
     got = {r.digit: r.n for r in
            catalog.QUERIES["dq_benford_digits"](spark, sf).collect()}
     assert got == {1: 2, 9: 1, 4: 1, 7: 1}   # 0.0 and -3.0 excluded
+
+
+def test_table_fingerprint_cross_engine_adversarial(spark, tmp_path):
+    """The round-7 driver red showed the fingerprint's oracle breaking
+    on ENGINE quirks (hex-string casts, NUL-in-VARCHAR), not on the
+    checksum. Pin the cross-engine identity on values chosen to hit
+    every such seam at once: unicode, the \\x1f column separator
+    INSIDE a value, newlines/quotes/backslashes, empty string vs
+    NULL, and long-range integers — Spark's fingerprint and a DuckDB
+    recompute from version-stable primitives (Horner strpos fold,
+    chr(1) sentinel, VARCHAR output) must agree cell-exactly."""
+    import duckdb
+
+    from twitter_analysis_spark.operators.dq import table_fingerprint
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "plain"),
+        (2, None),                          # NULL ...
+        (3, ""),                            # ... is not empty string
+        (4, "uniçødé ☃"),
+        (5, "sep\x1finside"),               # separator byte in a VALUE
+        (6, "line\nbreak\tand\"quote\\"),
+        (-9223372036854775808, "min long"),
+        (9223372036854775807, "max long"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    p = str(tmp_path / "adv.parquet")
+    df.coalesce(2).write.mode("overwrite").parquet(p)
+
+    got = (table_fingerprint(spark.read.parquet(p), ["id", "s"], "adv")
+           .select("table_name", "n_rows",
+                   F.col("fingerprint").cast("string").alias("fp"))
+           .first())
+
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(1, 16):
+        acc = (f"(({acc}) * 16 + "
+               f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1))")
+    want = duckdb.connect().execute(
+        f"SELECT count(*) AS n, "
+        f"CAST(CAST(coalesce(sum({acc}), 0) AS DECIMAL(38,0)) AS VARCHAR) "
+        f"AS fp FROM (SELECT substr(md5(concat_ws(chr(31), "
+        f"coalesce(CAST(id AS VARCHAR), chr(1) || 'null'), "
+        f"coalesce(CAST(s AS VARCHAR), chr(1) || 'null'))), 1, 15) AS h "
+        f"FROM read_parquet('{p}/*.parquet'))").fetchone()
+    assert got["n_rows"] == want[0] == len(rows)
+    assert got["fp"] == want[1]
