@@ -29,51 +29,50 @@ from twitter_analysis_spark import catalog  # noqa: E402
 # implementation or oracle changed this round, (3) fill with the
 # oldest remaining evidence tier. Python dicts preserve insertion
 # order, so this is the order the driver iterates.
-_PRIORITY = [
-    # -- round-8 rotation (round-7 verdict directive 2): clear the
-    # last evidence debt. Head: the 26 rows whose latest driver
-    # evidence is round 4 (computed from CORRECTNESS_r0{4..7}.json;
-    # everything else in the catalog is r5+). All locally green in
-    # tests/test_oracle_parity every round since. --
-    "u3_intersect_except", "q13_order_distribution", "q18_large_orders",
-    "f1_keyword_regex", "f2_array_membership", "f3_equality_filter",
-    "f5_point_lookup", "f6_disjunctive_filter", "f7_prefix_filter",
-    "f8_date_range", "f9_conjunctive_filter", "f11_exists_subquery",
-    "f12_scalar_subquery", "f13_not_in_subquery", "a4_conditional_counts",
-    "a6_distinct_cardinality", "a8_salted_skew_agg", "a9_rollup_revenue",
-    "a10_grouped_distinct", "a13_grouping_sets", "a14_multi_distinct",
-    "c_scalar_suite", "t10_window_suite", "text_bigram_topk",
-    "dedup_clusters", "corpus_split_assign",
-    # -- changed this round, needs fresh evidence: the r7 red row
-    # (oracle rebuilt on version-stable primitives: Horner hex fold,
-    # chr(1) sentinel, string-typed fingerprint) --
-    "dq_table_fingerprint",
-    # -- fill from the r5 tier, ANN/dedup rows first (verdict: their
-    # operators were touched by rounds 6-7 perf work) --
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_ngram_jaccard",
-    "sim_cosine_topk", "sim_pq_topk", "sim_lsh_topk", "sim_ivf_topk",
-    "sim_knn_join",
-    # -- then oldest remaining r5 rows in catalog order --
-    "q1_pricing_summary", "q3_top_revenue_orders",
-    "f2_nested_hashtag_path", "t7_pagination", "c1_c2_date_format",
-    "c10_page_count", "u2_union_results", "a7_percentiles",
-    "f4_absence_filter", "t2_top5_sidebar", "text_token_counts",
-    "text_quality_features",
-    # -- slot 50: the one catalog addition this round (verdict
-    # directive 7 — the documented-but-unexercised approx-percentile
-    # swap); rows-only driver check by design (approx results cannot
-    # hash-match an exact oracle), error bound pinned in
-    # tests/test_sampling.py --
+#: Rows whose implementation or ORACLE changed this round (or are
+#: new): they outrank pure evidence age in the rotation — the driver
+#: must validate the changed contract before the judge reads it. Kept
+#: deliberately tiny (each slot here displaces an age-rotation slot);
+#: tests/test_rotation_policy.py enforces both the exemption and the
+#: age ordering of everything after it.
+_FRESH_HEAD = [
+    # oracle converted rows-only -> a11-style tolerance-boolean hash
+    # row (round-8 verdict directive 2); r8 evidence predates the
+    # conversion
     "a7_percentiles_approx",
-    # -- round-9 rotation head: the r5 rows displaced here
-    # (text_lang_id text_fingerprint mm_media_metadata
-    # mm_decode_features w1_tumbling_window_agg s9_sessionization
-    # c13_json_extract a12_pivot_matrix text_tfidf_topk
-    # c14_array_hof_suite j8_snapshot_diff q4/q6/q7/q10/q11/q14/
-    # q16/q19/q22 corpus_curation corpus_shuffle_order
-    # text_chunk_windows text_unit_dedup text_pii_scrub) — then the
-    # r6 tier. --
+]
+
+_PRIORITY = _FRESH_HEAD + [
+    # -- round-9 rotation (round-8 verdict directive 1): stalest
+    # evidence first, computed from CORRECTNESS_r0{1..8}.json —
+    # never-swept rows (age 0), then the 25 r5-evidence rows, then
+    # the oldest r6 rows in catalog order, to exactly 50 slots. The
+    # generator lives in tests/test_rotation_policy.py::
+    # expected_rotation, which asserts THIS list equals its output. --
+    # age 0: new this round (round-8 directive 4 — the combined
+    # approx-swap row: approx-percentile winsorize/MAD + HLL rolling
+    # distinct, tolerance-boolean oracle)
+    "ts_robust_approx",
+    # r5 tier (25 rows)
+    "text_lang_id", "text_fingerprint", "mm_media_metadata",
+    "mm_decode_features", "w1_tumbling_window_agg", "s9_sessionization",
+    "corpus_curation", "text_chunk_windows", "text_unit_dedup",
+    "c13_json_extract", "a12_pivot_matrix", "text_tfidf_topk",
+    "c14_array_hof_suite", "j8_snapshot_diff", "q6_forecast_revenue",
+    "q10_returned_items", "q14_promo_effect", "q22_dormant_customers",
+    "text_pii_scrub", "q4_order_priority", "q7_volume_shipping",
+    "q11_important_nations", "q16_supplier_count",
+    "q19_disjunctive_revenue", "corpus_shuffle_order",
+    # r6 tier head (23 rows; the remaining 24 r6 rows are the
+    # round-10 rotation head, then the r7 tier)
+    "dedup_incremental", "mm_resize_images", "mm_resample_audio",
+    "mm_frame_sample", "a11_approx_sketches", "text_dup_spans",
+    "text_cut_dup_spans", "text_unigram_xent", "text_vocab_coverage",
+    "text_nb_classifier", "corpus_budget_select", "corpus_report",
+    "text_bigram_xent", "text_hash_bow", "corpus_split_leakage",
+    "dedup_canonical", "dedup_clusters_star", "text_decontaminate",
+    "text_repetition_quality", "corpus_pack_sequences",
+    "corpus_domain_mix", "corpus_weighted_repeat", "sim_kmeans_ivf",
 ]
 
 

@@ -224,6 +224,10 @@ HEADLINE = [
     # the 100 TB approx-percentile swap, benched next to its exact
     # twin a7 (round-8 catalog addition)
     "a7_percentiles_approx",
+    # the combined robust-stats approx tier (round-9 catalog
+    # addition): approx-percentile winsorize/MAD envelopes + HLL
+    # rolling distinct, certified against their exact twins in-row
+    "ts_robust_approx",
 ]
 
 #: Pinned control queries: code UNCHANGED since their BASELINE.md
@@ -244,10 +248,19 @@ CONTROL_RECORDS = {
     # Re-pinned at the round-7 evaluator re-basing (BASELINE.md): the
     # hash-forced evaluation makes q1 compute its actual 7 decimal
     # sums (the count() basis timed a 3-column distinct — 0.42 s was
-    # never the query's cost). Code of both queries is UNCHANGED since
-    # their original records; only the measurement basis moved.
+    # never the query's cost). Code of all three queries is UNCHANGED
+    # since their original records; only the measurement basis moved.
+    # Three controls in three COST CLASSES (round-8 ADVICE: two
+    # shuffle-heavy controls let one class's drift mis-normalize the
+    # others): q1 = scan + wide partial agg, ngram = shuffle-heavy
+    # shingle self-join, text_fingerprint = pure map-only projection
+    # (no Exchange in its plan) — the geomean now averages over the
+    # classes a real regression would have to fight.
     "q1_pricing_summary": 1.24,     # round-7 box, hash-forced basis
     "dedup_ngram_jaccard": 2.43,    # round-7 box, hash-forced basis
+    "text_fingerprint": 0.55,       # round-7 box, hash-forced basis;
+                                    # map-only control (r8: 1.01 raw
+                                    # under cf 1.63 → 0.62 normalized)
 }
 
 
@@ -407,16 +420,20 @@ def main() -> None:
                         "bound": round(2.5 * exact, 3),
                         "rule": "<=2.5x text_decontaminate same sweep"})
                 continue
-            # +0.25 s absolute slack on top of the 2x relative bound:
-            # the round-8 re-pin tightened records to honest measured
-            # cost, which for sub-second rows is mostly fixed stage
-            # overhead — a 0.07 s record must not flag a 0.15 s run.
-            if normalized > 2 * rec["record_sec"] + 0.25:
+            # Absolute slack on top of the 2x relative bound, but ONLY
+            # for near-noise-floor records (< 0.2 s): those rows are
+            # mostly fixed stage overhead — a 0.07 s record must not
+            # flag a 0.15 s run. Rows at or above 0.2 s keep the
+            # honest bare-2x gate; a blanket +0.25 s let a sub-second
+            # row regress ~5.6x before flagging (round-8 ADVICE).
+            slack = 0.25 if rec["record_sec"] < 0.2 else 0.0
+            if normalized > 2 * rec["record_sec"] + slack:
                 regressions.append({
                     "query": name, "sec": sec,
                     "normalized_sec": round(normalized, 3),
                     "record_sec": rec["record_sec"],
-                    "rule": "normalized > 2x record + 0.25s"})
+                    "rule": ("normalized > 2x record + 0.25s"
+                             if slack else "normalized > 2x record")})
 
     artifact = {
         "metric": "headline_queries_total",
@@ -479,6 +496,22 @@ def compact_line(artifact: dict, line_budget: int = 1900) -> str:
             if len(line) <= line_budget:
                 break
             n -= 1
+    if len(line) > line_budget:
+        # Last resort: even regressions=[] didn't fit, i.e. the
+        # envelope itself (controls dict / long metric names) blew the
+        # budget. A minimal summary envelope must still parse — the
+        # whole point of this function is never reproducing the
+        # BENCH_r06 parsed:null failure. Everything dropped here
+        # survives in the sidecar artifact.
+        line = json.dumps({
+            "metric": artifact.get("metric"),
+            "value": artifact.get("value"),
+            "unit": artifact.get("unit"),
+            "sf": artifact.get("sf"),
+            "control_factor": artifact.get("control_factor"),
+            "n_regressions": len(regressions),
+            "truncated": "envelope_exceeded_budget_see_sidecar",
+        })
     return line
 
 

@@ -568,29 +568,65 @@ def test_ship_latency_percentiles_planted(spark, tmp_path):
 
 
 def test_a7_approx_within_rank_error_of_exact(spark, sf_dir):
-    """The 100 TB swap row (a7_percentiles_approx) is rows-only at the
-    driver — approx values can't hash-match an exact oracle — so its
-    numeric contract lives here: every approx percentile must fall
-    inside the exact ±0.01-quantile band around its target, 100x
-    slack over percentile_approx(accuracy=10000)'s n/10000 rank-error
-    guarantee. Schema must match a7_percentiles exactly (it is a
-    drop-in swap, not a different query)."""
-    approx = catalog.QUERIES["a7_percentiles_approx"](spark, sf_dir)
-    exact = catalog.QUERIES["a7_percentiles"](spark, sf_dir)
-    assert [f.name for f in approx.schema.fields] \
-        == [f.name for f in exact.schema.fields]
-
-    bands = {r["event_type"]: r for r in (
+    """The 100 TB swap row (a7_percentiles_approx) now carries the
+    a11-style tolerance contract at the driver (round-9: exact group
+    counts hash-compared + in-tolerance booleans the oracle asserts
+    TRUE). The RAW numeric pin stays here: every approx percentile
+    must fall inside the exact ±0.01-quantile band around its target,
+    100x slack over percentile_approx(accuracy=10000)'s n/10000
+    rank-error guarantee — computed from the same expressions the
+    catalog row folds into its booleans."""
+    raw = {r["event_type"]: r for r in (
         catalog._t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.expr("percentile(value, 0.49)").alias("p50_lo"),
+        .agg(F.expr("percentile_approx(value, 0.5, 10000)").alias("p50"),
+             F.expr("percentile_approx(value, 0.95, 10000)").alias("p95"),
+             F.expr("percentile(value, 0.49)").alias("p50_lo"),
              F.expr("percentile(value, 0.51)").alias("p50_hi"),
              F.expr("percentile(value, 0.94)").alias("p95_lo"),
              F.expr("percentile(value, 0.96)").alias("p95_hi"))
         .collect())}
-    rows = approx.collect()
-    assert len(rows) == len(bands) > 0
+    assert len(raw) > 0
+    for r in raw.values():
+        assert r["p50_lo"] <= r["p50"] <= r["p50_hi"], r
+        assert r["p95_lo"] <= r["p95"] <= r["p95_hi"], r
+
+    # and the catalog row itself: exact anchor counts, all booleans
+    # TRUE (what the driver hash-compares against the DuckDB oracle)
+    rows = catalog.QUERIES["a7_percentiles_approx"](
+        spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} == set(raw)
+    assert all(r["p50_in_tol"] and r["p95_in_tol"] for r in rows), rows
+    assert all(r["n_events"] > 0 for r in rows)
+
+
+def test_ts_robust_approx_tolerance_and_anchors(spark, sf_dir):
+    """The round-9 swap row must (a) exercise all three documented
+    approx swaps with every tolerance boolean TRUE, and (b) carry
+    exact anchors that agree with the exact twins it certifies
+    against — the rolling anchors ARE ts_rolling_distinct_users'
+    output, the per-type anchors ARE the group counts."""
+    rows = catalog.QUERIES["ts_robust_approx"](spark, sf_dir).collect()
+    by_measure: dict[str, dict] = {}
     for r in rows:
-        b = bands[r["event_type"]]
-        assert b["p50_lo"] <= r["p50"] <= b["p50_hi"], r
-        assert b["p95_lo"] <= r["p95"] <= b["p95_hi"], r
+        by_measure.setdefault(r["measure"], {})[r["grain_key"]] = r
+    assert set(by_measure) == {"winsor_mean", "mad",
+                               "rolling_distinct_hll"}
+    assert all(r["in_tol"] for r in rows), \
+        [(r["measure"], r["grain_key"]) for r in rows if not r["in_tol"]]
+    assert all(r["n_exact"] > 0 for r in rows)
+
+    counts = {r["event_type"]: r["n"] for r in (
+        catalog._t(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        .collect())}
+    for meas in ("winsor_mean", "mad"):
+        got = {k: r["n_exact"] for k, r in by_measure[meas].items()}
+        assert got == counts, meas
+
+    exact_roll = {str(r["window_end"]): r["n_users"] for r in
+                  catalog.QUERIES["ts_rolling_distinct_users"](
+                      spark, sf_dir).collect()}
+    got_roll = {k: r["n_exact"]
+                for k, r in by_measure["rolling_distinct_hll"].items()}
+    assert got_roll == exact_roll

@@ -128,3 +128,54 @@ def test_compact_line_empty_timings_no_crash():
                 "regressions": [], "sf": 0.1}
     parsed = _json.loads(bench.compact_line(artifact))
     assert parsed["n_queries"] == 0
+
+
+def test_compact_line_oversized_envelope_falls_back_to_summary():
+    """When the envelope alone (a pathological controls dict) exceeds
+    the budget, the shrink loop used to exit at n=-1 with the last
+    over-budget line — reproducing the parsed:null failure it exists
+    to prevent (round-8 ADVICE). The last-resort branch must emit a
+    minimal summary envelope that parses and fits."""
+    import json as _json
+
+    artifact = {
+        "metric": "headline_queries_total", "value": 9.0, "unit": "sec",
+        "n_queries": 1, "queries": {"q": 9.0},
+        # a controls dict big enough that no amount of query/regression
+        # trimming can save the line
+        "controls": {f"ctl_{i:04d}": {"sec": 1.0, "record": 1.0,
+                                      "factor": 1.0} for i in range(100)},
+        "control_factor": 1.5,
+        "regressions": [{"query": "q", "sec": 9.0,
+                         "rule": "normalized > 2x record"}],
+        "sf": 0.1,
+    }
+    line = bench.compact_line(artifact, line_budget=400)
+    assert len(line) <= 400
+    parsed = _json.loads(line)
+    assert parsed["value"] == 9.0
+    assert parsed["control_factor"] == 1.5
+    assert parsed["n_regressions"] == 1
+
+
+def test_regression_slack_gated_to_noise_floor_records():
+    """The +0.25s absolute slack applies ONLY below 0.2s records: a
+    blanket slack let a 0.07s record tolerate ~5.6x before flagging
+    (round-8 ADVICE); multi-second and mid-range rows keep the honest
+    bare-2x gate. Pinned against the source, not a run: the rule is
+    a one-line expression and this is its truth table."""
+    import re
+
+    src = open(bench.__file__).read()
+    # the gate constant and threshold are present as written
+    assert re.search(r'slack = 0\.25 if rec\["record_sec"\] < 0\.2'
+                     r' else 0\.0', src)
+    # truth table of the rule as implemented
+    def flags(record, normalized):
+        slack = 0.25 if record < 0.2 else 0.0
+        return normalized > 2 * record + slack
+    assert not flags(0.07, 0.38)   # noise-floor row keeps its slack
+    assert flags(0.07, 0.40)       # ...but the slack is bounded
+    assert flags(0.30, 0.61)       # mid-range row: bare 2x gate
+    assert not flags(0.30, 0.59)
+    assert flags(1.00, 2.01)       # multi-second row: bare 2x gate

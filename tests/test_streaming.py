@@ -691,6 +691,65 @@ def test_streaming_sketch_checkpoint_loss_with_new_data(spark, tmp_path):
                       spark.read.parquet(sk_path).collect())) == want
 
 
+def test_streaming_sketch_artifact_loss_with_live_checkpoint(spark, tmp_path):
+    """The INVERSE of checkpoint loss: the artifact is deleted while
+    the checkpoint survives. The live lineage has already committed
+    batches whose files availableNow will never re-send, so a quiet
+    rebuild would permanently undercount — the drain must refuse
+    loudly (round-8 ADVICE: stored_run_id() is None while the
+    checkpoint metadata+commits exist is exactly the signal).
+    Remediation (delete the checkpoint too) must then recover the
+    full-drop rebuild."""
+    import json
+
+    import pytest
+
+    from twitter_analysis_spark.operators.sketches import cms_build
+    from twitter_analysis_spark.operators.dedup import tokens
+    from twitter_analysis_spark.streaming.sketch_ingest import (
+        streaming_sketch_ingest)
+    import pyspark.sql.functions as F
+
+    drop = tmp_path / "sk_drop"
+    drop.mkdir()
+    sk_path = str(tmp_path / "sk_sketch")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    d1 = [(1, "spark spark table"), (2, "table scan")]
+    d2 = [(3, "fresh fresh data")]
+    write_drop("d1.json", d1)
+    streaming_sketch_ingest(spark, str(drop), sk_path,
+                            checkpoint=str(tmp_path / "sk_ckpt"))
+
+    # artifact lost, checkpoint intact; new data lands before re-drain
+    shutil.rmtree(sk_path)
+    write_drop("d2.json", d2)
+    with pytest.raises(RuntimeError, match="undercount"):
+        streaming_sketch_ingest(spark, str(drop), sk_path,
+                                checkpoint=str(tmp_path / "sk_ckpt"))
+    # the refusal must not have drained anything: a retry still raises
+    # (nothing was committed under the live lineage)
+    with pytest.raises(RuntimeError, match="undercount"):
+        streaming_sketch_ingest(spark, str(drop), sk_path,
+                                checkpoint=str(tmp_path / "sk_ckpt"))
+
+    # documented remediation: drop the checkpoint too -> full
+    # redelivery -> clean rebuild equals the from-scratch sketch
+    shutil.rmtree(tmp_path / "sk_ckpt")
+    streaming_sketch_ingest(spark, str(drop), sk_path,
+                            checkpoint=str(tmp_path / "sk_ckpt"))
+    all_docs = spark.createDataFrame(d1 + d2, ["doc_id", "text"])
+    want = sorted(map(tuple, cms_build(
+        all_docs.select(F.explode(tokens(F.col("text"))).alias("token")),
+        "token").collect()))
+    assert sorted(map(tuple,
+                      spark.read.parquet(sk_path).collect())) == want
+
+
 def test_streaming_rollup_survives_checkpoint_loss(spark, tmp_path):
     """Losing the checkpoint (and with it the batch markers) re-delivers
     the whole drop as batch 0 — the event-id index must absorb the

@@ -804,30 +804,54 @@ def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a7_percentiles_approx", None)
+@register(
+    "a7_percentiles_approx",
+    """
+    SELECT event_type, count(*) AS n_events,
+           TRUE AS p50_in_tol, TRUE AS p95_in_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def a7_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 100 TB form of a7, actually exercised (three rows document
     # "swap to approx_percentile at scale" — ts_winsorized_mean,
-    # ts_mad_robust, a7 — this row RUNS that swap): same schema as
+    # ts_mad_robust, a7 — this row RUNS that swap): same grouping as
     # a7_percentiles, but through percentile_approx's mergeable
     # quantile sketch — fixed-size per-partition state, one partial
     # agg, no global sort, which is the entire point of the swap.
     # accuracy=10000 bounds rank error at n/10000 (1e-4 relative).
-    # Approx values cannot hash-match an exact SQL oracle, so the
-    # driver row is rows-only BY DESIGN; the numeric contract is
-    # pinned locally instead: tests/test_analytics.py::
-    # test_a7_approx_within_rank_error_of_exact asserts each approx
-    # percentile lies inside the exact ±0.01-quantile band (100x
-    # slack over the guarantee) against a7_percentiles' values.
-    return (
+    # Approx VALUES cannot hash-match an exact SQL oracle, so —
+    # following the a11_approx_sketches precedent (round-8 VERDICT
+    # directive 2) — the row carries the TOLERANCE CONTRACT instead:
+    # an exact group count (hash-compared against DuckDB) plus
+    # in-tolerance booleans the oracle asserts as TRUE: each approx
+    # percentile must lie inside the exact ±0.01-quantile band (100x
+    # slack over the 1e-4 guarantee; `value` is a double, so the
+    # band needs no integer floor/ceil widening). A drifting sketch
+    # now FAILS the driver hash instead of sliding through a
+    # rows-only check; the raw estimates stay pinned by
+    # tests/test_analytics.py::test_a7_approx_within_rank_error_of_exact.
+    bands = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
+            F.count(F.lit(1)).alias("n_events"),
             F.percentile_approx(F.col("value"), F.lit(0.5), 10000)
-            .alias("p50"),
+            .alias("p50a"),
             F.percentile_approx(F.col("value"), F.lit(0.95), 10000)
-            .alias("p95"),
+            .alias("p95a"),
+            F.percentile(F.col("value"), F.lit(0.49)).alias("p50_lo"),
+            F.percentile(F.col("value"), F.lit(0.51)).alias("p50_hi"),
+            F.percentile(F.col("value"), F.lit(0.94)).alias("p95_lo"),
+            F.percentile(F.col("value"), F.lit(0.96)).alias("p95_hi"),
         )
+    )
+    return bands.select(
+        "event_type", "n_events",
+        ((F.col("p50a") >= F.col("p50_lo"))
+         & (F.col("p50a") <= F.col("p50_hi"))).alias("p50_in_tol"),
+        ((F.col("p95a") >= F.col("p95_lo"))
+         & (F.col("p95a") <= F.col("p95_hi"))).alias("p95_in_tol"),
     )
 
 

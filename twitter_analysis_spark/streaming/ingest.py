@@ -140,12 +140,17 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     self-join defaults — a mega-bucket in the INDEX costs the probe
     join, so the cap applies to the index side too at deploy scale.
 
-    Checkpoint-loss replay is absorbed by an identity guard, not the
-    markers (markers die with the checkpoint): a redelivered doc
-    collides with its own index rows in every band, so the
+    CLEAN checkpoint-loss replay is absorbed by an identity guard,
+    not the markers (markers die with the checkpoint): a redelivered
+    doc collides with its own index rows in every band, so the
     ``bdoc == pdoc`` candidates from the probe join name exactly the
-    replayed ids and they drop without verification — the corpus and
-    index never double-append, at zero extra index contact.
+    replayed ids and they drop without verification — at zero extra
+    index contact. The guard needs the doc's INDEX rows to fire, so
+    it covers only batches whose appends completed: a torn batch
+    (crash after the corpus append, before the index append) can
+    still double-append its corpus rows on re-run, and relies on the
+    documented ``upsert_by_key`` compaction healer — the same
+    torn-batch recovery contract as :func:`streaming_ingest_dedup`.
     """
     from ..operators.dedup import (_jaccard_pairs_from, _signatures_from,
                                    doc_shingle_pairs)

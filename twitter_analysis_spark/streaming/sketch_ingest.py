@@ -74,7 +74,18 @@ def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
     lineage hasn't seen, i.e. all of them), trading a transient
     undercount of any files deleted from the drop dir for never
     dropping new data and never double-counting — the only sound
-    choice when the applied-set record is gone."""
+    choice when the applied-set record is gone.
+
+    The INVERSE loss — artifact deleted while the checkpoint
+    survives — is unrecoverable by rebuild: the live lineage has
+    already committed batches whose files availableNow will never
+    re-send, so a quiet rebuild would permanently undercount every
+    token those files carried. The lineage machinery detects exactly
+    this (the checkpoint has commits but the artifact does not carry
+    this lineage's run id) and the drain REFUSES loudly instead of
+    rebuilding from the partial redelivery; remediation is to delete
+    the checkpoint too (forcing full redelivery + clean rebuild) or
+    restore the artifact from a replica."""
     stream = (
         spark.readStream.schema(schema)
         .option("mode", "PERMISSIVE")
@@ -118,6 +129,34 @@ def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
                     rid = str(json.load(fh)["id"])
         run_cache["id"] = rid
         return rid
+
+    # Artifact-loss guard (the inverse of checkpoint loss): if this
+    # checkpoint lineage has already committed batches, their files
+    # will never be redelivered — so an artifact that does not carry
+    # this lineage's run id (deleted, or clobbered by a foreign copy)
+    # cannot be healed by the rebuild branch below: it would quietly
+    # reconstruct the sketch from only the NOT-yet-seen files and
+    # undercount forever (estimate < truth, the one failure mode a CM
+    # sketch promises away). Refuse loudly before draining anything.
+    # A fresh checkpoint has no commits yet, so legitimate
+    # checkpoint-loss recovery (old artifact + new lineage) still
+    # reaches the rebuild branch untouched.
+    def _lineage_has_commits() -> bool:
+        if not checkpoint:
+            return False
+        commits = os.path.join(checkpoint, "commits")
+        return (os.path.isdir(commits)
+                and any(not f.startswith(".") for f in os.listdir(commits)))
+
+    if _lineage_has_commits() and stored_run_id() != current_run_id():
+        raise RuntimeError(
+            f"sketch artifact at {sketch_path!r} does not carry the live "
+            f"checkpoint lineage's run id ({current_run_id()!r}, stored: "
+            f"{stored_run_id()!r}) but the lineage has committed batches "
+            "whose files will not be redelivered — rebuilding now would "
+            "permanently undercount. Delete the checkpoint as well to "
+            "force full redelivery and a clean rebuild, or restore the "
+            "artifact from a replica.")
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         same_lineage = stored_run_id() == current_run_id()
