@@ -15,6 +15,8 @@ evaluator provably preserves the plan for every headline row.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 import bench
@@ -179,3 +181,45 @@ def test_regression_slack_gated_to_noise_floor_records():
     assert flags(0.30, 0.61)       # mid-range row: bare 2x gate
     assert not flags(0.30, 0.59)
     assert flags(1.00, 2.01)       # multi-second row: bare 2x gate
+
+
+def test_every_headline_row_has_a_baseline_record():
+    """Round 7 found 2 headline rows with no BASELINE_RECORDS entry —
+    rows the regression emitter silently never checks. Pin the
+    coverage: every HEADLINE query (and bench-only twin) has a
+    record, every record names a real row, and the pinned controls
+    agree with the record map (a control whose record drifts from the
+    map normalizes every other row wrong)."""
+    import json as _json
+
+    records = _json.load(open(os.path.join(
+        os.path.dirname(bench.__file__), "BASELINE_RECORDS.json")))
+    rows = set(bench.HEADLINE) | set(bench._extra_queries())
+    assert [n for n in rows if n not in records["records"]] == []
+    from twitter_analysis_spark import catalog
+    stale = [n for n in records["records"]
+             if n not in rows and n not in catalog.QUERIES]
+    assert stale == [], stale
+    for name, rec in bench.CONTROL_RECORDS.items():
+        assert records["records"][name]["record_sec"] == rec, name
+
+
+def test_every_streaming_shape_has_a_streaming_record():
+    """Same coverage pin for bench_streaming.py: every shape and
+    steady-state drain row it emits has a streaming_record, so a new
+    pipeline can't ship unrecorded."""
+    import json as _json
+    import re as _re
+
+    src = open(os.path.join(os.path.dirname(bench.__file__),
+                            "bench_streaming.py")).read()
+    emitted = set(_re.findall(r'"(stream_\w+)"', src))
+    # f-string drain rows: expand the {n_drain} templates
+    for tpl in _re.findall(r'f"(stream_\w+_drain)\{n_drain\}"', src):
+        emitted |= {f"{tpl}{i}" for i in (1, 2, 3)}
+    emitted = {n for n in emitted if not n.endswith("_drain")}
+    records = _json.load(open(os.path.join(
+        os.path.dirname(bench.__file__),
+        "BASELINE_RECORDS.json")))["streaming_records"]
+    assert sorted(emitted - set(records)) == []
+    assert sorted(set(records) - emitted) == []

@@ -1213,54 +1213,55 @@ def ts_robust_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("qs")[4].alias("q51"), F.col("qs")[5].alias("q94"),
                 F.col("qs")[6].alias("q96")))
 
-    # pass 2: the three clipped means (approx bounds + both exact
-    # envelope corners) in ONE scan, bands broadcast back
+    # pass 2: ONE q-joined scan computes both the winsorized means
+    # (approx bounds + both exact envelope corners) AND the MAD
+    # deviation quantiles — and emits both measure rows via a single
+    # struct-explode, so the bands subframe q is a shared subplan
+    # computed once (two separate union branches would re-run q's
+    # corpus scan and holistic percentile pass per branch — the plan
+    # audit caught exactly that).
     clip = lambda lo, hi: F.least(F.greatest(F.col("value"), lo), hi)  # noqa: E731
-    wm = (ev.join(F.broadcast(q), "event_type")
-          .groupBy("event_type")
-          .agg(F.avg(clip(F.col("lo_a"), F.col("hi_a"))).alias("mean_a"),
-               F.avg(clip(F.col("q04"), F.col("q94"))).alias("mean_lo"),
-               F.avg(clip(F.col("q06"), F.col("q96"))).alias("mean_hi"),
-               F.any_value("n").alias("n"),
-               F.any_value("lo_a").alias("lo_a"),
-               F.any_value("hi_a").alias("hi_a"),
-               F.any_value("q04").alias("q04"),
-               F.any_value("q06").alias("q06"),
-               F.any_value("q94").alias("q94"),
-               F.any_value("q96").alias("q96")))
-    winsor = wm.select(
-        F.lit("winsor_mean").alias("measure"),
-        F.col("event_type").alias("grain_key"),
-        F.col("n").cast("bigint").alias("n_exact"),
-        ((F.col("lo_a") >= F.col("q04")) & (F.col("lo_a") <= F.col("q06"))
-         & (F.col("hi_a") >= F.col("q94")) & (F.col("hi_a") <= F.col("q96"))
-         & (F.col("mean_a") >= F.col("mean_lo") - eps(F.col("mean_lo")))
-         & (F.col("mean_a") <= F.col("mean_hi") + eps(F.col("mean_hi"))))
-        .alias("in_tol"))
-
-    # pass 3: deviation quantiles about the exact median (exact band)
-    # and the approx MAD about the approx median, one scan
-    dv = (ev.join(F.broadcast(q), "event_type")
-          .groupBy("event_type")
-          .agg(F.expr("percentile(abs(value - med), array(0.49, 0.51))")
-               .alias("dev"),
-               F.expr("percentile_approx(abs(value - med_a), 0.5, 10000)")
-               .alias("mad_a"),
-               F.any_value("n").alias("n"),
-               F.any_value("med_a").alias("med_a"),
-               F.any_value("med").alias("med"),
-               F.any_value("q49").alias("q49"),
-               F.any_value("q51").alias("q51")))
+    stats = (ev.join(F.broadcast(q), "event_type")
+             .groupBy("event_type")
+             .agg(F.avg(clip(F.col("lo_a"), F.col("hi_a"))).alias("mean_a"),
+                  F.avg(clip(F.col("q04"), F.col("q94"))).alias("mean_lo"),
+                  F.avg(clip(F.col("q06"), F.col("q96"))).alias("mean_hi"),
+                  F.expr("percentile(abs(value - med), array(0.49, 0.51))")
+                  .alias("dev"),
+                  F.expr("percentile_approx(abs(value - med_a), 0.5, 10000)")
+                  .alias("mad_a"),
+                  F.any_value("n").alias("n"),
+                  F.any_value("lo_a").alias("lo_a"),
+                  F.any_value("hi_a").alias("hi_a"),
+                  F.any_value("med_a").alias("med_a"),
+                  F.any_value("med").alias("med"),
+                  F.any_value("q04").alias("q04"),
+                  F.any_value("q06").alias("q06"),
+                  F.any_value("q49").alias("q49"),
+                  F.any_value("q51").alias("q51"),
+                  F.any_value("q94").alias("q94"),
+                  F.any_value("q96").alias("q96")))
+    winsor_ok = (
+        (F.col("lo_a") >= F.col("q04")) & (F.col("lo_a") <= F.col("q06"))
+        & (F.col("hi_a") >= F.col("q94")) & (F.col("hi_a") <= F.col("q96"))
+        & (F.col("mean_a") >= F.col("mean_lo") - eps(F.col("mean_lo")))
+        & (F.col("mean_a") <= F.col("mean_hi") + eps(F.col("mean_hi"))))
     delta = F.greatest(F.col("med") - F.col("q49"),
                        F.col("q51") - F.col("med"))
-    mad = dv.select(
-        F.lit("mad").alias("measure"),
-        F.col("event_type").alias("grain_key"),
-        F.col("n").cast("bigint").alias("n_exact"),
-        ((F.col("med_a") >= F.col("q49")) & (F.col("med_a") <= F.col("q51"))
-         & (F.col("mad_a") >= F.col("dev")[0] - delta - eps(F.col("dev")[0]))
-         & (F.col("mad_a") <= F.col("dev")[1] + delta + eps(F.col("dev")[1])))
-        .alias("in_tol"))
+    mad_ok = (
+        (F.col("med_a") >= F.col("q49")) & (F.col("med_a") <= F.col("q51"))
+        & (F.col("mad_a") >= F.col("dev")[0] - delta - eps(F.col("dev")[0]))
+        & (F.col("mad_a") <= F.col("dev")[1] + delta + eps(F.col("dev")[1])))
+    per_type = (stats.select(F.explode(F.array(
+        F.struct(F.lit("winsor_mean").alias("measure"),
+                 F.col("event_type").alias("grain_key"),
+                 F.col("n").cast("bigint").alias("n_exact"),
+                 winsor_ok.alias("in_tol")),
+        F.struct(F.lit("mad").alias("measure"),
+                 F.col("event_type").alias("grain_key"),
+                 F.col("n").cast("bigint").alias("n_exact"),
+                 mad_ok.alias("in_tol")))).alias("r"))
+        .select("r.*"))
 
     # rolling distinct: exact (dedup + count, the certification twin)
     # and HLL over the NON-deduped membership in one grouped agg
@@ -1281,7 +1282,7 @@ def ts_robust_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ((F.abs(F.col("n_hll") - F.col("n_users"))
                          / F.col("n_users")) <= 0.05).alias("in_tol")))
 
-    return winsor.unionByName(mad).unionByName(rolling)
+    return per_type.unionByName(rolling)
 
 
 @register(
