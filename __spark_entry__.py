@@ -23,33 +23,40 @@ from twitter_analysis_spark import catalog  # noqa: E402
 
 # The driver sweep records rows for EXACTLY the first 50 names
 # emitted here (confirmed each round: CORRECTNESS_r0N.json has 50
-# entries), so this list is trimmed to 50 — names past index 49 get
-# no evidence and belong at the head of the NEXT round's rotation.
-# Ordering policy: (1) stalest evidence first, (2) queries whose
-# implementation or oracle changed this round, (3) fill with the
-# oldest remaining evidence tier. Python dicts preserve insertion
-# order, so this is the order the driver iterates.
-#: Rows whose implementation or ORACLE changed this round (or are
-#: new): they outrank pure evidence age in the rotation — the driver
-#: must validate the changed contract before the judge reads it. Kept
-#: deliberately tiny (each slot here displaces an age-rotation slot);
-#: tests/test_rotation_policy.py enforces both the exemption and the
-#: age ordering of everything after it.
-_FRESH_HEAD = [
-    # oracle converted rows-only -> a11-style tolerance-boolean hash
-    # row (round-8 verdict directive 2); r8 evidence predates the
-    # conversion
-    "a7_percentiles_approx",
-]
+# entries), so the rotation head is trimmed to 50 — names past index
+# 49 get no evidence and belong at the head of the NEXT round's
+# rotation. Ordering policy: (1) rows whose implementation or ORACLE
+# changed and whose evidence predates the change (_FRESH_HEAD — the
+# driver must validate the changed contract before the judge reads
+# it), (2) stalest driver evidence first, age computed from every
+# CORRECTNESS_r*.json in the repo root (never-swept rows have age 0,
+# oldest of all), ties broken by catalog registration order. Python
+# dicts preserve insertion order, so this is the order the driver
+# iterates.
+#
+# Rounds 1-8 regenerated the head by hand each round — a silent-drift
+# hazard the round-8 verdict asked to close. The head is now COMPUTED
+# at import from the same evidence files the policy is defined over,
+# so it advances by itself when a sweep lands; the static fallback
+# below (the round-9 rotation, the last hand-staged one) only serves
+# an environment where the evidence files are unreadable.
+# tests/test_rotation_policy.py re-implements the algorithm
+# independently and asserts both paths agree.
 
-_PRIORITY = _FRESH_HEAD + [
-    # -- round-9 rotation (round-8 verdict directive 1): stalest
-    # evidence first, computed from CORRECTNESS_r0{1..8}.json —
-    # never-swept rows (age 0), then the 25 r5-evidence rows, then
-    # the oldest r6 rows in catalog order, to exactly 50 slots. The
-    # generator lives in tests/test_rotation_policy.py::
-    # expected_rotation, which asserts THIS list equals its output. --
-    # age 0: new this round (round-8 directive 4 — the combined
+#: name -> round its implementation/oracle changed. The exemption
+#: outranks evidence age only while the row's latest evidence
+#: PRECEDES the change round; once a sweep records it, it auto-
+#: retires to age-based ordering. Kept deliberately tiny (each slot
+#: here displaces an age-rotation slot).
+_FRESH_HEAD = {
+    # round 9: oracle converted rows-only -> a11-style
+    # tolerance-boolean hash row (round-8 verdict directive 2)
+    "a7_percentiles_approx": 9,
+}
+
+_STATIC_FALLBACK = [
+    "a7_percentiles_approx",
+    # age 0: new in round 9 (round-8 directive 4 — the combined
     # approx-swap row: approx-percentile winsorize/MAD + HLL rolling
     # distinct, tolerance-boolean oracle)
     "ts_robust_approx",
@@ -63,8 +70,7 @@ _PRIORITY = _FRESH_HEAD + [
     "text_pii_scrub", "q4_order_priority", "q7_volume_shipping",
     "q11_important_nations", "q16_supplier_count",
     "q19_disjunctive_revenue", "corpus_shuffle_order",
-    # r6 tier head (23 rows; the remaining 24 r6 rows are the
-    # round-10 rotation head, then the r7 tier)
+    # r6 tier head (23 rows)
     "dedup_incremental", "mm_resize_images", "mm_resample_audio",
     "mm_frame_sample", "a11_approx_sketches", "text_dup_spans",
     "text_cut_dup_spans", "text_unigram_xent", "text_vocab_coverage",
@@ -74,6 +80,47 @@ _PRIORITY = _FRESH_HEAD + [
     "text_repetition_quality", "corpus_pack_sequences",
     "corpus_domain_mix", "corpus_weighted_repeat", "sim_kmeans_ivf",
 ]
+
+
+def _latest_evidence() -> dict[str, int]:
+    """name -> newest CORRECTNESS round that recorded the row."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r0*(\d+)", os.path.basename(path)).group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (ValueError, OSError):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _compute_rotation(n_slots: int = 50) -> list[str]:
+    try:
+        latest = _latest_evidence()
+        if not latest:
+            return _STATIC_FALLBACK
+        order = {name: i for i, name in enumerate(catalog.QUERIES)}
+        head = [n for n, changed in _FRESH_HEAD.items()
+                if n in order and latest.get(n, 0) < changed]
+        rest = sorted((n for n in order if n not in head),
+                      key=lambda n: (latest.get(n, 0), order[n]))
+        return head + rest[: n_slots - len(head)]
+    except Exception:
+        # The rotation must never take the driver down: any surprise
+        # (malformed evidence file, catalog import edge) degrades to
+        # the last hand-staged head instead of raising at import.
+        return _STATIC_FALLBACK
+
+
+_PRIORITY = _compute_rotation()
 
 
 def _ordered_names() -> list[str]:

@@ -3,20 +3,15 @@
 Driver CORRECTNESS evidence is recorded for EXACTLY the first 50
 names emitted by ``__spark_entry__.queries()`` each round, so
 evidence debt re-accumulates silently unless the rotation head is
-provably the stalest-evidence slice of the catalog. This test pins
-the policy mechanically:
-
-    _PRIORITY[:50] == _FRESH_HEAD (rows whose implementation or
-    oracle changed this round — documented exemption, outranks age)
-    followed by the oldest-evidence catalog rows, age computed from
-    every CORRECTNESS_r*.json in the repo root, ties broken by
-    catalog registration order. Never-swept rows have age 0 (oldest
-    of all).
-
-When a round's sweep lands, the next builder regenerates _PRIORITY
-with the same algorithm; if they drift, THIS test names the exact
-rows out of place instead of a judge discovering stale evidence two
-rounds later.
+provably the stalest-evidence slice of the catalog. Since round 9 the
+head is COMPUTED at import from the ``CORRECTNESS_r*.json`` files
+(rounds 1-8 regenerated it by hand — the drift hazard this closes),
+with a ``_FRESH_HEAD`` exemption for rows whose implementation or
+oracle changed after their latest evidence. This module re-implements
+the policy independently and asserts the entry module's computation
+agrees, plus pins the auto-advance / auto-retire behavior on
+synthetic evidence so a sweep landing cannot silently freeze the
+rotation.
 """
 
 from __future__ import annotations
@@ -33,6 +28,7 @@ ROOT = os.path.dirname(os.path.abspath(entry_mod.__file__))
 
 
 def _latest_evidence() -> dict[str, int]:
+    # Independent re-implementation (do NOT call the entry module's).
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r0*(\d+)", os.path.basename(path)).group(1))
@@ -45,17 +41,18 @@ def _latest_evidence() -> dict[str, int]:
     return latest
 
 
-def expected_rotation(n_slots: int = 50) -> list[str]:
-    latest = _latest_evidence()
+def expected_rotation(latest: dict[str, int],
+                      n_slots: int = 50) -> list[str]:
     order = {name: i for i, name in enumerate(catalog.QUERIES)}
-    head = [n for n in entry_mod._FRESH_HEAD if n in order]
+    head = [n for n, changed in entry_mod._FRESH_HEAD.items()
+            if n in order and latest.get(n, 0) < changed]
     rest = sorted((n for n in order if n not in head),
                   key=lambda n: (latest.get(n, 0), order[n]))
     return head + rest[: n_slots - len(head)]
 
 
 def test_priority_head_is_the_stalest_evidence_slice():
-    want = expected_rotation()
+    want = expected_rotation(_latest_evidence())
     got = [n for n in entry_mod._PRIORITY if n in catalog.QUERIES][:50]
     assert got == want, {
         "unexpected_in_head": [n for n in got if n not in want],
@@ -64,12 +61,82 @@ def test_priority_head_is_the_stalest_evidence_slice():
     }
 
 
+def test_rotation_auto_advances_when_a_sweep_lands(monkeypatch):
+    """The head must move by itself when new evidence appears: give
+    every current head row fresh evidence and the computed rotation
+    must promote 50 different (now-stalest) rows — the exact failure
+    mode of the hand-maintained list was a sweep landing with nobody
+    regenerating the head."""
+    latest = dict(_latest_evidence())
+    new_round = max(latest.values(), default=0) + 1
+    before = expected_rotation(latest)
+    for name in before:
+        latest[name] = new_round
+    monkeypatch.setattr(entry_mod, "_latest_evidence", lambda: latest)
+    after = entry_mod._compute_rotation()
+    assert len(after) == 50
+    assert set(after).isdisjoint(before), sorted(set(after) & set(before))
+    # and the promoted rows are exactly the stalest remainder
+    assert after == expected_rotation(latest)
+
+
+def test_fresh_head_auto_retires_once_swept(monkeypatch):
+    """A _FRESH_HEAD exemption spends a rotation slot only while the
+    row's evidence predates its change round; once the driver records
+    it, age-based ordering resumes without anyone editing the dict."""
+    if not entry_mod._FRESH_HEAD:
+        return
+    name, changed = next(iter(entry_mod._FRESH_HEAD.items()))
+    latest = dict(_latest_evidence())
+
+    latest[name] = changed - 1
+    monkeypatch.setattr(entry_mod, "_latest_evidence", lambda: latest)
+    assert entry_mod._compute_rotation()[0] == name
+
+    latest[name] = changed
+    head = entry_mod._compute_rotation()
+    # with evidence as fresh as the change, the row competes by age
+    # and (having near-newest evidence) falls out of the head
+    assert name not in head
+
+
+def test_never_swept_rows_outrank_everything_but_fresh_head(monkeypatch):
+    latest = dict(_latest_evidence())
+    swept = [n for n in catalog.QUERIES if latest.get(n, 0) > 0]
+    if not swept:
+        return
+    victim = swept[-1]
+    latest.pop(victim, None)
+    monkeypatch.setattr(entry_mod, "_latest_evidence", lambda: latest)
+    head = entry_mod._compute_rotation()
+    n_fresh = len([n for n, c in entry_mod._FRESH_HEAD.items()
+                   if latest.get(n, 0) < c])
+    unswept = [n for n in catalog.QUERIES if latest.get(n, 0) == 0
+               and n not in head[:n_fresh]]
+    assert head[n_fresh:n_fresh + len(unswept)] == unswept
+
+
+def test_rotation_degrades_to_static_fallback(monkeypatch):
+    """The driver imports this module; a malformed evidence file must
+    degrade to the last hand-staged head, never raise."""
+    monkeypatch.setattr(entry_mod, "_latest_evidence",
+                        lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    assert entry_mod._compute_rotation() == entry_mod._STATIC_FALLBACK
+    monkeypatch.setattr(entry_mod, "_latest_evidence", lambda: {})
+    assert entry_mod._compute_rotation() == entry_mod._STATIC_FALLBACK
+
+
 def test_fresh_head_rows_exist_and_are_few():
-    # The exemption list must name real catalog rows and stay small —
+    # The exemption map must name real catalog rows and stay small —
     # it spends evidence-budget slots that age-based rotation would
     # otherwise use (round-8 VERDICT directive 7).
     assert set(entry_mod._FRESH_HEAD) <= set(catalog.QUERIES)
     assert len(entry_mod._FRESH_HEAD) <= 5
+
+
+def test_static_fallback_names_real_rows():
+    assert set(entry_mod._STATIC_FALLBACK) <= set(catalog.QUERIES)
+    assert len(entry_mod._STATIC_FALLBACK) == 50
 
 
 def test_queries_order_matches_priority():
