@@ -82,16 +82,24 @@ _STATIC_FALLBACK = [
 ]
 
 
-def _latest_evidence() -> dict[str, int]:
+def _latest_evidence(root: str | None = None) -> dict[str, int]:
     """name -> newest CORRECTNESS round that recorded the row."""
     import glob
     import json
     import re
 
-    root = os.path.dirname(os.path.abspath(__file__))
+    root = root or os.path.dirname(os.path.abspath(__file__))
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r0*(\d+)", os.path.basename(path)).group(1))
+        # Fullmatch the canonical driver name: a stray copy like
+        # CORRECTNESS_r08_old.json would otherwise pollute evidence
+        # ages (or, worse, throw and silently degrade the whole
+        # rotation to the static fallback).
+        m = re.fullmatch(r"CORRECTNESS_r0*(\d+)\.json",
+                         os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 rows = json.load(fh)

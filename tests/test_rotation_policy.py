@@ -31,7 +31,11 @@ def _latest_evidence() -> dict[str, int]:
     # Independent re-implementation (do NOT call the entry module's).
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r0*(\d+)", os.path.basename(path)).group(1))
+        m = re.fullmatch(r"CORRECTNESS_r0*(\d+)\.json",
+                         os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             rows = json.load(open(path))
         except ValueError:
@@ -114,6 +118,29 @@ def test_never_swept_rows_outrank_everything_but_fresh_head(monkeypatch):
     unswept = [n for n in catalog.QUERIES if latest.get(n, 0) == 0
                and n not in head[:n_fresh]]
     assert head[n_fresh:n_fresh + len(unswept)] == unswept
+
+
+def test_stray_evidence_files_are_ignored(tmp_path):
+    """A backup copy (CORRECTNESS_r99_old.json) or a malformed file
+    must neither pollute evidence ages nor throw the computation onto
+    the static fallback — only canonical CORRECTNESS_r<N>.json names
+    count."""
+    import shutil
+
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        shutil.copy(path, tmp_path / os.path.basename(path))
+    want = _latest_evidence()
+
+    # stray copy claiming round-99 evidence for every row, an
+    # unparseable canonical-adjacent name, and a non-JSON suffix
+    real = sorted(glob.glob(str(tmp_path / "CORRECTNESS_r*.json")))[0]
+    rows = json.load(open(real))
+    (tmp_path / "CORRECTNESS_r99_old.json").write_text(
+        json.dumps({n: {} for n in rows}))
+    (tmp_path / "CORRECTNESS_rX.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r98.json.bak").write_text("not json")
+
+    assert entry_mod._latest_evidence(str(tmp_path)) == want
 
 
 def test_rotation_degrades_to_static_fallback(monkeypatch):
