@@ -30,6 +30,53 @@ def test_compact_reduces_files_preserves_data(spark, tmp_path):
     assert after == before
 
 
+def test_compact_partitioned_sizes_files_per_partition(spark, tmp_path):
+    """The file-size target must hold PER PARTITION: a hot partition
+    many times the target splits into multiple files instead of
+    collapsing into one straggler task's oversized file (the 100 TB
+    hazard: one date holding 100x the target compacting through a
+    single task), while a cold partition stays at one file. Null
+    partition values (the __HIVE_DEFAULT_PARTITION__ directory) ride
+    along, the layout is preserved, and the salted assignment is
+    deterministic across runs."""
+    path = str(tmp_path / "lake")
+    pad = F.rpad(F.col("id").cast("string"), 100, "x").alias("payload")
+    hot = spark.range(5_000).select(
+        F.col("id"), F.to_date(F.lit("2024-03-01")).alias("event_date"), pad)
+    cold = spark.range(5_000, 5_010).select(
+        F.col("id"), F.to_date(F.lit("2024-03-02")).alias("event_date"), pad)
+    nulls = spark.range(5_010, 5_015).select(
+        F.col("id"), F.lit(None).cast("date").alias("event_date"), pad)
+    (hot.unionByName(cold).unionByName(nulls)
+     .repartition(8)  # fragmented, multi-file starting layout
+     .write.partitionBy("event_date").parquet(path))
+    before = {(r["id"], str(r["event_date"])) for r in
+              spark.read.parquet(path).collect()}
+
+    # ~64 KiB target: hot partition (~0.5 MB of payload) must split
+    compact_parquet(spark, path, target_file_mb=0.0625,
+                    partition_by=["event_date"])
+    dirs = {d for d in os.listdir(path) if os.path.isdir(
+        os.path.join(path, d))}
+    assert dirs == {"event_date=2024-03-01", "event_date=2024-03-02",
+                    "event_date=__HIVE_DEFAULT_PARTITION__"}
+    counts = {d: len(_parquet_files(os.path.join(path, d))) for d in dirs}
+    assert counts["event_date=2024-03-01"] >= 2, counts
+    assert counts["event_date=2024-03-02"] == 1, counts
+    assert counts["event_date=__HIVE_DEFAULT_PARTITION__"] == 1, counts
+    after = {(r["id"], str(r["event_date"])) for r in
+             spark.read.parquet(path).collect()}
+    assert after == before
+
+    # deterministic salt: a second compaction reproduces the layout
+    compact_parquet(spark, path, target_file_mb=0.0625,
+                    partition_by=["event_date"])
+    counts2 = {d: len(_parquet_files(os.path.join(path, d))) for d in dirs}
+    assert counts2 == counts
+    assert {(r["id"], str(r["event_date"])) for r in
+            spark.read.parquet(path).collect()} == before
+
+
 def test_upsert_by_key(spark, tmp_path):
     path = str(tmp_path / "snap")
     v1 = spark.createDataFrame(

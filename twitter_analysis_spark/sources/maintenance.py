@@ -62,26 +62,94 @@ def _swap_in(tmp: str, path: str) -> None:
         shutil.rmtree(old)
 
 
+#: Hive's directory name for a null partition value.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_file_plan(path: str, partition_by: list[str],
+                         target_bytes: int) -> list[tuple[list[str], int]]:
+    """Walk the existing Hive layout and size each leaf partition:
+    returns ``[(partition values in partition_by order, ceil(bytes /
+    target))]``. Driver-side cost is one directory listing — bounded
+    by the partition count, never the row count — and needs no Spark
+    scan because the bytes are already laid out by partition."""
+    from urllib.parse import unquote
+
+    plan: list[tuple[list[str], int]] = []
+
+    def walk(dirpath: str, depth: int, values: list[str]) -> None:
+        if depth == len(partition_by):
+            k = max(1, math.ceil(_dir_bytes(dirpath) / target_bytes))
+            plan.append((values, k))
+            return
+        prefix = f"{partition_by[depth]}="
+        for entry in sorted(os.listdir(dirpath)):
+            sub = os.path.join(dirpath, entry)
+            if os.path.isdir(sub) and entry.startswith(prefix):
+                walk(sub, depth + 1,
+                     values + [unquote(entry[len(prefix):])])
+
+    walk(path, 0, [])
+    return plan
+
+
 def compact_parquet(spark: SparkSession, path: str,
-                    target_file_mb: int = 128,
+                    target_file_mb: float = 128,
                     sort_within_by: list[str] | None = None,
                     partition_by: list[str] | None = None) -> int:
-    """Rewrite ``path`` into ceil(bytes / target) files; returns the
-    task count of the rewrite. ``sort_within_by`` clusters rows inside
-    each file so min/max row-group stats prune reads on those columns.
+    """Rewrite ``path`` into ~ceil(bytes / target)-sized files; returns
+    the shuffle-task count of the rewrite. ``sort_within_by`` clusters
+    rows inside each file so min/max row-group stats prune reads on
+    those columns.
 
     ``partition_by`` preserves a Hive-partitioned layout (e.g. the
-    incremental lake's ``event_date=...`` directories): rows are
-    shuffled BY the partition columns so each rewrite task holds whole
-    partitions and writes one file per directory it owns — without it
-    a plain rewrite of a partitioned table would flatten the layout
-    and silently break downstream partition pruning
-    (rollup.prune_to_dates). Appending writers leave one file
-    generation per drain; steady state is "compact every N drains",
-    and this is the call that does it."""
-    n_files = max(1, math.ceil(_dir_bytes(path) / (target_file_mb << 20)))
+    incremental lake's ``event_date=...`` directories) — without it a
+    plain rewrite of a partitioned table would flatten the layout and
+    silently break downstream partition pruning
+    (rollup.prune_to_dates). The file-size target holds PER PARTITION:
+    each leaf directory's byte size is read off the existing layout
+    (one driver-side listing, bounded by partition count) and its rows
+    are salted across ceil(part_bytes / target) shuffle buckets via a
+    broadcast (partition → bucket count) map. A plain
+    ``repartition(n, *partition_by)`` would instead hash EVERY row of
+    a partition value into one task — a hot date holding 100× the
+    target compacts through a single straggler task and comes out as
+    one oversized file, reintroducing exactly the skew the target was
+    meant to bound. Appending writers leave one file generation per
+    drain; steady state is "compact every N drains", and this is the
+    call that does it."""
+    target_bytes = max(1, int(target_file_mb * (1 << 20)))
+    n_files = max(1, math.ceil(_dir_bytes(path) / target_bytes))
     df = spark.read.parquet(path)
-    if partition_by:
+    plan = _partition_file_plan(path, partition_by,
+                                target_bytes) if partition_by else []
+    if plan:
+        kmap = spark.createDataFrame(
+            [(*vals, k) for vals, k in plan],
+            [f"_pv_{c}" for c in partition_by] + ["_k"])
+        cond = None
+        for c in partition_by:
+            # match on the Hive string form; null values live in the
+            # __HIVE_DEFAULT_PARTITION__ directory
+            eq = (F.coalesce(F.col(c).cast("string"), F.lit(_HIVE_NULL))
+                  == F.col(f"_pv_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        # deterministic salt from the non-partition columns: same rows
+        # → same bucket → same file assignment across runs. Left join
+        # + coalesce(_k, 1) covers rows whose partition the listing
+        # missed (racing writer): they compact as one bucket.
+        data_cols = [c for c in df.columns if c not in set(partition_by)]
+        salt = (F.pmod(F.xxhash64(*data_cols), F.coalesce("_k", F.lit(1)))
+                if data_cols else F.lit(0))
+        n_files = max(1, sum(k for _, k in plan))
+        out = (df.join(F.broadcast(kmap), cond, "left")
+               .withColumn("_salt", salt)
+               .drop("_k", *[f"_pv_{c}" for c in partition_by])
+               .repartition(n_files, *partition_by, "_salt")
+               .drop("_salt"))
+    elif partition_by:
+        # partition_by requested but no matching layout on disk yet
+        # (first compaction of a flat table): plain per-value shuffle.
         out = df.repartition(n_files, *partition_by)
     else:
         out = df.repartition(n_files)
