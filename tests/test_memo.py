@@ -67,3 +67,38 @@ def test_warm(spark, tmp_path, twitter_fixture):
     assert len(kws) == 3 and memo.stats()["entries"] == 3   # K4
     for kw in kws:
         assert memo.lookup({"entity": "tweet", "keyword": kw}) is not None
+
+
+def test_torn_ledger_and_orphan_dirs_recover_on_boot(spark, tmp_path):
+    """Crash-window contracts for the memo's bookkeeping: (a) a torn
+    ledger write (truncated JSON) must restore as an EMPTY memo, not
+    raise at construction — the ledger is bookkeeping, the results are
+    the data; (b) a result dir leaked by a crash between materialize
+    and persist (its params unrecoverable, so it can never be hit)
+    is swept at boot; (c) the persist path itself is an atomic
+    replace, so no .tmp generation survives a clean run."""
+    import json
+    import os
+
+    root = str(tmp_path / "memo")
+    calls: list = []
+    memo = QueryMemo(spark, root)
+    memo.get_or_compute({"q": 1}, _builder_factory(spark, calls))
+    assert not os.path.exists(os.path.join(root, "ledger.json.tmp"))
+
+    # orphan: a dir the ledger doesn't know about
+    orphan = os.path.join(root, "deadbeef" * 4)
+    os.makedirs(orphan)
+    memo2 = QueryMemo(spark, root)
+    assert not os.path.exists(orphan)
+    assert memo2.lookup({"q": 1}) is not None    # real entry survives
+
+    # torn ledger: truncated JSON -> empty restore, no raise; the
+    # now-unreachable result dir is swept as an orphan
+    with open(os.path.join(root, "ledger.json"), "w") as f:
+        f.write('{"trunc')
+    memo3 = QueryMemo(spark, root)
+    assert memo3.stats()["entries"] == 0
+    assert memo3.lookup({"q": 1}) is None
+    assert [d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))] == []

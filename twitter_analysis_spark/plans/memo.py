@@ -57,13 +57,35 @@ class QueryMemo:
 
     # -- persistence ----------------------------------------------------
     def _restore(self) -> None:
+        """K5 restore-on-boot, crash-tolerant: a torn ledger write must
+        not take the whole memo down (the ledger is bookkeeping; the
+        results are the data), so an unparseable ledger restores as
+        empty. Result dirs the ledger does not know about — leaked by
+        a crash between materialize and persist — are swept here:
+        their params are unrecoverable, so they could never be hit
+        again and would otherwise leak forever. (Single-owner
+        assumption as documented above: the sweep would race a
+        concurrent writer's in-flight dir.)"""
         if os.path.exists(self._ledger_path):
-            with open(self._ledger_path) as f:
-                self._ledger = json.load(f)
+            try:
+                with open(self._ledger_path) as f:
+                    self._ledger = json.load(f)
+            except ValueError:
+                self._ledger = {}
+        for entry in os.listdir(self.root):
+            p = os.path.join(self.root, entry)
+            if os.path.isdir(p) and entry not in self._ledger:
+                shutil.rmtree(p, ignore_errors=True)
 
     def _persist(self) -> None:                 # K3 (cache.py:125)
-        with open(self._ledger_path, "w") as f:
+        # atomic replace: the same no-torn-state discipline as
+        # sources.maintenance._swap_in — a crash mid-write must leave
+        # the previous ledger generation readable, never a truncated
+        # JSON that breaks restore-on-boot.
+        tmp = f"{self._ledger_path}.tmp"
+        with open(tmp, "w") as f:
             json.dump(self._ledger, f)
+        os.replace(tmp, self._ledger_path)
 
     # -- core -----------------------------------------------------------
     def _path(self, fp: str) -> str:
