@@ -434,6 +434,65 @@ def test_streaming_rollup_ingest(spark, tmp_path):
     assert stored() == got
 
 
+def test_streaming_rollup_index_contact_is_date_scoped(spark, tmp_path):
+    """The dedup index must be event_date-partitioned so the per-batch
+    anti-join reads only the touched dates' partitions — a flat
+    id-only index makes index contact corpus-proportional, the exact
+    cost the pipeline's docstring promises away. Pin the layout AND
+    that a drain touching only a new date leaves the old date's index
+    partition byte-identical (names, sizes, mtimes) — i.e. provably
+    not rewritten. The replay guard must still fire through the
+    pruned read (same id, same ts, redelivered)."""
+    import json
+
+    from twitter_analysis_spark.streaming.rollup_ingest import (
+        streaming_rollup_ingest)
+
+    drop = tmp_path / "ix_drop"
+    drop.mkdir()
+    lake = str(tmp_path / "ix_lake")
+    index = str(tmp_path / "ix_index")
+    roll = str(tmp_path / "ix_rollup")
+    ckpt = str(tmp_path / "ix_ckpt")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for eid, ts in rows:
+                f.write(json.dumps({
+                    "event_id": eid, "ts": ts, "user_id": eid % 5,
+                    "event_type": "click", "value": 1.0}) + "\n")
+
+    def part_state(day):
+        pdir = os.path.join(index, f"event_date={day}")
+        return {(f, os.path.getsize(os.path.join(pdir, f)),
+                 os.path.getmtime(os.path.join(pdir, f)))
+                for f in os.listdir(pdir) if f.endswith(".parquet")}
+
+    write_drop("d1.json", [(1, "2024-03-01 10:05:00"),
+                           (2, "2024-03-01 11:00:00")])
+    streaming_rollup_ingest(spark, str(drop), lake, index, roll,
+                            grain="hour", checkpoint=ckpt)
+    assert os.path.isdir(os.path.join(index, "event_date=2024-03-01"))
+    s1 = part_state("2024-03-01")
+
+    # drain 2: a new date plus a replay of id 1 (same ts)
+    write_drop("d2.json", [(1, "2024-03-01 10:05:00"),
+                           (3, "2024-03-02 09:00:00")])
+    streaming_rollup_ingest(spark, str(drop), lake, index, roll,
+                            grain="hour", checkpoint=ckpt)
+    # replay dropped: the lake holds each id once
+    ids = sorted(r["event_id"] for r in
+                 spark.read.parquet(lake).collect())
+    assert ids == [1, 2, 3]
+    # the replayed id extended ONLY its own date's partition; e.g. a
+    # full-index rewrite (or flat layout) would fail one of these
+    assert os.path.isdir(os.path.join(index, "event_date=2024-03-02"))
+    assert part_state("2024-03-01") >= s1
+    idx = spark.read.parquet(index)
+    assert sorted(idx.columns) == ["event_date", "event_id"]
+    assert idx.count() == 3
+
+
 def test_streaming_anomaly_alerts(spark, tmp_path):
     """A spike arriving in a later drop raises exactly one alert;
     replays and re-drains never re-alert."""

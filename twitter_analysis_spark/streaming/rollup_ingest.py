@@ -8,11 +8,11 @@ ingest pipelines use (streaming/ingest.py).
 
 Per micro-batch (inside ``foreachBatch``):
 
-1. dedupe the batch against a persistent ``event_id`` index
-   (operators/dedup.py machinery, keyed on the id — event payloads are
-   not content-addressed) and append only genuinely-new rows to the
-   raw lake, partitioned by ``event_date``;
-2. append their ids to the index;
+1. dedupe the batch against a persistent ``(event_id, event_date)``
+   index PARTITIONED BY event_date (event payloads are not
+   content-addressed, so the key is the id) and append only
+   genuinely-new rows to the raw lake, partitioned by ``event_date``;
+2. append their (id, date) rows to the index's touched partitions;
 3. recompute the rollup for exactly the batch's touched dates with
    ``refresh_rollup`` (dynamic partition overwrite — other dates'
    files untouched);
@@ -25,8 +25,13 @@ on plain parquet a replayed batch would double-merge. Recompute is
 idempotent by construction: every crash window replays into the same
 final state, because the refresh derives from the (deduped) lake, not
 from the batch. The lake read is partition-pruned to the touched
-dates, so per-trigger cost is batch size + those dates' partitions —
-NOT corpus size. The one remaining torn window (lake appended, index
+dates, AND the index anti-join reads only the touched dates' index
+partitions (a redelivered record carries its original ``ts``, hence
+its original date — the same identity assumption every dedup contract
+here makes), so per-trigger cost is batch size + those dates'
+partitions — NOT corpus size. (A flat ``event_id``-only index built
+by versions before the date partitioning needs a one-time reindex —
+rebuild it from the lake's ids with a partitioned write.) The one remaining torn window (lake appended, index
 append crashed) can leave duplicate raw rows for the crashed batch
 only; the refresh guards against even that by deduplicating the
 pruned scan on ``event_id`` before aggregating, so the SERVED rollup
@@ -46,6 +51,31 @@ from ..operators.rollup import prune_to_dates, refresh_rollup
 
 _EVENT_SCHEMA = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
                  "event_type STRING, value DOUBLE")
+
+
+def _absorb_into_lake(spark: SparkSession, batch: DataFrame,
+                      lake_path: str, index_path: str,
+                      dates: list) -> None:
+    """Steps 1-2 of the per-batch contract, shared by both pipelines:
+    anti-join the (already in-batch-deduped) batch against the
+    date-PRUNED id index, append the novel rows to the lake, extend
+    the index's touched partitions. Index contact is bounded by the
+    batch's touched dates — never the corpus — because the index is
+    partitioned by event_date and a redelivered record carries its
+    original ts."""
+    if os.path.exists(index_path):
+        index = (spark.read.parquet(index_path)
+                 .where(F.col("event_date").isin(dates))
+                 .select("event_id"))
+    else:
+        index = spark.createDataFrame([], "event_id LONG")
+    new = batch.join(index, "event_id", "left_anti").persist()
+    (new.withColumn("event_date", F.to_date("ts"))
+     .write.partitionBy("event_date")
+     .mode("append").parquet(lake_path))
+    (new.select("event_id", F.to_date("ts").alias("event_date"))
+     .write.partitionBy("event_date").mode("append").parquet(index_path))
+    new.unpersist()
 
 
 def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
@@ -83,15 +113,7 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
                  batch.select(F.to_date("ts").alias("d")).distinct()
                  .collect()]
         if dates:
-            index = (spark.read.parquet(index_path)
-                     if os.path.exists(index_path)
-                     else spark.createDataFrame([], "event_id LONG"))
-            new = batch.join(index, "event_id", "left_anti").persist()
-            (new.withColumn("event_date", F.to_date("ts"))
-             .write.partitionBy("event_date")
-             .mode("append").parquet(lake_path))
-            new.select("event_id").write.mode("append").parquet(index_path)
-            new.unpersist()
+            _absorb_into_lake(spark, batch, lake_path, index_path, dates)
             # Refresh from the lake, NOT from the batch: idempotent
             # under replay. Prune to the touched dates BELOW the
             # event_id dedup — an aggregate on a non-partition key
@@ -181,15 +203,7 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
                  batch.select(F.to_date("ts").alias("d")).distinct()
                  .collect()]
         if dates:
-            index = (spark.read.parquet(index_path)
-                     if os.path.exists(index_path)
-                     else spark.createDataFrame([], "event_id LONG"))
-            new = batch.join(index, "event_id", "left_anti").persist()
-            (new.withColumn("event_date", F.to_date("ts"))
-             .write.partitionBy("event_date")
-             .mode("append").parquet(lake_path))
-            new.select("event_id").write.mode("append").parquet(index_path)
-            new.unpersist()
+            _absorb_into_lake(spark, batch, lake_path, index_path, dates)
             lake = spark.read.parquet(lake_path)
             pruned = prune_to_dates(lake, "hour", dates, "event_date") \
                 .dropDuplicates(["event_id"])
