@@ -218,7 +218,14 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str,
     if dates is not None:
         # Drop listed partitions the refreshed frame no longer covers
         # (all their source rows were deleted). Bounded driver work:
-        # distinct grain_date over an already-aggregated frame.
+        # distinct grain_date over an already-aggregated frame. This
+        # second evaluation of `rolled` is NOT a re-run of the write's
+        # scan+agg: Catalyst prunes the distinct-dates projection down
+        # to a grain_date-only pass. Do NOT persist `rolled` to "share"
+        # the two evaluations — A/B-measured at sf0.1 (30-date full
+        # refresh): persist made the refresh 3-4x SLOWER (9.9/6.2 s vs
+        # 2.3/1.9 s), because caching materializes the full aggregate
+        # into memory format and blocks the pruned second pass.
         alive = {r["grain_date"]
                  for r in rolled.select("grain_date").distinct().collect()}
         jvm = spark._jvm
