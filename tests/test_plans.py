@@ -598,3 +598,69 @@ def test_selective_scan_skips_row_groups(spark, tmp_path):
     point = _scan_output_rows(
         spark.read.parquet(clustered).where(F.col("k") == 54_321))
     assert 1 <= point < n // 10, point
+
+
+def test_incremental_dedup_index_joins_before_any_exchange(spark, tmp_path):
+    """incremental_exact_dedup's contract is "heavy work proportional
+    to the batch" — which dies if the corpus-sized index is SHUFFLED
+    per batch. A direct `batch LEFT JOIN index` does exactly that:
+    Spark can only broadcast an outer join's build side, which for a
+    left join is the index, so once the index outgrows the broadcast
+    threshold the whole index exchanges every batch. The operator
+    therefore probes in two steps (index LEFT-SEMI broadcast batch
+    keys, then batch LEFT JOIN the hit set), and the pin is
+    structural: on the executed plan's INDEX branch, a join must
+    appear BEFORE any Exchange — i.e. whatever shuffles afterwards is
+    the semi-filtered hit set (batch-sized), never the raw index.
+    Thresholds are pinned low so the index cannot be broadcast away
+    (which would mask the hazard exactly as it does at test scale)."""
+    from pyspark.sql import functions as F
+
+    from twitter_analysis_spark.operators.dedup import (
+        incremental_exact_dedup)
+
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, str(256 * 1024))
+    try:
+        ix_path = str(tmp_path / "ix")
+        (spark.range(100_000)
+         .select(F.xxhash64(F.concat(F.lit("doc"), F.col("id")))
+                 .alias("content_key"),
+                 F.col("id").alias("holder_id"))
+         .write.parquet(ix_path))
+        index = spark.read.parquet(ix_path)
+        batch = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc"), (F.col("id") * 7).cast("string"))
+            .alias("text"))
+        res = incremental_exact_dedup(batch, index, "doc_id", "text")
+        res.collect()                      # finalize AQE
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # ancestors of the index scan, nearest first
+    scan_at = plan.index("FileScan parquet")
+    lines = plan[:scan_at].splitlines()
+    last = lines[-1]
+    indent = len(last) - len(last.lstrip(" :+-*(0123456789)"))
+    ancestors = []
+    for line in reversed(lines[:-1]):
+        stripped = line.lstrip(" :+-")
+        this_indent = len(line) - len(stripped)
+        if this_indent < indent:
+            indent = this_indent
+            ancestors.append(stripped)
+    first_join = next((i for i, s in enumerate(ancestors)
+                       if "Join" in s), None)
+    first_exchange = next((i for i, s in enumerate(ancestors)
+                           if s.startswith("Exchange")), len(ancestors))
+    assert first_join is not None, ancestors
+    assert first_join < first_exchange, ancestors

@@ -788,11 +788,18 @@ def incremental_exact_dedup(batch: DataFrame, index: DataFrame,
     in the index is 'dup_of_corpus' pointing at the corpus holder.
 
     Scale shape: one batch-keyed min(struct) aggregate (winner per
-    content) + one LEFT join of batch keys against the index — which
-    at scale is bucket-pruned (index bucketed by content_key) or a
-    broadcast of the BATCH side (a day's ingest is far smaller than
-    the corpus; Catalyst/AQE picks it from sizes — no forced hint, the
-    index side scales with the corpus).
+    content), then the index is probed in TWO steps whose join
+    directions keep it shuffle-free: (1) a left-SEMI join of the index
+    against the batch's distinct keys — the batch side is the build
+    side there, so AQE broadcasts it and the corpus-sized index is
+    SCANNED once, never shuffled (a direct ``batch LEFT JOIN index``
+    cannot do this: Spark can only broadcast the build side of an
+    outer join, which for a left join is the index — so that shape
+    degrades to shuffling the whole index every batch); (2) a left
+    join of the batch against the resulting hit set, which is at most
+    batch-distinct-sized and broadcasts the same way. Bucketing the
+    stored index by content_key (sources/io.py:write_bucketed) removes
+    even the scan's exchange at deploy scale.
     """
     if hash_fn == "xxhash64":
         key = F.xxhash64(F.col(text_col))
@@ -804,9 +811,11 @@ def incremental_exact_dedup(batch: DataFrame, index: DataFrame,
                          key.alias("content_key"))
     batch_min = keyed.groupBy("content_key").agg(
         F.min("_id").alias("_batch_first"))
+    hits = index.join(keyed.select("content_key").distinct(),
+                      "content_key", "left_semi")
     return (
         keyed.join(batch_min, "content_key")
-        .join(index, "content_key", "left")
+        .join(hits, "content_key", "left")
         .select(
             F.col("_id").alias(id_col),
             F.when(F.col("holder_id").isNotNull(), F.lit("dup_of_corpus"))
