@@ -69,7 +69,16 @@ def _absorb_into_lake(spark: SparkSession, batch: DataFrame,
                  .select("event_id"))
     else:
         index = spark.createDataFrame([], "event_id LONG")
-    new = batch.join(index, "event_id", "left_anti").persist()
+    # Two-step probe (same join-direction argument as
+    # operators/dedup.py:incremental_exact_dedup): a direct
+    # `batch ANTI index` builds on the index side, so a HOT date's
+    # index partition past the broadcast threshold shuffles whole.
+    # Semi-joining the index against the batch's ids first keeps the
+    # index scanned-never-shuffled (batch ids are the build side),
+    # and the anti then runs against the batch-sized hit set.
+    hits = index.join(batch.select("event_id").distinct(),
+                      "event_id", "left_semi")
+    new = batch.join(hits, "event_id", "left_anti").persist()
     (new.withColumn("event_date", F.to_date("ts"))
      .write.partitionBy("event_date")
      .mode("append").parquet(lake_path))
