@@ -254,3 +254,33 @@ def _partition_state_lake(root: str) -> list[set[str]]:
             out.append({f for f in os.listdir(pdir)
                         if f.endswith(".parquet")})
     return out
+
+
+def test_compact_multi_level_partitioning(spark, tmp_path):
+    """compact_parquet(partition_by=[a, b]) must walk the two-level
+    Hive layout for its per-partition plan (the recursion in
+    _partition_file_plan), preserve both directory levels, and keep
+    content identical."""
+    from twitter_analysis_spark.sources.maintenance import (
+        _partition_file_plan)
+
+    path = str(tmp_path / "ml")
+    df = spark.range(2_000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("region"),
+        F.to_date(F.lit("2024-01-01")).alias("event_date"),
+        F.rpad(F.col("id").cast("string"), 50, "y").alias("payload"))
+    df.repartition(4).write.partitionBy("region", "event_date") \
+        .parquet(path)
+    plan = _partition_file_plan(path, ["region", "event_date"], 1 << 20)
+    assert sorted(vals for vals, _k in plan) == [
+        ["0", "2024-01-01"], ["1", "2024-01-01"]]
+    before = {r["id"] for r in spark.read.parquet(path).collect()}
+
+    compact_parquet(spark, path, target_file_mb=1,
+                    partition_by=["region", "event_date"])
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == before
+    for region in ("region=0", "region=1"):
+        sub = os.path.join(path, region)
+        assert os.path.isdir(sub)
+        assert os.listdir(sub) == ["event_date=2024-01-01"]
