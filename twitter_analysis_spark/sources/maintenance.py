@@ -13,9 +13,10 @@ The operational half of a 100 TB lake the reference never had to face:
   table-format layer (Delta/Iceberg) the portable primitive is
   read-union-dedup-rewrite with a deterministic winner; the write goes
   through a temp dir so a crash mid-rewrite never truncates the table.
-  At scale you'd scope the rewrite to affected partitions — the
-  winner-selection semantics here are exactly what that merge runs
-  per partition.
+  ``partition_by`` is the scale form: the merge reads and rewrites
+  ONLY the partitions the updates touch (dynamic partition
+  overwrite), with the partition-stable-key contract every
+  partition-scoped MERGE carries.
 """
 
 from __future__ import annotations
@@ -164,28 +165,81 @@ def compact_parquet(spark: SparkSession, path: str,
     return n_files
 
 
-def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
-                  key: str, order_by: str | None = None) -> None:
-    """Merge ``updates`` into the parquet table at ``path``: one row per
-    ``key`` survives. Winner = highest ``order_by`` value (ties: the
-    update); with no ``order_by``, updates simply replace existing rows
-    with the same key."""
-    if os.path.exists(path):
-        current = spark.read.parquet(path).withColumn("_src", F.lit(0))
-    else:
-        current = updates.limit(0).withColumn("_src", F.lit(0))
-    merged = current.unionByName(updates.withColumn("_src", F.lit(1)))
+def _winner_per_key(current: DataFrame, updates: DataFrame,
+                    key: str, order_by: str | None) -> DataFrame:
+    """One row per key: highest ``order_by`` wins, ties go to the
+    update; with no ``order_by``, updates replace current outright."""
+    merged = (current.withColumn("_src", F.lit(0))
+              .unionByName(updates.withColumn("_src", F.lit(1))))
     if order_by:
         rank_cols = [F.desc(order_by), F.desc("_src")]
     else:
         rank_cols = [F.desc("_src")]
     from pyspark.sql import Window
     w = Window.partitionBy(key).orderBy(*rank_cols)
-    winner = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_src")
-    )
+    return (merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_src"))
+
+
+def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
+                  key: str, order_by: str | None = None,
+                  partition_by: list[str] | None = None) -> None:
+    """Merge ``updates`` into the parquet table at ``path``: one row per
+    ``key`` survives. Winner = highest ``order_by`` value (ties: the
+    update); with no ``order_by``, updates simply replace existing rows
+    with the same key.
+
+    Without ``partition_by`` this is a full read-union-dedup-rewrite
+    through the crash-safe swap — corpus-sized work, fine for snapshot
+    tables, wrong as the steady-state merge of a 100 TB lake.
+
+    ``partition_by`` is the scale path: the table is (and stays)
+    Hive-partitioned on those columns, the touched partition values
+    are read off the UPDATES (one bounded distinct — batch-sized, not
+    corpus-sized), the current side is partition-PRUNED to exactly
+    those values, and Spark's dynamic partition overwrite replaces
+    only those directories — per-merge cost is updates + touched
+    partitions, never the table. REQUIREMENT: the partition columns
+    must be stable per key (a key never moves between partition
+    values). A moved key's old row lives in an untouched partition
+    this merge never reads, so it would survive as a duplicate —
+    exactly why every partition-scoped MERGE (Hive, Delta, Iceberg
+    with partition predicates) carries the same contract. Keys that
+    can move need the full rewrite."""
+    if partition_by and os.path.exists(path):
+        touched = updates.select(*partition_by).distinct().collect()
+        current = spark.read.parquet(path)
+        pred = None
+        for row in touched:
+            p = None
+            for c in partition_by:
+                eq = (F.col(c).eqNullSafe(F.lit(row[c])))
+                p = eq if p is None else (p & eq)
+            pred = p if pred is None else (pred | p)
+        if pred is None:                      # empty updates: no-op
+            return
+        winner = _winner_per_key(current.where(pred), updates,
+                                 key, order_by)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (winner.write.mode("overwrite")
+             .partitionBy(*partition_by).parquet(path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev)
+        return
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+    else:
+        current = updates.limit(0)
+    winner = _winner_per_key(current, updates, key, order_by)
     tmp = f"{path}__upsert_{uuid.uuid4().hex[:8]}"
-    winner.write.mode("overwrite").parquet(tmp)
+    writer = winner.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     _swap_in(tmp, path)
