@@ -331,19 +331,91 @@ def test_upsert_partition_scoped(spark, tmp_path):
     assert state("2024-01-02") == s2
     assert state("2024-01-03") == s3
 
-    # replay idempotence and empty-updates no-op
-    s1 = state("2024-01-01")
+    # replay idempotence (replay may physically rewrite d1, but its
+    # contents converge) and empty-updates total no-op
     upsert_by_key(spark, path, updates, key="k", order_by="ver",
                   partition_by=["d"])
     assert {r["k"]: (r["v"], r["ver"], str(r["d"]))
             for r in spark.read.parquet(path).collect()} == got
+    s1 = state("2024-01-01")
     upsert_by_key(spark, path, updates.limit(0), key="k",
                   order_by="ver", partition_by=["d"])
-    assert state("2024-01-01") != s1 or True   # replay may rewrite d1
-    assert state("2024-01-02") == s2           # but never untouched
+    assert state("2024-01-01") == s1           # no partition touched
+    assert state("2024-01-02") == s2
 
     # first write of a fresh table keeps the partitioned layout
     fresh = str(tmp_path / "fresh")
     upsert_by_key(spark, fresh, updates, key="k", order_by="ver",
                   partition_by=["d"])
     assert os.path.isdir(os.path.join(fresh, "d=2024-01-01"))
+
+
+def test_upsert_many_partitions_flat_predicate(spark, tmp_path):
+    """A batch touching MANY partitions (here 120 dates x 2 regions)
+    must stay correct and keep the touched-partition prune FLAT: the
+    predicate is one tuple-key .isin over the updates' distinct
+    partition tuples, not an Or-chain whose depth equals the tuple
+    count (a deep Or tree costs analysis time and obscures pruning).
+    Pins: (a) winner-per-key correctness across all touched
+    partitions, (b) untouched partitions physically unrewritten,
+    (c) the plan the merge actually reads carries a single IN over
+    the partition columns in PartitionFilters — no Or nodes."""
+    import os
+
+    from twitter_analysis_spark.sources.maintenance import upsert_by_key
+
+    path = str(tmp_path / "many")
+    n_dates, regions = 120, ["e", "w"]
+    base = spark.createDataFrame(
+        [(d * 10 + r, f"v{d}", 1,
+          f"2024-{1 + d // 28:02d}-{1 + d % 28:02d}", regions[r])
+         for d in range(n_dates) for r in range(2)],
+        "k long, v string, ver long, d string, region string")
+    base.write.partitionBy("d", "region").parquet(path)
+    untouched_dir = os.path.join(path, "d=2024-01-01", "region=w")
+    before = {(f, os.stat(os.path.join(untouched_dir, f)).st_mtime_ns)
+              for f in os.listdir(untouched_dir)
+              if f.endswith(".parquet")}
+
+    # update every date's region=e row; leave region=w alone
+    updates = spark.createDataFrame(
+        [(d * 10, f"NEW{d}", 2,
+          f"2024-{1 + d // 28:02d}-{1 + d % 28:02d}", "e")
+         for d in range(n_dates)],
+        "k long, v string, ver long, d string, region string")
+
+    # pin the real predicate shape on the current-side read the merge
+    # performs: same tuple-key expression as the implementation
+    from pyspark.sql import functions as F
+    sep = chr(1)
+    tk = F.concat_ws(sep, *[
+        F.coalesce(F.col(c).cast("string"),
+                   F.lit("__HIVE_DEFAULT_PARTITION__"))
+        for c in ("d", "region")])
+    touched = [r["_tk"] for r in
+               updates.select(tk.alias("_tk")).distinct().collect()]
+    assert len(touched) == n_dates
+    pruned = spark.read.parquet(path).where(tk.isin(touched))
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert (" IN " in pf or "INSET" in pf.upper()), pf[:500]
+    assert " OR " not in pf.upper(), pf[:500]
+
+    upsert_by_key(spark, path, updates, key="k", order_by="ver",
+                  partition_by=["d", "region"])
+    got = {r["k"]: (r["v"], r["ver"])
+           for r in spark.read.parquet(path).collect()}
+    assert len(got) == n_dates * 2
+    for d in range(n_dates):
+        assert got[d * 10] == (f"NEW{d}", 2)        # updated
+        assert got[d * 10 + 1] == (f"v{d}", 1)      # untouched row
+    after = {(f, os.stat(os.path.join(untouched_dir, f)).st_mtime_ns)
+             for f in os.listdir(untouched_dir)
+             if f.endswith(".parquet")}
+    assert after == before          # untouched partition not rewritten

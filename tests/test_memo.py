@@ -72,12 +72,15 @@ def test_warm(spark, tmp_path, twitter_fixture):
 def test_torn_ledger_and_orphan_dirs_recover_on_boot(spark, tmp_path):
     """Crash-window contracts for the memo's bookkeeping: (a) a torn
     ledger write (truncated JSON) must restore as an EMPTY memo, not
-    raise at construction — the ledger is bookkeeping, the results are
-    the data; (b) a result dir leaked by a crash between materialize
-    and persist (its params unrecoverable, so it can never be hit)
-    is swept at boot; (c) the persist path itself is an atomic
-    replace, so no .tmp generation survives a clean run."""
-    import json
+    raise at construction; (b) a result dir leaked by a crash between
+    materialize and persist (its params unrecoverable, so it can
+    never be hit) is swept at boot — but ONLY dirs named like the
+    fingerprints this class creates (32-hex), so pointing root at a
+    directory holding foreign data never deletes it; (c) when the
+    ledger itself is the corrupt artifact, the sweep is SKIPPED —
+    every result dir would look unowned, and deleting all still-valid
+    results over a torn 2 KB JSON is the wrong trade; (d) the persist
+    path is an atomic replace, so no .tmp generation survives."""
     import os
 
     root = str(tmp_path / "memo")
@@ -86,19 +89,30 @@ def test_torn_ledger_and_orphan_dirs_recover_on_boot(spark, tmp_path):
     memo.get_or_compute({"q": 1}, _builder_factory(spark, calls))
     assert not os.path.exists(os.path.join(root, "ledger.json.tmp"))
 
-    # orphan: a dir the ledger doesn't know about
+    # orphan: a fingerprint-shaped dir the ledger doesn't know about
+    # is swept; a FOREIGN dir (name not 32-hex) is never touched
     orphan = os.path.join(root, "deadbeef" * 4)
+    foreign = os.path.join(root, "precious_user_data")
     os.makedirs(orphan)
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "keep.txt"), "w") as f:
+        f.write("do not delete")
     memo2 = QueryMemo(spark, root)
     assert not os.path.exists(orphan)
+    assert os.path.exists(os.path.join(foreign, "keep.txt"))
     assert memo2.lookup({"q": 1}) is not None    # real entry survives
 
-    # torn ledger: truncated JSON -> empty restore, no raise; the
-    # now-unreachable result dir is swept as an orphan
+    # torn ledger: truncated JSON -> empty restore, no raise — and NO
+    # sweep: the still-valid result dir is preserved on disk (it is
+    # unreachable until recomputed over, which overwrites in place)
+    fp = fingerprint({"q": 1})
     with open(os.path.join(root, "ledger.json"), "w") as f:
         f.write('{"trunc')
     memo3 = QueryMemo(spark, root)
     assert memo3.stats()["entries"] == 0
     assert memo3.lookup({"q": 1}) is None
-    assert [d for d in os.listdir(root)
-            if os.path.isdir(os.path.join(root, d))] == []
+    assert os.path.isdir(os.path.join(root, fp))
+    # recompute over the preserved dir converges back to a clean memo
+    memo3.get_or_compute({"q": 1}, _builder_factory(spark, calls))
+    assert memo3.lookup({"q": 1}).count() == 5
+    assert os.path.exists(os.path.join(foreign, "keep.txt"))

@@ -1001,3 +1001,39 @@ def test_streaming_decontaminate_checkpoint_loss_contract(spark, tmp_path):
                   spark.read.parquet(corpus).dropDuplicates(["doc_id"]),
                   key="doc_id")
     assert [r["doc_id"] for r in spark.read.parquet(corpus).collect()] == [1]
+
+
+def test_streaming_rollup_legacy_flat_index_names_the_fix(spark, tmp_path):
+    """A pre-date-partitioning index (flat event_id-only layout) must
+    fail the first drain with an error that NAMES the one-time
+    reindex, not an opaque unresolved-column AnalysisException from
+    the event_date prune (ADVICE r9). The guard fires before any
+    write, so the lake/rollup stay untouched."""
+    import json
+    import os
+
+    import pytest
+
+    from twitter_analysis_spark.streaming.rollup_ingest import (
+        streaming_rollup_ingest)
+
+    drop = tmp_path / "legacy_drop"
+    drop.mkdir()
+    lake = str(tmp_path / "legacy_lake")
+    index = str(tmp_path / "legacy_index")
+    roll = str(tmp_path / "legacy_rollup")
+
+    # a legacy index: event_id only, no event_date partition column
+    spark.createDataFrame([(1,), (2,)], "event_id long") \
+        .write.parquet(index)
+    with open(drop / "d1.json", "w") as f:
+        f.write(json.dumps({
+            "event_id": 3, "ts": "2024-03-01 10:05:00", "user_id": 1,
+            "event_type": "click", "value": 1.0}) + "\n")
+
+    with pytest.raises(Exception, match="one-time reindex"):
+        streaming_rollup_ingest(spark, str(drop), lake, index, roll,
+                                grain="hour",
+                                checkpoint=str(tmp_path / "legacy_ckpt"))
+    assert not os.path.exists(lake)
+    assert not os.path.exists(roll)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import shutil
 import time
 from collections.abc import Callable
@@ -65,16 +66,32 @@ class QueryMemo:
         their params are unrecoverable, so they could never be hit
         again and would otherwise leak forever. (Single-owner
         assumption as documented above: the sweep would race a
-        concurrent writer's in-flight dir.)"""
+        concurrent writer's in-flight dir.)
+
+        The sweep is deliberately narrow: it only touches directories
+        whose name is a 32-hex md5 fingerprint (the only names this
+        class ever creates), so pointing ``root`` at a directory that
+        already holds other data cannot delete it. And when the ledger
+        EXISTS but fails to parse (torn write), the sweep is skipped
+        entirely — with the bookkeeping gone every result dir would
+        look unowned, and rm-rf'ing all still-valid cached results on
+        the strength of a corrupt 2 KB JSON is the wrong trade. Those
+        dirs are unreachable until recomputed over (same fingerprint
+        → overwritten in place), so the leak is bounded and converges."""
+        ledger_corrupt = False
         if os.path.exists(self._ledger_path):
             try:
                 with open(self._ledger_path) as f:
                     self._ledger = json.load(f)
             except ValueError:
                 self._ledger = {}
+                ledger_corrupt = True
+        if ledger_corrupt:
+            return
         for entry in os.listdir(self.root):
             p = os.path.join(self.root, entry)
-            if os.path.isdir(p) and entry not in self._ledger:
+            if (os.path.isdir(p) and entry not in self._ledger
+                    and re.fullmatch(r"[0-9a-f]{32}", entry)):
                 shutil.rmtree(p, ignore_errors=True)
 
     def _persist(self) -> None:                 # K3 (cache.py:125)

@@ -11,23 +11,27 @@ The operational half of a 100 TB lake the reference never had to face:
 - ``upsert_by_key``: append-with-dedup for snapshot tables (new capture
   arrives, re-delivered records must not duplicate). Without a
   table-format layer (Delta/Iceberg) the portable primitive is
-  read-union-dedup-rewrite with a deterministic winner; the write goes
-  through a temp dir so a crash mid-rewrite never truncates the table.
-  ``partition_by`` is the scale form: the merge reads and rewrites
-  ONLY the partitions the updates touch (dynamic partition
-  overwrite), with the partition-stable-key contract every
-  partition-scoped MERGE carries.
+  read-union-dedup-rewrite with a deterministic winner; the full
+  rewrite goes through a temp dir so a crash mid-rewrite never
+  truncates the table. ``partition_by`` is the scale form: the merge
+  reads and rewrites ONLY the partitions the updates touch (dynamic
+  partition overwrite), with the partition-stable-key contract every
+  partition-scoped MERGE carries — and a WEAKER crash contract than
+  the full rewrite (documented on ``upsert_by_key``).
 """
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def _dir_bytes(path: str) -> int:
@@ -124,6 +128,7 @@ def compact_parquet(spark: SparkSession, path: str,
     df = spark.read.parquet(path)
     plan = _partition_file_plan(path, partition_by,
                                 target_bytes) if partition_by else []
+    obs = None
     if plan:
         kmap = spark.createDataFrame(
             [(*vals, k) for vals, k in plan],
@@ -143,7 +148,17 @@ def compact_parquet(spark: SparkSession, path: str,
         salt = (F.pmod(F.xxhash64(*data_cols), F.coalesce("_k", F.lit(1)))
                 if data_cols else F.lit(0))
         n_files = max(1, sum(k for _, k in plan))
+        # The kmap matches on the Hive string form of each partition
+        # value; a type whose cast('string') differs from its
+        # directory form would miss the map and fall to one bucket —
+        # an acceptable degradation (the rows still compact, just
+        # unsized), but not a silent one: count the misses through the
+        # write (a zero-cost CollectMetrics node, no extra job) and
+        # warn after it lands.
+        obs = Observation("compact_kmap")
         out = (df.join(F.broadcast(kmap), cond, "left")
+               .observe(obs, F.sum(F.when(F.col("_k").isNull(), 1)
+                                   .otherwise(0)).alias("unmatched"))
                .withColumn("_salt", salt)
                .drop("_k", *[f"_pv_{c}" for c in partition_by])
                .repartition(n_files, *partition_by, "_salt")
@@ -161,6 +176,14 @@ def compact_parquet(spark: SparkSession, path: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    if obs is not None:
+        unmatched = obs.get.get("unmatched") or 0
+        if unmatched:
+            _log.warning(
+                "compact_parquet(%s): %d rows missed the partition "
+                "size map (cast-to-string form != directory form?) "
+                "and compacted as one bucket per partition value",
+                path, unmatched)
     _swap_in(tmp, path)
     return n_files
 
@@ -206,21 +229,52 @@ def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
     this merge never reads, so it would survive as a duplicate —
     exactly why every partition-scoped MERGE (Hive, Delta, Iceberg
     with partition predicates) carries the same contract. Keys that
-    can move need the full rewrite."""
+    can move need the full rewrite.
+
+    CRASH CONTRACT of the partition path — weaker than the full
+    rewrite's, by the nature of dynamic partition overwrite on plain
+    parquet: the full rewrite stages into a temp dir and swaps
+    (``_swap_in``) so every crash window leaves a recoverable table,
+    but dynamic overwrite commits IN PLACE per partition, and a crash
+    mid job-commit can leave a touched partition with its old files
+    already deleted and its new ones not yet visible — that
+    partition's pre-existing rows are then unrecoverable from the
+    updates alone. Recovery is re-running the merge from a retained
+    updates batch PLUS a backup/snapshot of the table (which a 100 TB
+    lake keeps anyway); a per-partition stage+rename would need a
+    partition-level swap protocol that plain parquet directories
+    cannot express atomically across partitions. Callers who cannot
+    tolerate the window should use the full rewrite (no
+    ``partition_by``) or a transactional table format."""
     if partition_by and os.path.exists(path):
-        touched = updates.select(*partition_by).distinct().collect()
         current = spark.read.parquet(path)
-        pred = None
-        for row in touched:
-            p = None
-            for c in partition_by:
-                eq = (F.col(c).eqNullSafe(F.lit(row[c])))
-                p = eq if p is None else (p & eq)
-            pred = p if pred is None else (pred | p)
-        if pred is None:                      # empty updates: no-op
+        # Touched-partition predicate, kept FLAT: one tuple-key
+        # expression (Hive-escaped string concat of the partition
+        # columns) probed with .isin over the updates' distinct
+        # tuples, instead of an Or-chain of per-tuple conjunctions —
+        # a many-partition batch would otherwise build an Or tree
+        # whose depth equals the tuple count. Both sides of the
+        # comparison go through the SAME Spark cast-to-string, so
+        # type-form skew (e.g. partition-type inference reading a
+        # written string back as int) cannot cause a false miss; a
+        # separator collision (chr(1) inside a value) can only ADD a
+        # partition to the read set, never drop one, and an extra
+        # partition rewrites to identical contents.
+        sep = chr(1)
+
+        def tuple_key(df: DataFrame):
+            return F.concat_ws(sep, *[
+                F.coalesce(F.col(c).cast("string"), F.lit(_HIVE_NULL))
+                for c in partition_by])
+
+        touched = [r["_tk"] for r in
+                   updates.select(tuple_key(updates).alias("_tk"))
+                   .distinct().collect()]
+        if not touched:                       # empty updates: no-op
             return
-        winner = _winner_per_key(current.where(pred), updates,
-                                 key, order_by)
+        winner = _winner_per_key(
+            current.where(tuple_key(current).isin(touched)),
+            updates, key, order_by)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                               "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",

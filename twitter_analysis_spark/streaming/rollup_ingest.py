@@ -31,7 +31,9 @@ its original date — the same identity assumption every dedup contract
 here makes), so per-trigger cost is batch size + those dates'
 partitions — NOT corpus size. (A flat ``event_id``-only index built
 by versions before the date partitioning needs a one-time reindex —
-rebuild it from the lake's ids with a partitioned write.) The one remaining torn window (lake appended, index
+rebuild it from the lake's ids with a partitioned write;
+``_absorb_into_lake`` detects the legacy layout and raises an error
+naming that fix rather than failing the date prune opaquely.) The one remaining torn window (lake appended, index
 append crashed) can leave duplicate raw rows for the crashed batch
 only; the refresh guards against even that by deduplicating the
 pruned scan on ``event_id`` before aggregating, so the SERVED rollup
@@ -64,8 +66,23 @@ def _absorb_into_lake(spark: SparkSession, batch: DataFrame,
     partitioned by event_date and a redelivered record carries its
     original ts."""
     if os.path.exists(index_path):
-        index = (spark.read.parquet(index_path)
-                 .where(F.col("event_date").isin(dates))
+        index = spark.read.parquet(index_path)
+        if "event_date" not in index.columns:
+            # a flat event_id-only index built by versions before the
+            # date partitioning: without the partition column the
+            # date prune below would die with an opaque
+            # unresolved-column error on the first drain — name the
+            # fix instead.
+            raise ValueError(
+                f"rollup ingest index at {index_path!r} predates the "
+                "event_date partitioning (columns: "
+                f"{index.columns}); a one-time reindex is required — "
+                "rebuild it from the lake's ids with "
+                "a write partitioned by event_date, e.g. "
+                "spark.read.parquet(lake).select('event_id', "
+                "'event_date').write.partitionBy('event_date')"
+                ".parquet(new_index_path)")
+        index = (index.where(F.col("event_date").isin(dates))
                  .select("event_id"))
     else:
         index = spark.createDataFrame([], "event_id LONG")
