@@ -288,8 +288,10 @@ def test_streaming_ingest_dedup(spark, tmp_path):
     assert got2 == {1: "alpha", 3: "beta", 11: "gamma"}
 
     # index equals a from-scratch build over the final corpus
+    # (modulo the _batch_id layout column of the replace-by-batch sink)
     built = content_index(spark.read.parquet(corpus), "doc_id", "text")
-    assert sorted(map(tuple, spark.read.parquet(index).collect())) == \
+    assert sorted(map(tuple, spark.read.parquet(index)
+                      .select("content_key", "holder_id").collect())) == \
         sorted(map(tuple, built.collect()))
 
     # crash-recovery guard: marker files exist, re-drain is a no-op
@@ -860,9 +862,10 @@ def test_streaming_rollup_survives_checkpoint_loss(spark, tmp_path):
 
 def test_streaming_ingest_dedup_survives_checkpoint_loss(spark, tmp_path):
     """Checkpoint loss re-delivers the whole drop with fresh batch ids;
-    the persistent content index classifies every replayed doc as
-    dup_of_corpus, so the corpus gains nothing — the id-indexed
-    pipelines self-heal without markers."""
+    docs indexed under OTHER batch ids classify dup_of_corpus, and the
+    redelivered batch-0 docs re-classify and OVERWRITE their own
+    partition (replace-by-batch) — either way the corpus converges to
+    the same unique set without markers."""
     import json
 
     from twitter_analysis_spark.streaming.ingest import (
@@ -890,13 +893,13 @@ def test_streaming_ingest_dedup_survives_checkpoint_loss(spark, tmp_path):
 
 def test_streaming_ingest_neardup_survives_checkpoint_loss(spark, tmp_path):
     """Near-dup twin of the dedup checkpoint-loss contract. With the
-    markers gone, the whole drop redelivers as batch 0 — and the
-    verify path alone would re-append every replayed doc (pair
-    generation is id1 < id2; a doc never matches itself). The
-    identity guard must catch the bdoc == pdoc probe collisions: the
-    corpus and band index stay duplicate-free, while a genuinely NEW
-    doc arriving with the replay still ingests (and a near-dup of a
-    corpus doc still drops)."""
+    markers gone, the whole drop redelivers as batch 0. Replayed docs
+    whose band rows live in OTHER partitions drop via the bdoc ==
+    pdoc identity guard; docs whose rows live in the replaying batch
+    0's own (self-excluded) partition re-classify from scratch and
+    OVERWRITE it. Either way the corpus and band index stay
+    duplicate-free, a genuinely NEW doc arriving with the replay
+    still ingests, and a near-dup of a corpus doc still drops."""
     import json
 
     from twitter_analysis_spark.streaming.ingest import (
@@ -949,13 +952,18 @@ def test_streaming_ingest_neardup_survives_checkpoint_loss(spark, tmp_path):
 
 def test_streaming_decontaminate_checkpoint_loss_contract(spark, tmp_path):
     """The decon pipeline's documented recovery is DIFFERENT from the
-    indexed pipelines: it keeps no identity artifact, so checkpoint
-    loss redelivers the whole drop and the clean corpus duplicates
-    wholesale — by contract, the duplicates are healed by the next
-    maintenance.upsert_by_key compaction, and the clean/quarantine
-    ROUTING stays deterministic (no doc changes side on replay).
-    This test pins both halves of that contract."""
+    indexed pipelines: it keeps no identity artifact, so after
+    checkpoint loss the whole drop redelivers as batch 0 and docs
+    ORIGINALLY ingested under other batch ids duplicate (their old
+    partition survives, the new batch-0 one gains a copy) — docs
+    whose original batch id matches the replay's simply overwrite
+    their partition (replace-by-batch) and do NOT duplicate. The
+    residual duplicates are healed by upsert_by_key's full-rewrite
+    form, which keeps the _batch_id output layout so draining can
+    continue; the clean/quarantine ROUTING stays deterministic (no
+    doc changes side on replay). This test pins all of that."""
     import json
+    import os
 
     from twitter_analysis_spark.sources.maintenance import upsert_by_key
     from twitter_analysis_spark.streaming.ingest import (
@@ -984,23 +992,42 @@ def test_streaming_decontaminate_checkpoint_loss_contract(spark, tmp_path):
     assert [r["doc_id"] for r in
             spark.read.parquet(quarantine).collect()] == [2]
 
-    # checkpoint loss: replay duplicates the clean corpus (documented),
-    # routing unchanged (doc 2 never reaches the corpus)
+    # a SECOND drain ingests doc 3 as batch 1
+    with open(drop / "d2.json", "w") as f:
+        f.write(json.dumps({
+            "doc_id": 3,
+            "text": "another clean later document of fresh words"}) + "\n")
+    streaming_ingest_decontaminate(
+        spark, str(drop), bench, corpus, quarantine,
+        checkpoint=str(tmp_path / "cl4_ckpt"))
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1, 3]
+
+    # checkpoint loss: the whole drop replays as batch 0. Doc 1
+    # (originally batch 0) overwrites its own partition — no dup;
+    # doc 3 (originally batch 1) lands in partition 0 TOO — dup.
+    # Routing unchanged: doc 2 never reaches the corpus.
     shutil.rmtree(tmp_path / "cl4_ckpt")
     streaming_ingest_decontaminate(
         spark, str(drop), bench, corpus, quarantine,
         checkpoint=str(tmp_path / "cl4_ckpt"))
     corpus_ids = sorted(r["doc_id"] for r in
                         spark.read.parquet(corpus).collect())
-    assert corpus_ids == [1, 1]
+    assert corpus_ids == [1, 3, 3]
+    # doc 2 was originally batch 0 too, so the replay overwrites its
+    # quarantine partition rather than duplicating it
     assert sorted(r["doc_id"] for r in
-                  spark.read.parquet(quarantine).collect()) == [2, 2]
+                  spark.read.parquet(quarantine).collect()) == [2]
 
-    # the documented healer: key compaction collapses the replays
+    # the documented healer: full-rewrite key compaction collapses the
+    # cross-partition replays while preserving the _batch_id layout
     upsert_by_key(spark, corpus,
                   spark.read.parquet(corpus).dropDuplicates(["doc_id"]),
-                  key="doc_id")
-    assert [r["doc_id"] for r in spark.read.parquet(corpus).collect()] == [1]
+                  key="doc_id", partition_by=["_batch_id"],
+                  full_rewrite=True)
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1, 3]
+    assert any(e.startswith("_batch_id=") for e in os.listdir(corpus))
 
 
 def test_streaming_rollup_legacy_flat_index_names_the_fix(spark, tmp_path):
@@ -1037,3 +1064,149 @@ def test_streaming_rollup_legacy_flat_index_names_the_fix(spark, tmp_path):
                                 checkpoint=str(tmp_path / "legacy_ckpt"))
     assert not os.path.exists(lake)
     assert not os.path.exists(roll)
+
+
+def test_streaming_ingest_dedup_torn_batch_zero_duplicates(
+        spark, tmp_path, monkeypatch):
+    """Kill the pipeline BETWEEN the corpus write and the index write
+    (the once-documented torn-batch window) and restart: the corpus
+    must come back duplicate-free WITHOUT any compaction, because the
+    re-run classifies against the index read minus its own partition
+    and OVERWRITES its own corpus partition instead of appending
+    (round-9 verdict directive 2 — the healer caveat is gone)."""
+    import json
+
+    import pytest
+
+    from twitter_analysis_spark.operators.dedup import content_index
+    from twitter_analysis_spark.streaming import ingest as ing
+
+    drop = tmp_path / "torn_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "torn_corpus")
+    index = str(tmp_path / "torn_index")
+    ckpt = str(tmp_path / "torn_ckpt")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id,
+                                    "text": text}) + "\n")
+
+    # batch 0 lands cleanly
+    write_drop("d1.json", [(1, "alpha"), (2, "beta")])
+    ing.streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=ckpt)
+
+    # batch 1: crash AFTER the corpus write, BEFORE the index write
+    write_drop("d2.json", [(10, "alpha"),        # dup of corpus
+                           (11, "gamma"), (12, "gamma")])  # in-batch dup
+    real = ing._replace_batch_partition
+
+    def crash_before_index(df, path, batch_id):
+        if path == index and batch_id > 0:
+            raise RuntimeError("simulated crash between corpus "
+                               "and index writes")
+        real(df, path, batch_id)
+
+    monkeypatch.setattr(ing, "_replace_batch_partition",
+                        crash_before_index)
+    with pytest.raises(Exception, match="simulated crash"):
+        ing.streaming_ingest_dedup(spark, str(drop), corpus, index,
+                                   checkpoint=ckpt)
+    monkeypatch.setattr(ing, "_replace_batch_partition", real)
+
+    # torn state on disk: the corpus already holds batch 1's rows,
+    # the index does not, and no marker was written
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1, 2, 11]
+    assert sorted(r["holder_id"] for r in
+                  spark.read.parquet(index).collect()) == [1, 2]
+
+    # restart with the SAME checkpoint: batch 1 redelivers, re-runs,
+    # and replaces its own partition — ZERO duplicates, no compaction
+    ing.streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=ckpt)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 11]
+    built = content_index(spark.read.parquet(corpus), "doc_id", "text")
+    assert sorted(map(tuple, spark.read.parquet(index)
+                      .select("content_key", "holder_id").collect())) == \
+        sorted(map(tuple, built.collect()))
+    # and a further clean drain still works on the healed-by-replay state
+    write_drop("d3.json", [(20, "delta"), (21, "alpha")])
+    ing.streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=ckpt)
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1, 2, 11, 20]
+
+
+def test_streaming_ingest_neardup_torn_batch_zero_duplicates(
+        spark, tmp_path, monkeypatch):
+    """Near-dup twin of the torn-batch closure: crash between the
+    corpus write and the band-index write, restart, and require the
+    corpus duplicate-free with the band index equal to bands rows per
+    surviving doc — without compaction."""
+    import json
+
+    import pytest
+
+    from twitter_analysis_spark.streaming import ingest as ing
+
+    drop = tmp_path / "tornnd_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "tornnd_corpus")
+    index = str(tmp_path / "tornnd_index")
+    ckpt = str(tmp_path / "tornnd_ckpt")
+    kw = dict(num_hashes=32, bands=16, threshold=0.5)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat sleeps by the warm fire every single evening")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id,
+                                    "text": text}) + "\n")
+
+    write_drop("d1.json", [(1, base)])
+    ing.streaming_ingest_neardup(spark, str(drop), corpus, index,
+                                 checkpoint=ckpt, **kw)
+
+    # batch 1: a near-dup of corpus doc 1 plus a novel doc; crash
+    # after the corpus write, before the band-index write
+    write_drop("d2.json", [
+        (10, base.replace("lazy", "idle")),
+        (11, "novel text about catalyst plans and shuffle exchanges "
+             "in distributed execution engines")])
+    real = ing._replace_batch_partition
+
+    def crash_before_index(df, path, batch_id):
+        if path == index and batch_id > 0:
+            raise RuntimeError("simulated crash between corpus "
+                               "and band-index writes")
+        real(df, path, batch_id)
+
+    monkeypatch.setattr(ing, "_replace_batch_partition",
+                        crash_before_index)
+    with pytest.raises(Exception, match="simulated crash"):
+        ing.streaming_ingest_neardup(spark, str(drop), corpus, index,
+                                     checkpoint=ckpt, **kw)
+    monkeypatch.setattr(ing, "_replace_batch_partition", real)
+
+    # torn: corpus holds batch 1's survivor, index doesn't know it
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1, 11]
+    assert sorted({r["doc"] for r in
+                   spark.read.parquet(index).collect()}) == [1]
+
+    # restart: replace-by-batch re-runs batch 1 into identical
+    # partitions — zero duplicates, index consistent, no compaction
+    ing.streaming_ingest_neardup(spark, str(drop), corpus, index,
+                                 checkpoint=ckpt, **kw)
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1, 11]
+    per_doc = {r["doc"]: r["n"] for r in
+               spark.read.parquet(index).groupBy("doc").count()
+               .withColumnRenamed("count", "n").collect()}
+    assert per_doc == {1: 16, 11: 16}

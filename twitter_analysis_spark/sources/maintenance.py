@@ -207,7 +207,8 @@ def _winner_per_key(current: DataFrame, updates: DataFrame,
 
 def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
                   key: str, order_by: str | None = None,
-                  partition_by: list[str] | None = None) -> None:
+                  partition_by: list[str] | None = None,
+                  full_rewrite: bool = False) -> None:
     """Merge ``updates`` into the parquet table at ``path``: one row per
     ``key`` survives. Winner = highest ``order_by`` value (ties: the
     update); with no ``order_by``, updates simply replace existing rows
@@ -245,8 +246,18 @@ def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
     partition-level swap protocol that plain parquet directories
     cannot express atomically across partitions. Callers who cannot
     tolerate the window should use the full rewrite (no
-    ``partition_by``) or a transactional table format."""
-    if partition_by and os.path.exists(path):
+    ``partition_by``) or a transactional table format.
+
+    ``full_rewrite=True`` forces the corpus-sized
+    read-union-dedup-rewrite through the crash-safe swap while keeping
+    ``partition_by`` as the OUTPUT layout only. This is the healer
+    form for CROSS-partition duplicates — e.g. a replace-by-batch sink
+    after checkpoint loss, where a doc's replayed copy lands in a
+    different ``_batch_id`` partition than its original: the key is
+    not partition-stable there, so the partition-scoped merge must not
+    be used, but the healed table still needs its partitioned layout
+    for subsequent drains."""
+    if partition_by and os.path.exists(path) and not full_rewrite:
         current = spark.read.parquet(path)
         # Touched-partition predicate, kept FLAT: one tuple-key
         # expression (Hive-escaped string concat of the partition

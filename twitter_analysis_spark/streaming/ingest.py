@@ -2,35 +2,47 @@
 
 The continuous form of the daily-ingest pattern
 (operators/dedup.py:incremental_exact_dedup): JSONL documents landing
-in a drop directory are appended to a curated parquet corpus, each
+in a drop directory are written to a curated parquet corpus, each
 micro-batch deduped against a PERSISTENT content index — the corpus
 itself is never rescanned, so per-trigger cost is proportional to the
 batch at any corpus size.
 
-Per micro-batch (inside ``foreachBatch``):
+Every sink in this module is REPLACE-BY-BATCH: outputs are
+Hive-partitioned by ``_batch_id`` and each micro-batch writes its own
+partition via dynamic partition overwrite, while state reads EXCLUDE
+the writing batch's own partition. That pair makes the per-batch work
+a pure function of (batch input, state from OTHER batches), so a
+replayed batch — whatever it managed to write before a crash —
+overwrites its own partitions with the identical recomputation
+instead of appending duplicates. Concretely, per micro-batch (inside
+``foreachBatch``):
 
 1. classify every batch row new / dup_in_batch / dup_of_corpus
-   against the on-disk index;
-2. append the 'new' rows to the corpus;
-3. append their content keys to the index — a PURE append, because
-   'new' is by definition "key absent from the index", so merged keys
-   can never collide with existing ones (the invariant
+   against the on-disk index, READ WITHOUT the current batch's own
+   partition (deterministic under replay);
+2. overwrite the corpus' ``_batch_id=N`` partition with the 'new'
+   rows;
+3. overwrite the index's ``_batch_id=N`` partition with their content
+   keys — key sets stay disjoint across partitions because 'new'
+   means "key absent from the rest of the index" (the invariant
    tests/test_dedup_similarity.py::
    test_incremental_dedup_index_merge_roundtrip pins);
-4. stamp a batch-id marker file LAST. Parquet appends are not
-   transactional, so a crash between 2 and 4 can leave a torn batch;
-   on restart the marker check skips finished batches (dedup of
-   re-delivered input), and because the index append happens after the
-   corpus append, a torn batch re-runs with the OLD index and simply
-   re-classifies — re-appended 'new' rows are possible only for the
-   crashed batch and are cleaned by the next
-   ``maintenance.upsert_by_key`` compaction, which is the documented
-   recovery for every non-transactional sink in this repo.
+4. stamp a batch-id marker file LAST — purely a recompute-skip fast
+   path for re-delivered finished batches, NOT a correctness device:
+   a crash at ANY point between 1 and 4 (including the once-feared
+   window between the corpus and index writes) re-runs the batch into
+   byte-identical partitions with ZERO duplicates and no compaction
+   needed (tests/test_streaming.py::
+   test_streaming_ingest_dedup_torn_batch_zero_duplicates).
 
 At 100 TB the index is the only corpus-sized artifact touched per
 trigger, and only through a key-partitioned join; store it bucketed by
 ``content_key`` (sources/io.py:write_bucketed) so the probe join
-co-locates without a shuffle of the batch.
+co-locates without a shuffle of the batch. Replace-by-batch leaves one
+parquet file generation per trigger (like any appending writer) —
+``maintenance.compact_parquet(partition_by=["_batch_id"])`` is the
+steady-state file-count maintenance, now purely a PERFORMANCE chore
+rather than a correctness healer.
 """
 
 from __future__ import annotations
@@ -52,6 +64,72 @@ def _empty_index(spark: SparkSession, hash_fn: str) -> DataFrame:
         [], f"content_key {_KEY_TYPE[hash_fn]}, holder_id LONG")
 
 
+def _check_batch_layout(path: str) -> None:
+    """Refuse to mix layouts: a table written by the pre-replace-by-
+    batch versions of this module (flat parquet files at the root, no
+    ``_batch_id=...`` directories) would silently corrupt if a
+    partitioned dynamic overwrite landed next to its flat files — name
+    the one-time migration instead."""
+    if os.path.isdir(path) and any(
+            e.endswith(".parquet") for e in os.listdir(path)):
+        raise ValueError(
+            f"{path!r} predates the replace-by-batch layout (flat "
+            "parquet files at the root, no _batch_id partitions); a "
+            "one-time migration is required — rewrite it partitioned, "
+            "e.g. spark.read.parquet(path).withColumn('_batch_id', "
+            "F.lit(-1)).write.partitionBy('_batch_id')"
+            ".parquet(new_path)")
+
+
+def _has_batches(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        e.startswith("_batch_id=") for e in os.listdir(path))
+
+
+def _replace_batch_partition(df: DataFrame, path: str,
+                             batch_id: int) -> None:
+    """The replace-by-batch sink: write ``df`` as the table's
+    ``_batch_id=batch_id`` partition via dynamic partition overwrite.
+    Idempotent per (checkpoint, batch_id): a replayed batch replaces
+    exactly its own partition; other batches' partitions are never
+    touched. An empty ``df`` overwrites nothing (dynamic mode only
+    replaces partitions present in the output) — correct, because the
+    only way a replay computes empty is state that already reflects
+    the batch."""
+    _check_batch_layout(path)
+    (df.withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(path))
+
+
+def _read_excluding_batch(spark: SparkSession, path: str, batch_id: int,
+                          empty: DataFrame) -> DataFrame:
+    """Read a replace-by-batch table WITHOUT the current batch's own
+    partition — the other half of replay idempotency: a torn batch's
+    partial first-attempt writes are invisible to its re-run, so the
+    re-run classifies against exactly the pre-batch state. The
+    ``!=`` on the partition column prunes at listing time (one
+    directory skipped, never scanned)."""
+    if not _has_batches(path):
+        _check_batch_layout(path)     # legacy flat layout raises here
+        return empty
+    return (spark.read.parquet(path)
+            .where(F.col("_batch_id") != int(batch_id))
+            .drop("_batch_id"))
+
+
+def _read_batched(spark: SparkSession, path: str,
+                  empty: DataFrame) -> DataFrame:
+    """Read a replace-by-batch table whole (all batches), hiding the
+    layout column."""
+    if not _has_batches(path):
+        _check_batch_layout(path)
+        return empty
+    return spark.read.parquet(path).drop("_batch_id")
+
+
 def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
                            corpus_path: str, index_path: str,
                            schema: str = "doc_id LONG, text STRING",
@@ -61,12 +139,24 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
     ``corpus_path``, maintaining the content index at ``index_path``.
     Returns the finished streaming query.
 
+    Corpus and index are replace-by-batch sinks (module docstring):
+    both are partitioned by ``_batch_id``, each batch overwrites only
+    its own partition, and the index is read WITHOUT the writing
+    batch's partition — so a crash anywhere in the batch (including
+    between the corpus and index writes) re-runs into byte-identical
+    partitions with zero duplicates and no compaction.
+
     Batch-id markers are scoped to the CHECKPOINT: batch ids only mean
     "same batch" within one checkpoint lineage (a fresh checkpoint
     restarts at 0 while the file source re-reads nothing or
     everything depending on its own tracking), so reuse one checkpoint
     for the lifetime of an ingest pipeline — which is also what makes
     the file source skip already-ingested drop files across drains.
+    Even full CHECKPOINT LOSS converges duplicate-free here: the whole
+    drop redelivers as batch 0; docs indexed in other partitions
+    classify dup_of_corpus, and batch-0's own docs re-classify and
+    overwrite their partition (the content's holder can swap to the
+    lowest redelivered id, never duplicate).
     """
     marker_dir = (os.path.join(checkpoint, "__ingest_batches")
                   if checkpoint else f"{index_path}__batches")
@@ -83,18 +173,20 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
         marker = os.path.join(marker_dir, f"batch_{batch_id}")
         if os.path.exists(marker):            # re-delivered after crash
             return
-        index = (spark.read.parquet(index_path)
-                 if os.path.exists(index_path)
-                 else _empty_index(spark, hash_fn))
+        # exclude our own partition: a torn first attempt's partial
+        # index write must not poison the re-run's classification
+        index = _read_excluding_batch(spark, index_path, batch_id,
+                                      _empty_index(spark, hash_fn))
         res = incremental_exact_dedup(batch_df, index, "doc_id", "text",
                                       hash_fn=hash_fn)
         new_ids = res.where(F.col("status") == "new").select("doc_id")
         new_docs = batch_df.join(new_ids, "doc_id", "left_semi").persist()
-        new_docs.write.mode("append").parquet(corpus_path)
-        (content_index(new_docs, "doc_id", "text", hash_fn=hash_fn)
-         .write.mode("append").parquet(index_path))
+        _replace_batch_partition(new_docs, corpus_path, batch_id)
+        _replace_batch_partition(
+            content_index(new_docs, "doc_id", "text", hash_fn=hash_fn),
+            index_path, batch_id)
         new_docs.unpersist()
-        open(marker, "w").close()             # commit point, written last
+        open(marker, "w").close()             # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
@@ -122,17 +214,19 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     (band, bh), never a corpus rescan.
 
     Per batch: signature + band keys for the batch docs; candidates =
-    band collisions against the index PLUS intra-batch collisions;
-    candidates are verified with EXACT n-gram Jaccard, the corpus side
-    of the verification reading only the candidate partner docs
-    (a key semi-join into the corpus — bucketed by doc_id at deploy
-    scale, a pruned read). Batch docs drop when a verified pair ties
-    them to the corpus or to a lower-id batch doc (first copy
-    survives); duplicate CHAINS resolve across triggers the same
-    one-pass way each trigger. Survivors append to the corpus and
-    their band rows to the index; the batch marker commits last, with
-    exactly the torn-batch recovery contract documented on
-    :func:`streaming_ingest_dedup`.
+    band collisions against the index (read WITHOUT the batch's own
+    partition, see below) PLUS intra-batch collisions; candidates are
+    verified with EXACT n-gram Jaccard, the corpus side of the
+    verification reading only the candidate partner docs (a key
+    semi-join into the corpus — bucketed by doc_id at deploy scale, a
+    pruned read). Batch docs drop when a verified pair ties them to
+    the corpus or to a lower-id batch doc (first copy survives);
+    duplicate CHAINS resolve across triggers the same one-pass way
+    each trigger. Survivors replace the corpus' ``_batch_id``
+    partition and their band rows the index's — the replace-by-batch
+    contract of :func:`streaming_ingest_dedup`: a torn batch (crash
+    anywhere between the two writes and the marker) re-runs into
+    byte-identical partitions with zero duplicates and no compaction.
 
     doc_ids are assumed globally unique across drops (they key both
     the corpus and the index). Signatures use the xxhash64 family and
@@ -140,17 +234,17 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     self-join defaults — a mega-bucket in the INDEX costs the probe
     join, so the cap applies to the index side too at deploy scale.
 
-    CLEAN checkpoint-loss replay is absorbed by an identity guard,
-    not the markers (markers die with the checkpoint): a redelivered
-    doc collides with its own index rows in every band, so the
-    ``bdoc == pdoc`` candidates from the probe join name exactly the
-    replayed ids and they drop without verification — at zero extra
-    index contact. The guard needs the doc's INDEX rows to fire, so
-    it covers only batches whose appends completed: a torn batch
-    (crash after the corpus append, before the index append) can
-    still double-append its corpus rows on re-run, and relies on the
-    documented ``upsert_by_key`` compaction healer — the same
-    torn-batch recovery contract as :func:`streaming_ingest_dedup`.
+    CLEAN checkpoint-loss replay (markers die with the checkpoint;
+    the whole drop redelivers as batch 0) converges duplicate-free
+    through two devices: docs whose index rows live in partitions
+    other than the replaying batch's self-collide in every band, so
+    the ``bdoc == pdoc`` candidates from the probe join name exactly
+    those replayed ids and they drop without verification, at zero
+    extra index contact; docs whose rows live in the replaying batch's
+    OWN partition are re-classified from scratch and OVERWRITE that
+    partition, which can swap a near-dup class' surviving
+    representative (lowest id of the redelivered batch wins) but
+    never duplicates content.
     """
     from ..operators.dedup import (_jaccard_pairs_from, _signatures_from,
                                    doc_shingle_pairs)
@@ -187,9 +281,8 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
             return
         batch_df = batch_df.persist()
         banded = banded_of(batch_df).persist()
-        index = (spark.read.parquet(band_index_path)
-                 if os.path.exists(band_index_path)
-                 else _empty_band_index(spark))
+        index = _read_excluding_batch(spark, band_index_path, batch_id,
+                                      _empty_band_index(spark))
 
         # candidate pairs, normalized to (batch doc, partner doc).
         # The early .distinct() on each branch is deliberate: a pair
@@ -217,11 +310,13 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
         # only (uncapped shingle sets: band collision is the recall
         # device, the verify is the truth)
         partners = cand.select(F.col("pdoc").alias("doc_id")).distinct()
+        # partner ids come from the (self-excluded) index, so they
+        # never name the current batch's own partial first-attempt
+        # rows; reading the corpus whole is therefore replay-safe
         corpus_part = (
-            spark.read.parquet(corpus_path)
-            .join(partners, "doc_id", "left_semi")
-            if os.path.exists(corpus_path)
-            else batch_df.limit(0))
+            _read_batched(spark, corpus_path, batch_df.limit(0))
+            .select("doc_id", "text")
+            .join(partners, "doc_id", "left_semi"))
         vdocs = batch_df.select("doc_id", "text").unionByName(
             corpus_part.select("doc_id", "text"))
         vset = doc_shingle_pairs(vdocs, "doc_id", "text", n,
@@ -242,12 +337,16 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
         # redelivers as batch 0 with the markers gone, and the verify
         # path would re-append every replayed doc (pair generation is
         # id1 < id2, so a doc never Jaccard-matches itself). But a
-        # replayed doc X necessarily collides with its OWN index rows
-        # in every band, so the bdoc == pdoc candidates already name
-        # exactly the replayed ids — doc_ids are globally unique by
-        # this function's contract, same id = same doc, drop without
+        # replayed doc X whose index rows live in a partition OTHER
+        # than this batch's (the self-excluded read keeps those)
+        # necessarily collides with its own rows in every band, so
+        # the bdoc == pdoc candidates already name exactly those
+        # replayed ids — doc_ids are globally unique by this
+        # function's contract, same id = same doc, drop without
         # verification. Zero extra index contact: the probe join
-        # already ran.
+        # already ran. Docs whose rows live in THIS batch id's
+        # partition are instead re-classified from scratch and
+        # overwrite it (replace-by-batch).
         replayed = (cand.where(F.col("bdoc") == F.col("pdoc"))
                     .select(F.col("bdoc").alias("doc_id")).distinct())
 
@@ -255,7 +354,7 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                     .join(dropped, "doc_id", "left_anti")
                     .join(replayed, "doc_id", "left_anti")
                     .persist())
-        new_docs.write.mode("append").parquet(corpus_path)
+        _replace_batch_partition(new_docs, corpus_path, batch_id)
         # Recomputing the survivors' band rows looks wasteful next to
         # a semi-join against the persisted `banded`; a round-8 A/B
         # could not separate the variants from box noise (drain cost
@@ -264,11 +363,11 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
         # fewer exchange pair, and the map-side shingle+hash is
         # batch-proportional. Revisit with cluster-scale batches
         # where signature CPU could dominate exchange overhead.
-        (banded_of(new_docs)
-         .write.mode("append").parquet(band_index_path))
+        _replace_batch_partition(banded_of(new_docs), band_index_path,
+                                 batch_id)
         for d in (new_docs, cand, banded, batch_df):
             d.unpersist()
-        open(marker, "w").close()             # commit point, written last
+        open(marker, "w").close()             # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
@@ -296,14 +395,18 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
     captured by the ``foreachBatch`` closure and baked into every
     micro-batch plan as a literal, and the exact-verify shingle set is
     persisted across batches; per-trigger cost is proportional to the
-    batch, never to the benchmark. Crash contract: both appends land
-    before the batch-id marker, a torn batch re-runs whole, and
-    duplicate rows from the crashed batch are cleaned by the next
-    ``maintenance.upsert_by_key`` compaction. Unlike the indexed
-    pipelines this one keeps NO identity artifact, so CHECKPOINT LOSS
-    redelivers the whole drop and duplicates the outputs wholesale —
-    same healer (key compaction), and the clean/quarantine routing is
-    deterministic so no doc changes side on replay (both halves
+    batch, never to the benchmark. Crash contract: both sinks are
+    replace-by-batch (:func:`_replace_batch_partition`), so a TORN
+    batch — crash between the quarantine and corpus writes, or before
+    the marker — re-runs into byte-identical partitions with zero
+    duplicates and no compaction. Unlike the indexed pipelines this
+    one keeps NO identity artifact, so CHECKPOINT LOSS (whole drop
+    redelivered as batch 0) still duplicates docs whose ORIGINAL
+    batch id differs from the replay's — they stay in their old
+    partition and land again in the new batch-0 one; the documented
+    healer is ``maintenance.upsert_by_key(key, full_rewrite=True,
+    partition_by=["_batch_id"])``, and the clean/quarantine routing
+    is deterministic so no doc changes side on replay (both halves
     pinned in tests). Compose after ``streaming_ingest_dedup`` when
     duplicates must never be visible between compactions.
     """
@@ -332,13 +435,14 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
         batch = batch_df.persist()
         hits = decontaminate_probe(batch, bench_sh, words,
                                    "doc_id", "text", n).persist()
-        (batch.join(hits, "doc_id")
-         .write.mode("append").parquet(quarantine_path))
-        (batch.join(hits.select("doc_id"), "doc_id", "left_anti")
-         .write.mode("append").parquet(corpus_path))
+        _replace_batch_partition(batch.join(hits, "doc_id"),
+                                 quarantine_path, batch_id)
+        _replace_batch_partition(
+            batch.join(hits.select("doc_id"), "doc_id", "left_anti"),
+            corpus_path, batch_id)
         hits.unpersist()
         batch.unpersist()
-        open(marker, "w").close()             # commit point, written last
+        open(marker, "w").close()             # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
