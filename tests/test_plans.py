@@ -664,3 +664,97 @@ def test_incremental_dedup_index_joins_before_any_exchange(spark, tmp_path):
                            if s.startswith("Exchange")), len(ancestors))
     assert first_join is not None, ancestors
     assert first_join < first_exchange, ancestors
+
+
+def _ancestors_of_index_scan(plan: str) -> list[str]:
+    """Ancestor operator list (nearest first) of the first parquet
+    FileScan in an executed-plan string — the tree-walk the
+    join-before-exchange pins share."""
+    scan_at = plan.index("FileScan parquet")
+    lines = plan[:scan_at].splitlines()
+    last = lines[-1]
+    indent = len(last) - len(last.lstrip(" :+-*(0123456789)"))
+    ancestors = []
+    for line in reversed(lines[:-1]):
+        stripped = line.lstrip(" :+-")
+        this_indent = len(line) - len(stripped)
+        if this_indent < indent:
+            indent = this_indent
+            ancestors.append(stripped)
+    return ancestors
+
+
+def test_incremental_dedup_bucketed_index_scan_has_no_exchange(spark):
+    """The deploy-scale claim the two-step probe's docstring makes
+    (operators/dedup.py:incremental_exact_dedup): bucketing the stored
+    index by content_key removes even the index SCAN's exchange. The
+    regime that matters is when nothing can broadcast (cluster-scale
+    batches): there the plain-parquet index must shuffle into the
+    SortMergeJoin, while a bucketed index's scan already satisfies the
+    join's distribution. Pinned over the COMPOSED deploy layout — the
+    index table partitioned by _batch_id (the replace-by-batch
+    streaming layout) AND bucketed by content_key, read exactly the
+    way the streaming probe reads it (own batch's partition excluded,
+    layout column dropped): the index branch must reach its first Join
+    with ZERO Exchange, and the same probe over a plain-parquet index
+    must NOT (the negative control that keeps this pin falsifiable)."""
+    import pyspark.sql.functions as F
+
+    from twitter_analysis_spark.operators.dedup import (
+        incremental_exact_dedup)
+
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")              # nothing broadcasts
+    idx_df = (spark.range(100_000)
+              .select(F.xxhash64(F.concat(F.lit("doc"), F.col("id")))
+                      .alias("content_key"),
+                      F.col("id").alias("holder_id"),
+                      (F.col("id") % 7).alias("_batch_id")))
+    batch = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc"), (F.col("id") * 7).cast("string"))
+        .alias("text"))
+    try:
+        (idx_df.write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .bucketBy(8, "content_key").sortBy("content_key")
+         .saveAsTable("dedup_index_bucketed"))
+        index = (spark.table("dedup_index_bucketed")
+                 .where(F.col("_batch_id") != 999)   # the streaming read
+                 .drop("_batch_id"))
+        res = incremental_exact_dedup(batch, index, "doc_id", "text")
+        res.collect()                      # finalize AQE
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        anc = _ancestors_of_index_scan(plan)
+        first_join = next((i for i, s in enumerate(anc) if "Join" in s),
+                          None)
+        first_ex = next((i for i, s in enumerate(anc)
+                         if s.startswith("Exchange")), len(anc))
+        assert first_join is not None, anc
+        assert first_join < first_ex, anc
+
+        # negative control: plain parquet index in the same no-broadcast
+        # regime shuffles before its first join
+        import tempfile
+        flat = tempfile.mkdtemp(prefix="dedup_idx_flat_")
+        idx_df.drop("_batch_id").write.mode("overwrite").parquet(flat)
+        res2 = incremental_exact_dedup(
+            batch, spark.read.parquet(flat), "doc_id", "text")
+        res2.collect()
+        plan2 = res2._jdf.queryExecution().executedPlan().toString()
+        anc2 = _ancestors_of_index_scan(plan2)
+        fj2 = next((i for i, s in enumerate(anc2) if "Join" in s), None)
+        fe2 = next((i for i, s in enumerate(anc2)
+                    if s.startswith("Exchange")), len(anc2))
+        assert fj2 is not None and fe2 < fj2, anc2
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS dedup_index_bucketed")

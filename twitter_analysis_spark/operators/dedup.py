@@ -799,7 +799,10 @@ def incremental_exact_dedup(batch: DataFrame, index: DataFrame,
     join of the batch against the resulting hit set, which is at most
     batch-distinct-sized and broadcasts the same way. Bucketing the
     stored index by content_key (sources/io.py:write_bucketed) removes
-    even the scan's exchange at deploy scale.
+    even the scan's exchange at deploy scale — pinned (with the
+    _batch_id-partitioned streaming layout composed in, plus a
+    plain-parquet negative control) by tests/test_plans.py::
+    test_incremental_dedup_bucketed_index_scan_has_no_exchange.
     """
     if hash_fn == "xxhash64":
         key = F.xxhash64(F.col(text_col))

@@ -36,9 +36,15 @@ instead of appending duplicates. Concretely, per micro-batch (inside
    test_streaming_ingest_dedup_torn_batch_zero_duplicates).
 
 At 100 TB the index is the only corpus-sized artifact touched per
-trigger, and only through a key-partitioned join; store it bucketed by
-``content_key`` (sources/io.py:write_bucketed) so the probe join
-co-locates without a shuffle of the batch. Replace-by-batch leaves one
+trigger, and only through a key-partitioned join; at deploy scale,
+periodically fold the accumulated ``_batch_id`` partitions into a
+table partitioned by ``_batch_id`` AND bucketed by ``content_key``
+(the ``write_bucketed``/``saveAsTable`` machinery, sources/io.py) —
+the probe then reaches its first join with ZERO exchange on the index
+branch even when nothing can broadcast, pinned by tests/test_plans.py
+::test_incremental_dedup_bucketed_index_scan_has_no_exchange over
+exactly this composed layout and this module's self-excluded read
+shape. Replace-by-batch leaves one
 parquet file generation per trigger (like any appending writer) —
 ``maintenance.compact_parquet(partition_by=["_batch_id"])`` is the
 steady-state file-count maintenance, now purely a PERFORMANCE chore
