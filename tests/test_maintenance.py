@@ -419,3 +419,94 @@ def test_upsert_many_partitions_flat_predicate(spark, tmp_path):
              for f in os.listdir(untouched_dir)
              if f.endswith(".parquet")}
     assert after == before          # untouched partition not rewritten
+
+
+def test_upsert_full_rewrite_heals_cross_partition_dups(spark, tmp_path):
+    """full_rewrite=True is the healer form for CROSS-partition
+    duplicates (a key living in two _batch_id partitions, e.g. after
+    a replace-by-batch checkpoint loss): the partition-scoped merge
+    must NOT be used there (the key is not partition-stable), so the
+    flag forces the corpus-sized read-union-dedup-rewrite through the
+    crash-safe swap while keeping partition_by as the OUTPUT layout.
+    Pins: cross-partition dups collapse to one winner, the partitioned
+    layout survives, and the write went through the temp+swap path
+    (no dynamic in-place overwrite)."""
+    import os
+
+    from twitter_analysis_spark.sources.maintenance import upsert_by_key
+
+    path = str(tmp_path / "healme")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0),      # batch 0
+         (2, "b_replay", 1), (3, "c", 1)],   # batch 1 replayed doc 2
+        "k long, v string, _batch_id long")
+    base.write.partitionBy("_batch_id").parquet(path)
+    assert spark.read.parquet(path).count() == 4
+
+    dedup = spark.read.parquet(path).dropDuplicates(["k"])
+    upsert_by_key(spark, path, dedup, key="k",
+                  partition_by=["_batch_id"], full_rewrite=True)
+    got = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2, 3}
+    assert spark.read.parquet(path).count() == 3
+    # layout preserved: _batch_id partition dirs, no flat root files
+    entries = os.listdir(path)
+    assert any(e.startswith("_batch_id=") for e in entries)
+    assert not any(e.endswith(".parquet") for e in entries)
+
+
+def test_upsert_partition_type_skew_refuses_loudly(spark, tmp_path):
+    """Partition-type agreement is enforced, not assumed (round-10
+    review finding): a table partitioned by string month '01' reads
+    back with month inferred as INT (directory-name type inference),
+    so updates carrying the original string type would string-form-
+    miss the touched-partition predicate — and dynamic overwrite
+    would then replace month=01 with updates-only rows, silently
+    deleting its pre-existing keys. The merge must refuse with a
+    named remedy instead. Matching types (the contract) keep
+    working."""
+    import pytest
+
+    from twitter_analysis_spark.sources.maintenance import upsert_by_key
+
+    path = str(tmp_path / "skewed")
+    base = spark.createDataFrame(
+        [(1, "a", "01"), (2, "b", "01"), (3, "c", "02")],
+        "k long, v string, month string")
+    base.write.partitionBy("month").parquet(path)
+    # inference reads month back as int
+    assert dict(spark.read.parquet(path).dtypes)["month"] == "int"
+
+    updates = spark.createDataFrame(
+        [(2, "b2", "01")], "k long, v string, month string")
+    with pytest.raises(ValueError, match="type inference"):
+        upsert_by_key(spark, path, updates, key="k",
+                      partition_by=["month"])
+    # nothing was touched by the refusal
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {1, 2, 3}
+
+    # casting the updates to the read schema is NOT enough for this
+    # table: its dirs (month=01) are not canonical for the inferred
+    # int type (write form month=1), so dynamic overwrite would write
+    # winners into a NEW directory beside the old one — the table-
+    # level guard refuses that too
+    cur = spark.read.parquet(path)
+    fixed = updates.withColumn("month", F.col("month").cast(
+        dict(cur.dtypes)["month"]))
+    with pytest.raises(ValueError, match="not canonical"):
+        upsert_by_key(spark, path, fixed, key="k",
+                      partition_by=["month"])
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {1, 2, 3}
+
+    # the named remedy: full_rewrite merges correctly AND emerges with
+    # a canonical layout, after which partition-scoped merges work
+    upsert_by_key(spark, path, fixed, key="k", partition_by=["month"],
+                  full_rewrite=True)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    assert os.path.isdir(os.path.join(path, "month=1"))
+    assert not os.path.isdir(os.path.join(path, "month=01"))
+    more = spark.createDataFrame([(4, "d", 2)], "k long, v string, month int")
+    upsert_by_key(spark, path, more, key="k", partition_by=["month"])
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == \
+        {1, 2, 3, 4}

@@ -861,11 +861,13 @@ def test_streaming_rollup_survives_checkpoint_loss(spark, tmp_path):
 
 
 def test_streaming_ingest_dedup_survives_checkpoint_loss(spark, tmp_path):
-    """Checkpoint loss re-delivers the whole drop with fresh batch ids;
-    docs indexed under OTHER batch ids classify dup_of_corpus, and the
-    redelivered batch-0 docs re-classify and OVERWRITE their own
-    partition (replace-by-batch) — either way the corpus converges to
-    the same unique set without markers."""
+    """Checkpoint loss re-delivers the whole drop as batch 0 of a NEW
+    lineage. The sink partitions are lineage-scoped tokens, so the new
+    lineage excludes NOTHING of the old one's index: every redelivered
+    doc classifies dup_of_corpus and the corpus converges to the same
+    unique set without markers — and without ever overwriting an old
+    lineage's partitions (a bare numeric _batch_id would have made
+    later post-loss drains dynamic-overwrite old data away)."""
     import json
 
     from twitter_analysis_spark.streaming.ingest import (
@@ -893,13 +895,13 @@ def test_streaming_ingest_dedup_survives_checkpoint_loss(spark, tmp_path):
 
 def test_streaming_ingest_neardup_survives_checkpoint_loss(spark, tmp_path):
     """Near-dup twin of the dedup checkpoint-loss contract. With the
-    markers gone, the whole drop redelivers as batch 0. Replayed docs
-    whose band rows live in OTHER partitions drop via the bdoc ==
-    pdoc identity guard; docs whose rows live in the replaying batch
-    0's own (self-excluded) partition re-classify from scratch and
-    OVERWRITE it. Either way the corpus and band index stay
-    duplicate-free, a genuinely NEW doc arriving with the replay
-    still ingests, and a near-dup of a corpus doc still drops."""
+    markers gone, the whole drop redelivers as batch 0 of a NEW
+    lineage, whose self-excluded read keeps every OLD-lineage index
+    partition visible — so each replayed doc self-collides in every
+    band and drops via the bdoc == pdoc identity guard. The corpus
+    and band index stay duplicate-free, a genuinely NEW doc arriving
+    with the replay still ingests, and a near-dup of a corpus doc
+    still drops."""
     import json
 
     from twitter_analysis_spark.streaming.ingest import (
@@ -953,15 +955,15 @@ def test_streaming_ingest_neardup_survives_checkpoint_loss(spark, tmp_path):
 def test_streaming_decontaminate_checkpoint_loss_contract(spark, tmp_path):
     """The decon pipeline's documented recovery is DIFFERENT from the
     indexed pipelines: it keeps no identity artifact, so after
-    checkpoint loss the whole drop redelivers as batch 0 and docs
-    ORIGINALLY ingested under other batch ids duplicate (their old
-    partition survives, the new batch-0 one gains a copy) — docs
-    whose original batch id matches the replay's simply overwrite
-    their partition (replace-by-batch) and do NOT duplicate. The
-    residual duplicates are healed by upsert_by_key's full-rewrite
-    form, which keeps the _batch_id output layout so draining can
-    continue; the clean/quarantine ROUTING stays deterministic (no
-    doc changes side on replay). This test pins all of that."""
+    checkpoint loss the whole drop redelivers as batch 0 of a NEW
+    lineage and EVERY previously-ingested doc duplicates — the old
+    lineage's partitions survive (lineage-scoped tokens never
+    collide, so nothing is overwritten/destroyed) and the replay
+    lands the same docs again under the new token. The duplicates are
+    healed by upsert_by_key's full-rewrite form, which keeps the
+    _batch_id output layout so draining can continue; the
+    clean/quarantine ROUTING stays deterministic (no doc changes side
+    on replay). This test pins all of that."""
     import json
     import os
 
@@ -1003,21 +1005,19 @@ def test_streaming_decontaminate_checkpoint_loss_contract(spark, tmp_path):
     assert sorted(r["doc_id"] for r in
                   spark.read.parquet(corpus).collect()) == [1, 3]
 
-    # checkpoint loss: the whole drop replays as batch 0. Doc 1
-    # (originally batch 0) overwrites its own partition — no dup;
-    # doc 3 (originally batch 1) lands in partition 0 TOO — dup.
-    # Routing unchanged: doc 2 never reaches the corpus.
+    # checkpoint loss: the whole drop replays as batch 0 of a NEW
+    # lineage; the old lineage's partitions survive untouched, so
+    # docs 1 and 3 both duplicate. Routing unchanged: doc 2 never
+    # reaches the corpus.
     shutil.rmtree(tmp_path / "cl4_ckpt")
     streaming_ingest_decontaminate(
         spark, str(drop), bench, corpus, quarantine,
         checkpoint=str(tmp_path / "cl4_ckpt"))
     corpus_ids = sorted(r["doc_id"] for r in
                         spark.read.parquet(corpus).collect())
-    assert corpus_ids == [1, 3, 3]
-    # doc 2 was originally batch 0 too, so the replay overwrites its
-    # quarantine partition rather than duplicating it
+    assert corpus_ids == [1, 1, 3, 3]
     assert sorted(r["doc_id"] for r in
-                  spark.read.parquet(quarantine).collect()) == [2]
+                  spark.read.parquet(quarantine).collect()) == [2, 2]
 
     # the documented healer: full-rewrite key compaction collapses the
     # cross-partition replays while preserving the _batch_id layout
@@ -1103,11 +1103,11 @@ def test_streaming_ingest_dedup_torn_batch_zero_duplicates(
                            (11, "gamma"), (12, "gamma")])  # in-batch dup
     real = ing._replace_batch_partition
 
-    def crash_before_index(df, path, batch_id):
-        if path == index and batch_id > 0:
+    def crash_before_index(df, path, token):
+        if path == index and int(token.rsplit("_", 1)[1]) > 0:
             raise RuntimeError("simulated crash between corpus "
                                "and index writes")
-        real(df, path, batch_id)
+        real(df, path, token)
 
     monkeypatch.setattr(ing, "_replace_batch_partition",
                         crash_before_index)
@@ -1181,11 +1181,11 @@ def test_streaming_ingest_neardup_torn_batch_zero_duplicates(
              "in distributed execution engines")])
     real = ing._replace_batch_partition
 
-    def crash_before_index(df, path, batch_id):
-        if path == index and batch_id > 0:
+    def crash_before_index(df, path, token):
+        if path == index and int(token.rsplit("_", 1)[1]) > 0:
             raise RuntimeError("simulated crash between corpus "
                                "and band-index writes")
-        real(df, path, batch_id)
+        real(df, path, token)
 
     monkeypatch.setattr(ing, "_replace_batch_partition",
                         crash_before_index)
@@ -1210,3 +1210,57 @@ def test_streaming_ingest_neardup_torn_batch_zero_duplicates(
                spark.read.parquet(index).groupBy("doc").count()
                .withColumnRenamed("count", "n").collect()}
     assert per_doc == {1: 16, 11: 16}
+
+
+def test_streaming_ingest_post_checkpoint_loss_drains_never_destroy(
+        spark, tmp_path):
+    """The lineage-scoping regression pin (round-10 review finding):
+    with a bare numeric _batch_id partition key, a post-checkpoint-
+    loss drain numbered batch 1 would dynamic-OVERWRITE the OLD
+    lineage's batch-1 partition — silently deleting its corpus rows
+    and index keys (data destruction, strictly worse than the
+    duplicates the replay contract tolerates). With lineage-scoped
+    tokens the collision is impossible: old docs survive every
+    post-loss drain, replays classify dup_of_corpus, and new docs
+    keep ingesting."""
+    import json
+
+    from twitter_analysis_spark.streaming.ingest import (
+        streaming_ingest_dedup)
+
+    drop = tmp_path / "lin_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "lin_corpus")
+    index = str(tmp_path / "lin_index")
+    ckpt = str(tmp_path / "lin_ckpt")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id,
+                                    "text": text}) + "\n")
+
+    # old lineage: batch 0 = doc 1, batch 1 = doc 2 (two drains)
+    write_drop("d1.json", [(1, "alpha")])
+    streaming_ingest_dedup(spark, str(drop), corpus, index,
+                           checkpoint=ckpt)
+    write_drop("d2.json", [(2, "beta")])
+    streaming_ingest_dedup(spark, str(drop), corpus, index,
+                           checkpoint=ckpt)
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1, 2]
+
+    # checkpoint lost: replay drain (new lineage batch 0), then a
+    # further drain that is batch 1 OF THE NEW LINEAGE — the numeric
+    # id that would have collided with old-lineage doc 2's partition
+    shutil.rmtree(tmp_path / "lin_ckpt")
+    streaming_ingest_dedup(spark, str(drop), corpus, index,
+                           checkpoint=ckpt)
+    write_drop("d3.json", [(3, "gamma")])
+    streaming_ingest_dedup(spark, str(drop), corpus, index,
+                           checkpoint=ckpt)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 3]          # doc 2 NOT destroyed, no dups
+    assert sorted(r["holder_id"] for r in
+                  spark.read.parquet(index).collect()) == [1, 2, 3]

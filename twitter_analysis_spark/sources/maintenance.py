@@ -71,6 +71,20 @@ def _swap_in(tmp: str, path: str) -> None:
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _hive_str(c: str, cast_to: str | None = None):
+    """The Hive string form of a partition column value — nulls map to
+    the ``__HIVE_DEFAULT_PARTITION__`` directory name. The ONE place
+    this module spells the partition-string contract (compaction's
+    kmap match and upsert's tuple key both build on it).
+    ``cast_to`` first round-trips the value through another type
+    (``try_cast``: uncastable → null → the Hive null sentinel) — the
+    probe upsert_by_key uses to detect type-form skew."""
+    col = F.col(c)
+    if cast_to is not None:
+        col = col.try_cast(cast_to)
+    return F.coalesce(col.cast("string"), F.lit(_HIVE_NULL))
+
+
 def _partition_file_plan(path: str, partition_by: list[str],
                          target_bytes: int) -> list[tuple[list[str], int]]:
     """Walk the existing Hive layout and size each leaf partition:
@@ -137,8 +151,7 @@ def compact_parquet(spark: SparkSession, path: str,
         for c in partition_by:
             # match on the Hive string form; null values live in the
             # __HIVE_DEFAULT_PARTITION__ directory
-            eq = (F.coalesce(F.col(c).cast("string"), F.lit(_HIVE_NULL))
-                  == F.col(f"_pv_{c}"))
+            eq = _hive_str(c) == F.col(f"_pv_{c}")
             cond = eq if cond is None else (cond & eq)
         # deterministic salt from the non-partition columns: same rows
         # → same bucket → same file assignment across runs. Left join
@@ -260,27 +273,85 @@ def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
     if partition_by and os.path.exists(path) and not full_rewrite:
         current = spark.read.parquet(path)
         # Touched-partition predicate, kept FLAT: one tuple-key
-        # expression (Hive-escaped string concat of the partition
-        # columns) probed with .isin over the updates' distinct
+        # expression (Hive string form of the partition columns,
+        # concat-joined) probed with .isin over the updates' distinct
         # tuples, instead of an Or-chain of per-tuple conjunctions —
         # a many-partition batch would otherwise build an Or tree
-        # whose depth equals the tuple count. Both sides of the
-        # comparison go through the SAME Spark cast-to-string, so
-        # type-form skew (e.g. partition-type inference reading a
-        # written string back as int) cannot cause a false miss; a
-        # separator collision (chr(1) inside a value) can only ADD a
-        # partition to the read set, never drop one, and an extra
-        # partition rewrites to identical contents.
+        # whose depth equals the tuple count. A separator collision
+        # (chr(1) inside a value) can only ADD a partition to the
+        # read set, never drop one, and an extra partition rewrites
+        # to identical contents.
         sep = chr(1)
+        cur_types = dict(current.select(*partition_by).dtypes)
 
-        def tuple_key(df: DataFrame):
+        def tuple_key(df: DataFrame, via: dict | None = None):
             return F.concat_ws(sep, *[
-                F.coalesce(F.col(c).cast("string"), F.lit(_HIVE_NULL))
+                _hive_str(c, via[c] if via else None)
                 for c in partition_by])
 
-        touched = [r["_tk"] for r in
-                   updates.select(tuple_key(updates).alias("_tk"))
-                   .distinct().collect()]
+        # TYPE-FORM SKEW GUARD: the current side's partition types
+        # come from directory-name inference (month=01 written from a
+        # string column reads back as int 1), so an updates value
+        # whose string form does not survive a round-trip through the
+        # table's read type would (a) string-form-MISS the predicate
+        # below — dynamic overwrite would then replace the partition
+        # with updates-only rows, DELETING its pre-existing ones —
+        # and (b) union-coerce into differently-named directories on
+        # the write. Both are silent corruption, so every touched
+        # tuple is checked (batch-bounded: it rides the collect the
+        # predicate needs anyway) and a mismatch refuses loudly.
+        # Canonical forms ('2024-01-01' strings against an inferred
+        # date column) round-trip identically and pass untouched.
+        pairs = (updates
+                 .select(tuple_key(updates).alias("_raw"),
+                         tuple_key(updates, cur_types).alias("_canon"))
+                 .distinct().collect())
+        skewed = sorted({r["_raw"] for r in pairs
+                         if r["_raw"] != r["_canon"]})
+        if skewed:
+            shown = [t.replace(sep, "/") for t in skewed[:5]]
+            raise ValueError(
+                f"upsert_by_key(partition_by={partition_by}): "
+                f"updates carry partition values whose string form "
+                f"does not survive the table's read types "
+                f"{cur_types} (directory-name type inference) — "
+                f"e.g. {shown}; merging across this skew would "
+                "silently corrupt the partition layout (missed "
+                "partitions overwritten with updates-only rows, "
+                "winners written into differently-named dirs). Cast "
+                "the updates to the table's read schema first, or "
+                "disable partitionColumnTypeInference and use string "
+                "partition columns.")
+        # And the TABLE itself must be canonical under inference: a
+        # directory like month=01 reads back as int 1, whose write
+        # form is month=1 — a partition-scoped overwrite would then
+        # write winners into a NEW directory next to the old one,
+        # splitting the partition. Compare every existing directory
+        # tuple (driver-side walk, bounded by partition count) with
+        # the read-back canonical strings; any dir the canonical set
+        # cannot reproduce means dynamic overwrite cannot address it,
+        # and the only safe merges are full_rewrite (which rewrites
+        # the layout canonically) or an inference-off string layout.
+        dir_tuples = {sep.join(vals) for vals, _k in
+                      _partition_file_plan(path, partition_by, 1)}
+        canon_tuples = {r["_t"] for r in current
+                        .select(tuple_key(current).alias("_t"))
+                        .distinct().collect()}
+        ghost = sorted(dir_tuples - canon_tuples)
+        if ghost:
+            shown = [t.replace(sep, "/") for t in ghost[:5]]
+            raise ValueError(
+                f"upsert_by_key(partition_by={partition_by}): the "
+                f"table at {path!r} has partition directories whose "
+                f"names are not canonical for their inferred read "
+                f"types {cur_types} — e.g. {shown}; dynamic partition "
+                "overwrite would write winners into new differently-"
+                "named directories beside them, splitting those "
+                "partitions. Use full_rewrite=True (rewrites the "
+                "layout canonically through the crash-safe swap) or "
+                "disable partitionColumnTypeInference and keep string "
+                "partition columns.")
+        touched = [r["_raw"] for r in pairs]
         if not touched:                       # empty updates: no-op
             return
         winner = _winner_per_key(

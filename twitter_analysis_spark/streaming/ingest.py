@@ -8,14 +8,19 @@ itself is never rescanned, so per-trigger cost is proportional to the
 batch at any corpus size.
 
 Every sink in this module is REPLACE-BY-BATCH: outputs are
-Hive-partitioned by ``_batch_id`` and each micro-batch writes its own
-partition via dynamic partition overwrite, while state reads EXCLUDE
-the writing batch's own partition. That pair makes the per-batch work
-a pure function of (batch input, state from OTHER batches), so a
+Hive-partitioned by ``_batch_id`` — whose value is the
+LINEAGE-SCOPED token ``<checkpoint query id>_<batch id>``, see
+:func:`_batch_token` — and each micro-batch writes its own partition
+via dynamic partition overwrite, while state reads EXCLUDE the
+writing batch's own partition. That pair makes the per-batch work a
+pure function of (batch input, state from OTHER batches), so a
 replayed batch — whatever it managed to write before a crash —
 overwrites its own partitions with the identical recomputation
-instead of appending duplicates. Concretely, per micro-batch (inside
-``foreachBatch``):
+instead of appending duplicates; and because the token is scoped to
+the checkpoint lineage, a LOST checkpoint (fresh lineage, batch ids
+restarting at 0) can never overwrite an old lineage's partitions —
+its redeliveries are absorbed by the index/identity guards instead.
+Concretely, per micro-batch (inside ``foreachBatch``):
 
 1. classify every batch row new / dup_in_batch / dup_of_corpus
    against the on-disk index, READ WITHOUT the current batch's own
@@ -71,19 +76,23 @@ def _empty_index(spark: SparkSession, hash_fn: str) -> DataFrame:
 
 
 def _check_batch_layout(path: str) -> None:
-    """Refuse to mix layouts: a table written by the pre-replace-by-
-    batch versions of this module (flat parquet files at the root, no
-    ``_batch_id=...`` directories) would silently corrupt if a
-    partitioned dynamic overwrite landed next to its flat files — name
-    the one-time migration instead."""
+    """Refuse to mix layouts: flat parquet files at the table ROOT —
+    a table written by the pre-replace-by-batch versions of this
+    module, or a half-done migration that wrote ``_batch_id=...``
+    dirs next to the legacy files — would make partition discovery
+    fail opaquely (or silently corrupt under a partitioned dynamic
+    overwrite). Name the one-time migration instead. Checked
+    unconditionally, so the mixed case raises here too, not inside
+    Spark's 'conflicting directory structures' error."""
     if os.path.isdir(path) and any(
             e.endswith(".parquet") for e in os.listdir(path)):
         raise ValueError(
-            f"{path!r} predates the replace-by-batch layout (flat "
-            "parquet files at the root, no _batch_id partitions); a "
-            "one-time migration is required — rewrite it partitioned, "
-            "e.g. spark.read.parquet(path).withColumn('_batch_id', "
-            "F.lit(-1)).write.partitionBy('_batch_id')"
+            f"{path!r} holds parquet files at the table root (a "
+            "pre-replace-by-batch layout, or a half-done migration "
+            "mixing flat files with _batch_id partitions); a one-time "
+            "migration into a FRESH directory is required — e.g. "
+            "spark.read.parquet(path).withColumn('_batch_id', "
+            "F.lit('migrated_0')).write.partitionBy('_batch_id')"
             ".parquet(new_path)")
 
 
@@ -92,37 +101,77 @@ def _has_batches(path: str) -> bool:
         e.startswith("_batch_id=") for e in os.listdir(path))
 
 
+def _batch_token(checkpoint: str | None, batch_id: int,
+                 cache: dict) -> str:
+    """LINEAGE-SCOPED batch identity for the replace-by-batch sinks:
+    ``<lineage>_<batch_id>``, where the lineage is the checkpoint's
+    query id (``checkpoint/metadata``, written by Spark at query
+    start and stable for the checkpoint's whole life — the same
+    device as sketch_ingest.py's run-id guard). Batch ids are only
+    monotone WITHIN one checkpoint lineage: a lost checkpoint
+    restarts them at 0, so a bare numeric partition key would make
+    post-loss drains dynamic-OVERWRITE the old lineage's partitions —
+    batch 1 of the new lineage silently deleting batch 1 of the old:
+    data destruction, strictly worse than the duplicates the replay
+    contract tolerates. Scoping the partition value by lineage makes
+    cross-lineage collisions impossible: old-lineage partitions are
+    never excluded from reads and never overwritten, and the
+    index/identity guards absorb the redelivered docs exactly as the
+    checkpoint-loss tests pin. Without a checkpoint every drain is
+    its own lineage (availableNow re-sends everything and a temp
+    checkpoint restarts ids anyway), which also keeps the marker
+    fast-path from silently skipping a fresh drain's batch 0."""
+    if "lineage" not in cache:
+        lineage = None
+        if checkpoint:
+            meta = os.path.join(checkpoint, "metadata")
+            if os.path.exists(meta):
+                import json
+                try:
+                    with open(meta) as fh:
+                        lineage = str(json.load(fh)["id"])
+                except (ValueError, KeyError):
+                    lineage = None
+        if lineage is None:
+            import uuid
+            lineage = f"nockpt-{uuid.uuid4().hex}"
+        cache["lineage"] = lineage
+    return f"{cache['lineage']}_{int(batch_id)}"
+
+
 def _replace_batch_partition(df: DataFrame, path: str,
-                             batch_id: int) -> None:
+                             token: str) -> None:
     """The replace-by-batch sink: write ``df`` as the table's
-    ``_batch_id=batch_id`` partition via dynamic partition overwrite.
-    Idempotent per (checkpoint, batch_id): a replayed batch replaces
-    exactly its own partition; other batches' partitions are never
-    touched. An empty ``df`` overwrites nothing (dynamic mode only
-    replaces partitions present in the output) — correct, because the
-    only way a replay computes empty is state that already reflects
-    the batch."""
+    ``_batch_id=token`` partition via dynamic partition overwrite.
+    Idempotent per (checkpoint lineage, batch_id): a replayed batch
+    replaces exactly its own partition; other batches' — and other
+    lineages' — partitions are never touched. An empty ``df``
+    overwrites nothing (dynamic mode only replaces partitions present
+    in the output) — correct, because the only way a replay computes
+    empty is state that already reflects the batch."""
     _check_batch_layout(path)
-    (df.withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
+    (df.withColumn("_batch_id", F.lit(token))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("_batch_id")
      .parquet(path))
 
 
-def _read_excluding_batch(spark: SparkSession, path: str, batch_id: int,
+def _read_excluding_batch(spark: SparkSession, path: str, token: str,
                           empty: DataFrame) -> DataFrame:
     """Read a replace-by-batch table WITHOUT the current batch's own
     partition — the other half of replay idempotency: a torn batch's
     partial first-attempt writes are invisible to its re-run, so the
     re-run classifies against exactly the pre-batch state. The
     ``!=`` on the partition column prunes at listing time (one
-    directory skipped, never scanned)."""
+    directory skipped, never scanned). Other lineages' partitions
+    never match the token, so they are always visible — which is what
+    lets the index absorb checkpoint-loss redeliveries."""
+    _check_batch_layout(path)         # flat/mixed layout raises here
     if not _has_batches(path):
-        _check_batch_layout(path)     # legacy flat layout raises here
         return empty
     return (spark.read.parquet(path)
-            .where(F.col("_batch_id") != int(batch_id))
+            .where(F.col("_batch_id") != token)
             .drop("_batch_id"))
 
 
@@ -130,8 +179,8 @@ def _read_batched(spark: SparkSession, path: str,
                   empty: DataFrame) -> DataFrame:
     """Read a replace-by-batch table whole (all batches), hiding the
     layout column."""
+    _check_batch_layout(path)
     if not _has_batches(path):
-        _check_batch_layout(path)
         return empty
     return spark.read.parquet(path).drop("_batch_id")
 
@@ -152,17 +201,18 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
     between the corpus and index writes) re-runs into byte-identical
     partitions with zero duplicates and no compaction.
 
-    Batch-id markers are scoped to the CHECKPOINT: batch ids only mean
-    "same batch" within one checkpoint lineage (a fresh checkpoint
-    restarts at 0 while the file source re-reads nothing or
-    everything depending on its own tracking), so reuse one checkpoint
-    for the lifetime of an ingest pipeline — which is also what makes
-    the file source skip already-ingested drop files across drains.
-    Even full CHECKPOINT LOSS converges duplicate-free here: the whole
-    drop redelivers as batch 0; docs indexed in other partitions
-    classify dup_of_corpus, and batch-0's own docs re-classify and
-    overwrite their partition (the content's holder can swap to the
-    lowest redelivered id, never duplicate).
+    Batch ids only mean "same batch" within one checkpoint lineage (a
+    fresh checkpoint restarts at 0 while the file source re-reads
+    nothing or everything depending on its own tracking), so both the
+    markers and the sink partitions carry the lineage-scoped token
+    (:func:`_batch_token`); reuse one checkpoint for the lifetime of
+    an ingest pipeline — which is also what makes the file source
+    skip already-ingested drop files across drains. Even full
+    CHECKPOINT LOSS converges duplicate-free here: the whole drop
+    redelivers as batch 0 of a NEW lineage, every redelivered doc's
+    key is visible in the old lineage's index partitions (a new
+    lineage excludes nothing of the old), so everything classifies
+    dup_of_corpus and the corpus is physically untouched.
     """
     marker_dir = (os.path.join(checkpoint, "__ingest_batches")
                   if checkpoint else f"{index_path}__batches")
@@ -175,22 +225,25 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     )
 
+    lineage_cache: dict = {}
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        token = _batch_token(checkpoint, batch_id, lineage_cache)
+        marker = os.path.join(marker_dir, f"batch_{token}")
         if os.path.exists(marker):            # re-delivered after crash
             return
         # exclude our own partition: a torn first attempt's partial
         # index write must not poison the re-run's classification
-        index = _read_excluding_batch(spark, index_path, batch_id,
+        index = _read_excluding_batch(spark, index_path, token,
                                       _empty_index(spark, hash_fn))
         res = incremental_exact_dedup(batch_df, index, "doc_id", "text",
                                       hash_fn=hash_fn)
         new_ids = res.where(F.col("status") == "new").select("doc_id")
         new_docs = batch_df.join(new_ids, "doc_id", "left_semi").persist()
-        _replace_batch_partition(new_docs, corpus_path, batch_id)
+        _replace_batch_partition(new_docs, corpus_path, token)
         _replace_batch_partition(
             content_index(new_docs, "doc_id", "text", hash_fn=hash_fn),
-            index_path, batch_id)
+            index_path, token)
         new_docs.unpersist()
         open(marker, "w").close()             # recompute-skip fast path
 
@@ -241,16 +294,14 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     join, so the cap applies to the index side too at deploy scale.
 
     CLEAN checkpoint-loss replay (markers die with the checkpoint;
-    the whole drop redelivers as batch 0) converges duplicate-free
-    through two devices: docs whose index rows live in partitions
-    other than the replaying batch's self-collide in every band, so
-    the ``bdoc == pdoc`` candidates from the probe join name exactly
-    those replayed ids and they drop without verification, at zero
-    extra index contact; docs whose rows live in the replaying batch's
-    OWN partition are re-classified from scratch and OVERWRITE that
-    partition, which can swap a near-dup class' surviving
-    representative (lowest id of the redelivered batch wins) but
-    never duplicates content.
+    the whole drop redelivers as batch 0 of a NEW lineage) converges
+    duplicate-free through the identity guard: every redelivered
+    doc's band rows live in the OLD lineage's partitions, which a new
+    lineage's self-excluded read keeps visible, so each replayed doc
+    collides with its own rows in every band and the ``bdoc == pdoc``
+    candidates name exactly the replayed ids — dropped without
+    verification, at zero extra index contact, corpus physically
+    untouched.
     """
     from ..operators.dedup import (_jaccard_pairs_from, _signatures_from,
                                    doc_shingle_pairs)
@@ -281,13 +332,16 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     )
 
+    lineage_cache: dict = {}
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        token = _batch_token(checkpoint, batch_id, lineage_cache)
+        marker = os.path.join(marker_dir, f"batch_{token}")
         if os.path.exists(marker):            # re-delivered after crash
             return
         batch_df = batch_df.persist()
         banded = banded_of(batch_df).persist()
-        index = _read_excluding_batch(spark, band_index_path, batch_id,
+        index = _read_excluding_batch(spark, band_index_path, token,
                                       _empty_band_index(spark))
 
         # candidate pairs, normalized to (batch doc, partner doc).
@@ -340,19 +394,19 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                   "left_semi")
             .select(F.col("bdoc").alias("doc_id")).distinct())
         # Replay identity guard: after CHECKPOINT LOSS the whole drop
-        # redelivers as batch 0 with the markers gone, and the verify
-        # path would re-append every replayed doc (pair generation is
-        # id1 < id2, so a doc never Jaccard-matches itself). But a
-        # replayed doc X whose index rows live in a partition OTHER
-        # than this batch's (the self-excluded read keeps those)
-        # necessarily collides with its own rows in every band, so
-        # the bdoc == pdoc candidates already name exactly those
-        # replayed ids — doc_ids are globally unique by this
-        # function's contract, same id = same doc, drop without
-        # verification. Zero extra index contact: the probe join
-        # already ran. Docs whose rows live in THIS batch id's
-        # partition are instead re-classified from scratch and
-        # overwrite it (replace-by-batch).
+        # redelivers as batch 0 of a NEW lineage with the markers
+        # gone, and the verify path would re-append every replayed
+        # doc (pair generation is id1 < id2, so a doc never
+        # Jaccard-matches itself). But a replayed doc X's index rows
+        # live in the OLD lineage's partitions — which the new
+        # lineage's self-excluded read keeps visible — so X collides
+        # with its own rows in every band and the bdoc == pdoc
+        # candidates already name exactly the replayed ids — doc_ids
+        # are globally unique by this function's contract, same id =
+        # same doc, drop without verification. Zero extra index
+        # contact: the probe join already ran. (Within a lineage, a
+        # TORN batch's own partial rows are instead invisible to its
+        # re-run and get overwritten — replace-by-batch.)
         replayed = (cand.where(F.col("bdoc") == F.col("pdoc"))
                     .select(F.col("bdoc").alias("doc_id")).distinct())
 
@@ -360,7 +414,7 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                     .join(dropped, "doc_id", "left_anti")
                     .join(replayed, "doc_id", "left_anti")
                     .persist())
-        _replace_batch_partition(new_docs, corpus_path, batch_id)
+        _replace_batch_partition(new_docs, corpus_path, token)
         # Recomputing the survivors' band rows looks wasteful next to
         # a semi-join against the persisted `banded`; a round-8 A/B
         # could not separate the variants from box noise (drain cost
@@ -370,7 +424,7 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
         # batch-proportional. Revisit with cluster-scale batches
         # where signature CPU could dominate exchange overhead.
         _replace_batch_partition(banded_of(new_docs), band_index_path,
-                                 batch_id)
+                                 token)
         for d in (new_docs, cand, banded, batch_df):
             d.unpersist()
         open(marker, "w").close()             # recompute-skip fast path
@@ -407,14 +461,15 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
     the marker — re-runs into byte-identical partitions with zero
     duplicates and no compaction. Unlike the indexed pipelines this
     one keeps NO identity artifact, so CHECKPOINT LOSS (whole drop
-    redelivered as batch 0) still duplicates docs whose ORIGINAL
-    batch id differs from the replay's — they stay in their old
-    partition and land again in the new batch-0 one; the documented
-    healer is ``maintenance.upsert_by_key(key, full_rewrite=True,
-    partition_by=["_batch_id"])``, and the clean/quarantine routing
-    is deterministic so no doc changes side on replay (both halves
-    pinned in tests). Compose after ``streaming_ingest_dedup`` when
-    duplicates must never be visible between compactions.
+    redelivered as batch 0 of a NEW lineage) duplicates every
+    previously-ingested doc — the old lineage's partitions survive
+    and the replay lands the same docs again under the new token; the
+    documented healer is ``maintenance.upsert_by_key(key,
+    full_rewrite=True, partition_by=["_batch_id"])``, and the
+    clean/quarantine routing is deterministic so no doc changes side
+    on replay (both halves pinned in tests). Compose after
+    ``streaming_ingest_dedup`` when duplicates must never be visible
+    between compactions.
     """
     from ..operators.curation import (build_decontamination_filter,
                                       decontaminate_probe)
@@ -434,18 +489,21 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     )
 
+    lineage_cache: dict = {}
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        token = _batch_token(checkpoint, batch_id, lineage_cache)
+        marker = os.path.join(marker_dir, f"batch_{token}")
         if os.path.exists(marker):            # re-delivered after crash
             return
         batch = batch_df.persist()
         hits = decontaminate_probe(batch, bench_sh, words,
                                    "doc_id", "text", n).persist()
         _replace_batch_partition(batch.join(hits, "doc_id"),
-                                 quarantine_path, batch_id)
+                                 quarantine_path, token)
         _replace_batch_partition(
             batch.join(hits.select("doc_id"), "doc_id", "left_anti"),
-            corpus_path, batch_id)
+            corpus_path, token)
         hits.unpersist()
         batch.unpersist()
         open(marker, "w").close()             # recompute-skip fast path
