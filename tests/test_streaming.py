@@ -1264,3 +1264,129 @@ def test_streaming_ingest_post_checkpoint_loss_drains_never_destroy(
     assert got == [1, 2, 3]          # doc 2 NOT destroyed, no dups
     assert sorted(r["holder_id"] for r in
                   spark.read.parquet(index).collect()) == [1, 2, 3]
+
+
+def test_streaming_ingest_torn_batch_plus_checkpoint_loss_reconciles(
+        spark, tmp_path, monkeypatch):
+    """The one compose replace-by-batch cannot heal alone: a batch
+    torn between the corpus and index writes whose checkpoint is THEN
+    lost. The new lineage never addresses the old partition, and the
+    torn docs (absent from the index) would re-ingest as permanent
+    duplicates. reconcile_replace_by_batch drops exactly the
+    corpus-without-index partitions before the re-drain, after which
+    the replay restores the docs once."""
+    import json
+
+    import pytest
+
+    from twitter_analysis_spark.streaming import ingest as ing
+
+    drop = tmp_path / "tcl_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "tcl_corpus")
+    index = str(tmp_path / "tcl_index")
+    ckpt = str(tmp_path / "tcl_ckpt")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id,
+                                    "text": text}) + "\n")
+
+    write_drop("d1.json", [(1, "alpha")])
+    ing.streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=ckpt)
+
+    # batch 1 tears between the corpus and index writes
+    write_drop("d2.json", [(2, "beta")])
+    real = ing._replace_batch_partition
+
+    def crash_before_index(df, path, token):
+        if path == index and int(token.rsplit("_", 1)[1]) > 0:
+            raise RuntimeError("simulated crash")
+        real(df, path, token)
+
+    monkeypatch.setattr(ing, "_replace_batch_partition",
+                        crash_before_index)
+    with pytest.raises(Exception, match="simulated crash"):
+        ing.streaming_ingest_dedup(spark, str(drop), corpus, index,
+                                   checkpoint=ckpt)
+    monkeypatch.setattr(ing, "_replace_batch_partition", real)
+
+    # ... and the checkpoint is lost before the healing replay
+    shutil.rmtree(tmp_path / "tcl_ckpt")
+
+    # reconcile drops exactly the torn partition (corpus, no index)
+    dropped = ing.reconcile_replace_by_batch(corpus, index)
+    assert len(dropped) == 1 and dropped[0].endswith("_1")
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1]
+
+    # re-drain under the new lineage: doc 2 redelivers and lands ONCE
+    ing.streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=ckpt)
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1, 2]
+    assert sorted(r["holder_id"] for r in
+                  spark.read.parquet(index).collect()) == [1, 2]
+
+
+def test_streaming_ingest_numeric_batch_layout_names_migration(
+        spark, tmp_path):
+    """A table from the bare-numeric-_batch_id generation must refuse
+    with a named migration, not crash in an ANSI cast (or, ANSI off,
+    silently null-filter the whole index out of the probe and
+    re-ingest duplicates)."""
+    import json
+
+    import pytest
+
+    from twitter_analysis_spark.streaming.ingest import (
+        streaming_ingest_dedup)
+
+    drop = tmp_path / "num_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "num_corpus")
+    index = str(tmp_path / "num_index")
+    # legacy-generation index: numeric _batch_id partitions
+    spark.createDataFrame([(111, 1, 0), (222, 2, 1)],
+                          "content_key long, holder_id long, _batch_id int") \
+        .write.partitionBy("_batch_id").parquet(index)
+    with open(drop / "d1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": "gamma"}) + "\n")
+
+    with pytest.raises(Exception, match="pre-lineage-token"):
+        streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=str(tmp_path / "num_ckpt"))
+
+
+def test_streaming_ingest_dedup_without_checkpoint(spark, tmp_path):
+    """checkpoint=None: every drain is its own lineage and re-reads
+    the whole drop (temp checkpoint), the index absorbs the replays,
+    NEW files still ingest (the old persistent-marker fallback
+    silently skipped them as 'batch 0 already done'), and no marker
+    dir accumulates orphan files."""
+    import json
+    import os
+
+    from twitter_analysis_spark.streaming.ingest import (
+        streaming_ingest_dedup)
+
+    drop = tmp_path / "nc_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "nc_corpus")
+    index = str(tmp_path / "nc_index")
+
+    with open(drop / "d1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha"}) + "\n")
+    streaming_ingest_dedup(spark, str(drop), corpus, index)
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1]
+
+    with open(drop / "d2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": "beta"}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "text": "alpha"}) + "\n")
+    streaming_ingest_dedup(spark, str(drop), corpus, index)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2]                    # new doc in, replays absorbed
+    assert not os.path.exists(f"{index}__batches")

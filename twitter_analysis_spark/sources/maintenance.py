@@ -85,13 +85,38 @@ def _hive_str(c: str, cast_to: str | None = None):
     return F.coalesce(col.cast("string"), F.lit(_HIVE_NULL))
 
 
+def _partition_value_tuples(path: str,
+                            partition_by: list[str]) -> list[list[str]]:
+    """Leaf partition value tuples (Hive dir-name strings, unquoted,
+    in partition_by order) from one driver-side directory walk —
+    bounded by the partition count, no file stats, no Spark scan."""
+    from urllib.parse import unquote
+
+    out: list[list[str]] = []
+
+    def walk(dirpath: str, depth: int, values: list[str]) -> None:
+        if depth == len(partition_by):
+            out.append(values)
+            return
+        prefix = f"{partition_by[depth]}="
+        for entry in sorted(os.listdir(dirpath)):
+            sub = os.path.join(dirpath, entry)
+            if os.path.isdir(sub) and entry.startswith(prefix):
+                walk(sub, depth + 1,
+                     values + [unquote(entry[len(prefix):])])
+
+    walk(path, 0, [])
+    return out
+
+
 def _partition_file_plan(path: str, partition_by: list[str],
                          target_bytes: int) -> list[tuple[list[str], int]]:
     """Walk the existing Hive layout and size each leaf partition:
     returns ``[(partition values in partition_by order, ceil(bytes /
-    target))]``. Driver-side cost is one directory listing — bounded
-    by the partition count, never the row count — and needs no Spark
-    scan because the bytes are already laid out by partition."""
+    target))]``. Driver-side cost is one directory listing plus file
+    stats — bounded by the partition/file count, never the row count
+    — and needs no Spark scan because the bytes are already laid out
+    by partition."""
     from urllib.parse import unquote
 
     plan: list[tuple[list[str], int]] = []
@@ -306,6 +331,8 @@ def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
                  .select(tuple_key(updates).alias("_raw"),
                          tuple_key(updates, cur_types).alias("_canon"))
                  .distinct().collect())
+        if not pairs:                         # empty updates: no-op,
+            return                            # before any guard work
         skewed = sorted({r["_raw"] for r in pairs
                          if r["_raw"] != r["_canon"]})
         if skewed:
@@ -322,38 +349,48 @@ def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
                 "the updates to the table's read schema first, or "
                 "disable partitionColumnTypeInference and use string "
                 "partition columns.")
-        # And the TABLE itself must be canonical under inference: a
-        # directory like month=01 reads back as int 1, whose write
-        # form is month=1 — a partition-scoped overwrite would then
-        # write winners into a NEW directory next to the old one,
-        # splitting the partition. Compare every existing directory
-        # tuple (driver-side walk, bounded by partition count) with
-        # the read-back canonical strings; any dir the canonical set
-        # cannot reproduce means dynamic overwrite cannot address it,
-        # and the only safe merges are full_rewrite (which rewrites
-        # the layout canonically) or an inference-off string layout.
-        dir_tuples = {sep.join(vals) for vals, _k in
-                      _partition_file_plan(path, partition_by, 1)}
-        canon_tuples = {r["_t"] for r in current
-                        .select(tuple_key(current).alias("_t"))
-                        .distinct().collect()}
-        ghost = sorted(dir_tuples - canon_tuples)
-        if ghost:
-            shown = [t.replace(sep, "/") for t in ghost[:5]]
-            raise ValueError(
-                f"upsert_by_key(partition_by={partition_by}): the "
-                f"table at {path!r} has partition directories whose "
-                f"names are not canonical for their inferred read "
-                f"types {cur_types} — e.g. {shown}; dynamic partition "
-                "overwrite would write winners into new differently-"
-                "named directories beside them, splitting those "
-                "partitions. Use full_rewrite=True (rewrites the "
-                "layout canonically through the crash-safe swap) or "
-                "disable partitionColumnTypeInference and keep string "
-                "partition columns.")
         touched = [r["_raw"] for r in pairs]
-        if not touched:                       # empty updates: no-op
-            return
+        # And every TOUCHED partition's directory name must be
+        # canonical for the inferred read types: a directory like
+        # month=01 reads back as int 1, whose write form is month=1 —
+        # a partition-scoped overwrite would read its rows (the
+        # predicate evaluates on the inferred VALUE, which matches)
+        # but write the winners into a NEW month=1 directory beside
+        # it, splitting the partition. The check is driver-bounded:
+        # one directory-name walk (∝ partition count, no file stats,
+        # no table scan — the 'updates + touched partitions' cost
+        # contract holds), round-tripped through the read types on a
+        # partition-count-sized LOCAL frame. Dirs aliasing a touched
+        # tuple under a non-canonical name refuse loudly; untouched
+        # non-canonical dirs are harmless (never read, never written).
+        dir_tuples = _partition_value_tuples(path, partition_by)
+        if dir_tuples:
+            local = spark.createDataFrame(
+                [tuple(v) for v in dir_tuples],
+                ", ".join(f"{c} string" for c in partition_by))
+            dir_pairs = (local.select(
+                tuple_key(local).alias("_dir"),
+                tuple_key(local, cur_types).alias("_canon"))
+                .collect())
+            touched_set = set(touched)
+            aliased = sorted({r["_dir"] for r in dir_pairs
+                              if r["_canon"] in touched_set
+                              and r["_dir"] != r["_canon"]})
+            if aliased:
+                shown = [t.replace(sep, "/") for t in aliased[:5]]
+                raise ValueError(
+                    f"upsert_by_key(partition_by={partition_by}): "
+                    f"the table at {path!r} has partition directories "
+                    f"whose names are not canonical for their "
+                    f"inferred read types {cur_types} and that alias "
+                    f"partitions this merge touches — e.g. {shown}; "
+                    "dynamic partition overwrite would write winners "
+                    "into new differently-named directories beside "
+                    "them, splitting those partitions. Use "
+                    "full_rewrite=True (rewrites the layout "
+                    "canonically through the crash-safe swap) or "
+                    "disable partitionColumnTypeInference and keep "
+                    "string partition columns.")
         winner = _winner_per_key(
             current.where(tuple_key(current).isin(touched)),
             updates, key, order_by)

@@ -20,7 +20,12 @@ instead of appending duplicates; and because the token is scoped to
 the checkpoint lineage, a LOST checkpoint (fresh lineage, batch ids
 restarting at 0) can never overwrite an old lineage's partitions —
 its redeliveries are absorbed by the index/identity guards instead.
-Concretely, per micro-batch (inside ``foreachBatch``):
+The one compose these two devices cannot heal alone is a batch torn
+AT THE MOMENT of checkpoint loss (its replay would have overwritten
+the partial partition, but the new lineage never addresses it):
+:func:`reconcile_replace_by_batch` drops exactly those
+corpus-without-index partitions before the re-drain. Concretely, per
+micro-batch (inside ``foreachBatch``):
 
 1. classify every batch row new / dup_in_batch / dup_of_corpus
    against the on-disk index, READ WITHOUT the current batch's own
@@ -84,8 +89,10 @@ def _check_batch_layout(path: str) -> None:
     overwrite). Name the one-time migration instead. Checked
     unconditionally, so the mixed case raises here too, not inside
     Spark's 'conflicting directory structures' error."""
-    if os.path.isdir(path) and any(
-            e.endswith(".parquet") for e in os.listdir(path)):
+    if not os.path.isdir(path):
+        return
+    entries = os.listdir(path)
+    if any(e.endswith(".parquet") for e in entries):
         raise ValueError(
             f"{path!r} holds parquet files at the table root (a "
             "pre-replace-by-batch layout, or a half-done migration "
@@ -94,6 +101,24 @@ def _check_batch_layout(path: str) -> None:
             "spark.read.parquet(path).withColumn('_batch_id', "
             "F.lit('migrated_0')).write.partitionBy('_batch_id')"
             ".parquet(new_path)")
+    batch_vals = [e[len("_batch_id="):] for e in entries
+                  if e.startswith("_batch_id=")]
+    if batch_vals and all(
+            v.lstrip("-").isdigit() for v in batch_vals):
+        # a table written by the bare-numeric-token generation of this
+        # module: partition inference reads _batch_id back as INT, so
+        # comparing it with a string lineage token either crashes
+        # (ANSI cast error) or — worse, ANSI off — null-filters every
+        # old partition out of the index read, silently re-ingesting
+        # duplicates. (Lineage tokens always contain '-' and '_', so
+        # a current-generation table can never trip this.)
+        raise ValueError(
+            f"{path!r} carries bare numeric _batch_id partitions (the "
+            "pre-lineage-token generation); a one-time migration is "
+            "required — rewrite with string tokens, e.g. "
+            "spark.read.parquet(path).withColumn('_batch_id', "
+            "F.concat(F.lit('migrated-0_'), F.col('_batch_id')))"
+            ".write.partitionBy('_batch_id').parquet(new_path)")
 
 
 def _has_batches(path: str) -> bool:
@@ -185,6 +210,50 @@ def _read_batched(spark: SparkSession, path: str,
     return spark.read.parquet(path).drop("_batch_id")
 
 
+def _batch_dirs(path: str) -> dict[str, str]:
+    """Map each ``_batch_id`` token of a replace-by-batch table to its
+    partition directory (driver-side listing)."""
+    from urllib.parse import unquote
+    if not os.path.isdir(path):
+        return {}
+    return {unquote(e[len("_batch_id="):]): os.path.join(path, e)
+            for e in os.listdir(path) if e.startswith("_batch_id=")}
+
+
+def reconcile_replace_by_batch(data_path: str, index_path: str) -> list[str]:
+    """Drop TORN data partitions after checkpoint loss: removes every
+    ``_batch_id`` partition of ``data_path`` (corpus) that has no
+    matching partition in ``index_path`` — returning the dropped
+    tokens. Run this BEFORE re-draining with a fresh checkpoint.
+
+    Why it exists: within a checkpoint lineage a torn batch (crash
+    between the corpus and index writes) heals by replay — the re-run
+    overwrites its own partition (the pinned torn-batch tests). But if
+    the CHECKPOINT IS LOST before that replay happens, the re-drain
+    runs under a new lineage that never addresses the old lineage's
+    partitions, so the torn partition's docs — absent from the index —
+    classify 'new' again and land in the new lineage's partition: a
+    permanent duplicate. The torn partition is precisely identifiable
+    from the layout (corpus partition with no index partition: the
+    index write always follows the corpus write, and a completed batch
+    has both), and checkpoint loss means the whole drop redelivers, so
+    dropping it loses nothing the re-drain will not restore. Driver
+    cost: two directory listings. A torn INDEX partition (crash during
+    the index write itself, after its corpus partition landed) leaves
+    the same corpus-without-complete-index signature only while the
+    batch is unreplayed — the same drop-then-redeliver reasoning
+    applies. Do NOT run this while an ingest query is live (its
+    in-flight batch naturally has the corpus-but-no-index shape)."""
+    import shutil
+
+    data = _batch_dirs(data_path)
+    index = _batch_dirs(index_path)
+    dropped = sorted(set(data) - set(index))
+    for token in dropped:
+        shutil.rmtree(data[token], ignore_errors=True)
+    return dropped
+
+
 def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
                            corpus_path: str, index_path: str,
                            schema: str = "doc_id LONG, text STRING",
@@ -212,11 +281,20 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
     redelivers as batch 0 of a NEW lineage, every redelivered doc's
     key is visible in the old lineage's index partitions (a new
     lineage excludes nothing of the old), so everything classifies
-    dup_of_corpus and the corpus is physically untouched.
+    dup_of_corpus and the corpus is physically untouched — with ONE
+    caveat: a batch torn at the very moment of the loss left corpus
+    rows with no index keys, which the new lineage would re-ingest as
+    duplicates; run :func:`reconcile_replace_by_batch` before the
+    re-drain to drop those torn partitions (their docs redeliver).
     """
+    # Markers only exist under a checkpoint: without one, every drain
+    # is its own lineage (see _batch_token), a marker could never
+    # match, and a persistent fallback dir would only accumulate
+    # orphan files.
     marker_dir = (os.path.join(checkpoint, "__ingest_batches")
-                  if checkpoint else f"{index_path}__batches")
-    os.makedirs(marker_dir, exist_ok=True)
+                  if checkpoint else None)
+    if marker_dir:
+        os.makedirs(marker_dir, exist_ok=True)
 
     stream = (
         spark.readStream.schema(schema)
@@ -229,8 +307,9 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         token = _batch_token(checkpoint, batch_id, lineage_cache)
-        marker = os.path.join(marker_dir, f"batch_{token}")
-        if os.path.exists(marker):            # re-delivered after crash
+        marker = (os.path.join(marker_dir, f"batch_{token}")
+                  if marker_dir else None)
+        if marker and os.path.exists(marker):  # re-delivered after crash
             return
         # exclude our own partition: a torn first attempt's partial
         # index write must not poison the re-run's classification
@@ -245,7 +324,8 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
             content_index(new_docs, "doc_id", "text", hash_fn=hash_fn),
             index_path, token)
         new_docs.unpersist()
-        open(marker, "w").close()             # recompute-skip fast path
+        if marker:
+            open(marker, "w").close()         # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
@@ -301,7 +381,10 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     collides with its own rows in every band and the ``bdoc == pdoc``
     candidates name exactly the replayed ids — dropped without
     verification, at zero extra index contact, corpus physically
-    untouched.
+    untouched. Same single caveat as :func:`streaming_ingest_dedup`:
+    a batch torn at the moment of the loss (corpus partition without
+    its band-index partition) needs
+    :func:`reconcile_replace_by_batch` before the re-drain.
     """
     from ..operators.dedup import (_jaccard_pairs_from, _signatures_from,
                                    doc_shingle_pairs)
@@ -336,8 +419,9 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         token = _batch_token(checkpoint, batch_id, lineage_cache)
-        marker = os.path.join(marker_dir, f"batch_{token}")
-        if os.path.exists(marker):            # re-delivered after crash
+        marker = (os.path.join(marker_dir, f"batch_{token}")
+                  if marker_dir else None)
+        if marker and os.path.exists(marker):  # re-delivered after crash
             return
         batch_df = batch_df.persist()
         banded = banded_of(batch_df).persist()
@@ -427,7 +511,8 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                                  token)
         for d in (new_docs, cand, banded, batch_df):
             d.unpersist()
-        open(marker, "w").close()             # recompute-skip fast path
+        if marker:
+            open(marker, "w").close()         # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
@@ -474,9 +559,11 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
     from ..operators.curation import (build_decontamination_filter,
                                       decontaminate_probe)
 
+    # Marker scoping as in streaming_ingest_dedup: checkpoint-only.
     marker_dir = (os.path.join(checkpoint, "__decon_batches")
-                  if checkpoint else f"{corpus_path}__batches")
-    os.makedirs(marker_dir, exist_ok=True)
+                  if checkpoint else None)
+    if marker_dir:
+        os.makedirs(marker_dir, exist_ok=True)
 
     bench_sh, words = build_decontamination_filter(benchmark, "text", n)
     bench_sh = bench_sh.persist()
@@ -493,8 +580,9 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         token = _batch_token(checkpoint, batch_id, lineage_cache)
-        marker = os.path.join(marker_dir, f"batch_{token}")
-        if os.path.exists(marker):            # re-delivered after crash
+        marker = (os.path.join(marker_dir, f"batch_{token}")
+                  if marker_dir else None)
+        if marker and os.path.exists(marker):  # re-delivered after crash
             return
         batch = batch_df.persist()
         hits = decontaminate_probe(batch, bench_sh, words,
@@ -506,7 +594,8 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
             corpus_path, token)
         hits.unpersist()
         batch.unpersist()
-        open(marker, "w").close()             # recompute-skip fast path
+        if marker:
+            open(marker, "w").close()         # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
