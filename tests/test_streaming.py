@@ -1390,3 +1390,87 @@ def test_streaming_ingest_dedup_without_checkpoint(spark, tmp_path):
     got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert got == [1, 2]                    # new doc in, replays absorbed
     assert not os.path.exists(f"{index}__batches")
+
+
+def test_streaming_ingest_neardup_shingleless_docs_fully_covered(
+        spark, tmp_path):
+    """A doc ALL of whose shingles are pruned by the hot-shingle DF
+    cap (shared by >256 docs — boilerplate) carries no band rows,
+    which would leave it with NO index presence: its batch's index
+    partition could come out empty (faking the torn corpus-without-
+    index signature reconcile deletes on) and a checkpoint-loss
+    replay would re-ingest it. (Short docs do NOT trigger this —
+    word_shingles folds them into one whole-doc shingle.) The
+    sentinel band row (-1, hash(doc_id)) closes both holes: reconcile
+    drops nothing for a completed capped batch, and the replay
+    self-collides."""
+    import json
+
+    from twitter_analysis_spark.streaming import ingest as ing
+
+    drop = tmp_path / "sl_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "sl_corpus")
+    index = str(tmp_path / "sl_index")
+    ckpt = str(tmp_path / "sl_ckpt")
+
+    n_docs = 260                       # > DEFAULT_MAX_SHINGLE_DF (256)
+    with open(drop / "d1.json", "w") as f:
+        for i in range(1, n_docs + 1):
+            f.write(json.dumps({"doc_id": i,
+                                "text": "boilerplate gm"}) + "\n")
+    ing.streaming_ingest_neardup(spark, str(drop), corpus, index,
+                                 checkpoint=ckpt)
+    # the cap prunes the shared shingle, so no candidates form and
+    # all docs ingest (the documented hot-shingle trade-off) — but
+    # each MUST carry its sentinel row in the index
+    assert spark.read.parquet(corpus).count() == n_docs
+    idx = spark.read.parquet(index)
+    assert idx.count() == n_docs
+    assert {r["band"] for r in idx.collect()} == {-1}   # sentinels
+
+    # a completed capped batch is NOT torn: reconcile drops nothing
+    assert ing.reconcile_replace_by_batch(corpus, index) == []
+    assert spark.read.parquet(corpus).count() == n_docs
+
+    # checkpoint loss: the replay self-collides on the sentinels and
+    # the corpus stays duplicate-free
+    shutil.rmtree(tmp_path / "sl_ckpt")
+    ing.streaming_ingest_neardup(spark, str(drop), corpus, index,
+                                 checkpoint=ckpt)
+    assert spark.read.parquet(corpus).count() == n_docs
+
+
+def test_reconcile_drop_tokens_and_no_checkpoint_neardup_markers(
+        spark, tmp_path):
+    """Two small contracts: (a) reconcile_replace_by_batch's
+    drop_tokens force-removes a named batch from BOTH sides (the
+    manual path for a partition present-but-partial after a mid-
+    commit crash, which layout inspection cannot detect); (b) the
+    neardup pipeline without a checkpoint creates no persistent
+    marker dir (same as the dedup pipeline)."""
+    import json
+    import os
+
+    from twitter_analysis_spark.streaming import ingest as ing
+
+    drop = tmp_path / "dt_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "dt_corpus")
+    index = str(tmp_path / "dt_index")
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat naps by the fire")
+    with open(drop / "d1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": base}) + "\n")
+    ing.streaming_ingest_neardup(spark, str(drop), corpus, index)
+    assert not os.path.exists(f"{index}__batches")      # (b)
+
+    # (a): force-drop the completed batch from both sides
+    from twitter_analysis_spark.streaming.ingest import _batch_dirs
+    tokens = list(_batch_dirs(corpus))
+    assert len(tokens) == 1
+    dropped = ing.reconcile_replace_by_batch(corpus, index,
+                                             drop_tokens=tokens)
+    assert dropped == tokens
+    assert _batch_dirs(corpus) == {} and _batch_dirs(index) == {}

@@ -85,28 +85,31 @@ def _hive_str(c: str, cast_to: str | None = None):
     return F.coalesce(col.cast("string"), F.lit(_HIVE_NULL))
 
 
-def _partition_value_tuples(path: str,
-                            partition_by: list[str]) -> list[list[str]]:
-    """Leaf partition value tuples (Hive dir-name strings, unquoted,
-    in partition_by order) from one driver-side directory walk —
-    bounded by the partition count, no file stats, no Spark scan."""
+def _walk_partitions(path: str, partition_by: list[str]):
+    """Yield ``(values, leaf_dirpath)`` for every leaf of a Hive
+    layout (values are the unquoted dir-name strings in partition_by
+    order) — ONE driver-side walk, bounded by the partition count;
+    the single place the layout-walking logic lives."""
     from urllib.parse import unquote
 
-    out: list[list[str]] = []
-
-    def walk(dirpath: str, depth: int, values: list[str]) -> None:
+    def walk(dirpath: str, depth: int, values: list[str]):
         if depth == len(partition_by):
-            out.append(values)
+            yield values, dirpath
             return
         prefix = f"{partition_by[depth]}="
         for entry in sorted(os.listdir(dirpath)):
             sub = os.path.join(dirpath, entry)
             if os.path.isdir(sub) and entry.startswith(prefix):
-                walk(sub, depth + 1,
-                     values + [unquote(entry[len(prefix):])])
+                yield from walk(sub, depth + 1,
+                                values + [unquote(entry[len(prefix):])])
 
-    walk(path, 0, [])
-    return out
+    yield from walk(path, 0, [])
+
+
+def _partition_value_tuples(path: str,
+                            partition_by: list[str]) -> list[list[str]]:
+    """Leaf partition value tuples — the walk without file stats."""
+    return [values for values, _ in _walk_partitions(path, partition_by)]
 
 
 def _partition_file_plan(path: str, partition_by: list[str],
@@ -117,24 +120,8 @@ def _partition_file_plan(path: str, partition_by: list[str],
     stats — bounded by the partition/file count, never the row count
     — and needs no Spark scan because the bytes are already laid out
     by partition."""
-    from urllib.parse import unquote
-
-    plan: list[tuple[list[str], int]] = []
-
-    def walk(dirpath: str, depth: int, values: list[str]) -> None:
-        if depth == len(partition_by):
-            k = max(1, math.ceil(_dir_bytes(dirpath) / target_bytes))
-            plan.append((values, k))
-            return
-        prefix = f"{partition_by[depth]}="
-        for entry in sorted(os.listdir(dirpath)):
-            sub = os.path.join(dirpath, entry)
-            if os.path.isdir(sub) and entry.startswith(prefix):
-                walk(sub, depth + 1,
-                     values + [unquote(entry[len(prefix):])])
-
-    walk(path, 0, [])
-    return plan
+    return [(values, max(1, math.ceil(_dir_bytes(d) / target_bytes)))
+            for values, d in _walk_partitions(path, partition_by)]
 
 
 def compact_parquet(spark: SparkSession, path: str,

@@ -220,11 +220,15 @@ def _batch_dirs(path: str) -> dict[str, str]:
             for e in os.listdir(path) if e.startswith("_batch_id=")}
 
 
-def reconcile_replace_by_batch(data_path: str, index_path: str) -> list[str]:
-    """Drop TORN data partitions after checkpoint loss: removes every
+def reconcile_replace_by_batch(data_path: str, index_path: str,
+                               drop_tokens: list[str] | None = None
+                               ) -> list[str]:
+    """Drop TORN batch partitions after checkpoint loss: removes every
     ``_batch_id`` partition of ``data_path`` (corpus) that has no
-    matching partition in ``index_path`` — returning the dropped
-    tokens. Run this BEFORE re-draining with a fresh checkpoint.
+    matching partition in ``index_path``, plus any explicitly named
+    ``drop_tokens`` (removed from BOTH sides) — returning the dropped
+    tokens. Run this BEFORE re-draining with a fresh checkpoint;
+    failures to remove raise rather than report the token as dropped.
 
     Why it exists: within a checkpoint lineage a torn batch (crash
     between the corpus and index writes) heals by replay — the re-run
@@ -233,25 +237,39 @@ def reconcile_replace_by_batch(data_path: str, index_path: str) -> list[str]:
     runs under a new lineage that never addresses the old lineage's
     partitions, so the torn partition's docs — absent from the index —
     classify 'new' again and land in the new lineage's partition: a
-    permanent duplicate. The torn partition is precisely identifiable
-    from the layout (corpus partition with no index partition: the
-    index write always follows the corpus write, and a completed batch
-    has both), and checkpoint loss means the whole drop redelivers, so
-    dropping it loses nothing the re-drain will not restore. Driver
-    cost: two directory listings. A torn INDEX partition (crash during
-    the index write itself, after its corpus partition landed) leaves
-    the same corpus-without-complete-index signature only while the
-    batch is unreplayed — the same drop-then-redeliver reasoning
-    applies. Do NOT run this while an ingest query is live (its
-    in-flight batch naturally has the corpus-but-no-index shape)."""
+    permanent duplicate. A corpus partition with NO index partition is
+    structurally torn (the index write always follows the corpus
+    write, and every nonempty corpus write is followed by a nonempty
+    index write — exact keys per doc; near-dup band rows or the
+    shingle-less sentinel), and checkpoint loss means the whole drop
+    redelivers, so dropping it loses nothing the re-drain will not
+    restore. Driver cost: two directory listings.
+
+    SCOPE: structural detection covers missing-partition tears only. A
+    crash in the MIDDLE of an index partition's job commit can leave
+    that partition present but partial — indistinguishable from a
+    complete one by layout. If the crash window makes that plausible,
+    pass the in-flight batch's token via ``drop_tokens`` (it is the
+    lineage's highest batch id; the marker dir under the old
+    checkpoint — if salvaged — names every COMPLETED token) and both
+    sides' partitions for it are removed, restoring the
+    drop-then-redeliver invariant. Do NOT run this while an ingest
+    query is live (its in-flight batch naturally has the
+    corpus-but-no-index shape)."""
     import shutil
 
     data = _batch_dirs(data_path)
     index = _batch_dirs(index_path)
     dropped = sorted(set(data) - set(index))
     for token in dropped:
-        shutil.rmtree(data[token], ignore_errors=True)
-    return dropped
+        shutil.rmtree(data[token])        # failures raise, loudly
+    for token in sorted(set(drop_tokens or ())):
+        for side in (data, index):
+            if token in side and os.path.isdir(side[token]):
+                shutil.rmtree(side[token])
+        if token not in dropped:
+            dropped.append(token)
+    return sorted(dropped)
 
 
 def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
@@ -389,16 +407,18 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     from ..operators.dedup import (_jaccard_pairs_from, _signatures_from,
                                    doc_shingle_pairs)
 
+    # Marker scoping as in streaming_ingest_dedup: checkpoint-only.
     marker_dir = (os.path.join(checkpoint, "__ingest_batches")
-                  if checkpoint else f"{band_index_path}__batches")
-    os.makedirs(marker_dir, exist_ok=True)
+                  if checkpoint else None)
+    if marker_dir:
+        os.makedirs(marker_dir, exist_ok=True)
     r = num_hashes // bands
     assert num_hashes % bands == 0
 
     def banded_of(df: DataFrame) -> DataFrame:
         ds = doc_shingle_pairs(df, "doc_id", "text", n)
         sigs = _signatures_from(ds, num_hashes)
-        return sigs.select(
+        banded = sigs.select(
             "doc",
             F.explode(F.array([
                 F.struct(F.lit(b).alias("band"),
@@ -407,6 +427,25 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                 for b in range(bands)
             ])).alias("bk"),
         ).select("doc", "bk.band", "bk.bh")
+        # SHINGLE-LESS docs — all shingles pruned by the hot-shingle
+        # DF cap (boilerplate shared by >256 docs; short docs are NOT
+        # this case, word_shingles folds them into one whole-doc
+        # shingle) — produce no band rows, which would leave an
+        # ingested doc with NO index presence:
+        # its batch's index partition could come out empty (faking the
+        # torn corpus-without-index signature reconcile keys on), and
+        # a checkpoint-loss replay would re-ingest it (no rows to
+        # self-collide with). Give every such doc one SENTINEL row
+        # (band -1, bh = hash of its own id): it can never collide
+        # with another doc — the bh is id-unique — so it generates no
+        # candidate pairs, but a replayed doc meets its own sentinel
+        # and the bdoc == pdoc identity guard fires exactly as it
+        # does for banded docs.
+        sentinel = (df.select(F.col("doc_id").alias("doc"))
+                    .join(sigs.select("doc"), "doc", "left_anti")
+                    .select("doc", F.lit(-1).alias("band"),
+                            F.xxhash64(F.col("doc")).alias("bh")))
+        return banded.unionByName(sentinel)
 
     stream = (
         spark.readStream.schema(schema)
