@@ -366,7 +366,8 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                              checkpoint: str | None = None):
     """NEAR-duplicate streaming ingestion: the MinHash+LSH analogue of
     :func:`streaming_ingest_dedup`. The persistent artifact is a BAND
-    INDEX (band, bh, doc) — ``bands`` rows per corpus document — so a
+    INDEX (band, bh, doc) — ``bands`` rows per corpus document (one
+    sentinel row for cap-pruned shingle-less docs, see banded_of) — so a
     micro-batch probes the corpus with one key-equi join on
     (band, bh), never a corpus rescan.
 
