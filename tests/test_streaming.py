@@ -1474,3 +1474,66 @@ def test_reconcile_drop_tokens_and_no_checkpoint_neardup_markers(
                                              drop_tokens=tokens)
     assert dropped == tokens
     assert _batch_dirs(corpus) == {} and _batch_dirs(index) == {}
+
+
+def test_streaming_ingest_dedup_crash_after_index_before_marker(
+        spark, tmp_path, monkeypatch):
+    """The other half of the torn window: both writes landed but the
+    marker did not. The re-run reads the index MINUS its own
+    partition, so it re-classifies identically (its own first-attempt
+    keys are invisible, not poison), overwrites both partitions with
+    byte-identical content, and stamps the marker — zero duplicates,
+    zero losses, no compaction."""
+    import json
+
+    import pytest
+
+    from twitter_analysis_spark.operators.dedup import content_index
+    from twitter_analysis_spark.streaming import ingest as ing
+
+    drop = tmp_path / "aim_drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "aim_corpus")
+    index = str(tmp_path / "aim_index")
+    ckpt = str(tmp_path / "aim_ckpt")
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id,
+                                    "text": text}) + "\n")
+
+    write_drop("d1.json", [(1, "alpha")])
+    ing.streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=ckpt)
+
+    write_drop("d2.json", [(10, "alpha"), (11, "gamma")])
+    real = ing._replace_batch_partition
+
+    def crash_after_index(df, path, token):
+        real(df, path, token)                 # the write COMPLETES
+        if path == index and int(token.rsplit("_", 1)[1]) > 0:
+            raise RuntimeError("simulated crash after index write")
+
+    monkeypatch.setattr(ing, "_replace_batch_partition",
+                        crash_after_index)
+    with pytest.raises(Exception, match="simulated crash"):
+        ing.streaming_ingest_dedup(spark, str(drop), corpus, index,
+                                   checkpoint=ckpt)
+    monkeypatch.setattr(ing, "_replace_batch_partition", real)
+
+    # both writes landed; only the marker is missing
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1, 11]
+    assert sorted(r["holder_id"] for r in
+                  spark.read.parquet(index).collect()) == [1, 11]
+
+    # restart: the redelivered batch re-runs into identical partitions
+    ing.streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=ckpt)
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(corpus).collect()) == [1, 11]
+    built = content_index(spark.read.parquet(corpus), "doc_id", "text")
+    assert sorted(map(tuple, spark.read.parquet(index)
+                      .select("content_key", "holder_id").collect())) == \
+        sorted(map(tuple, built.collect()))
