@@ -348,12 +348,14 @@ def test_streaming_ingest_neardup(spark, tmp_path):
     got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert got2 == {1, 4, 11}
 
-    # band index: exactly `bands` rows per surviving corpus doc
+    # band index: `bands` rows per surviving corpus doc, plus the
+    # one id-keyed sentinel (the replay identity anchor)
     idx = spark.read.parquet(index)
     per_doc = {r["doc"]: r["n"] for r in
                idx.groupBy("doc").count().withColumnRenamed(
                    "count", "n").collect()}
-    assert per_doc == {1: 16, 4: 16, 11: 16}
+    assert per_doc == {1: 17, 4: 17, 11: 17}
+    assert idx.where("band = -1").count() == 3
 
     # re-drain is a no-op (markers)
     streaming_ingest_neardup(spark, str(drop), corpus, index,
@@ -1209,7 +1211,7 @@ def test_streaming_ingest_neardup_torn_batch_zero_duplicates(
     per_doc = {r["doc"]: r["n"] for r in
                spark.read.parquet(index).groupBy("doc").count()
                .withColumnRenamed("count", "n").collect()}
-    assert per_doc == {1: 16, 11: 16}
+    assert per_doc == {1: 17, 11: 17}      # bands + 1 sentinel
 
 
 def test_streaming_ingest_post_checkpoint_loss_drains_never_destroy(
@@ -1474,6 +1476,14 @@ def test_reconcile_drop_tokens_and_no_checkpoint_neardup_markers(
                                              drop_tokens=tokens)
     assert dropped == tokens
     assert _batch_dirs(corpus) == {} and _batch_dirs(index) == {}
+
+    # a token naming NO partition on either side raises (typo guard:
+    # silently reporting it dropped would leave a torn partition in
+    # place) — which also makes a blind re-run of the same drop loud
+    import pytest
+    with pytest.raises(ValueError, match="names no partition"):
+        ing.reconcile_replace_by_batch(corpus, index,
+                                       drop_tokens=tokens)
 
 
 def test_streaming_ingest_dedup_crash_after_index_before_marker(

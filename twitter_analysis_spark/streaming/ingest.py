@@ -155,7 +155,11 @@ def _batch_token(checkpoint: str | None, batch_id: int,
                 try:
                     with open(meta) as fh:
                         lineage = str(json.load(fh)["id"])
-                except (ValueError, KeyError):
+                except (OSError, ValueError, KeyError, TypeError):
+                    # any unreadable/unparseable metadata (not just
+                    # malformed JSON) falls back to a per-drain
+                    # lineage — the safe semantics — instead of
+                    # failing the drain on an opaque error
                     lineage = None
         if lineage is None:
             import uuid
@@ -264,6 +268,18 @@ def reconcile_replace_by_batch(data_path: str, index_path: str,
     for token in dropped:
         shutil.rmtree(data[token])        # failures raise, loudly
     for token in sorted(set(drop_tokens or ())):
+        # a token matching NEITHER side is an error, not a success:
+        # silently reporting it dropped would mask a typo (e.g. the
+        # bare batch id instead of the full lineage token) and leave
+        # the actually-torn partition in place
+        if token not in data and token not in index:
+            raise ValueError(
+                f"reconcile_replace_by_batch: drop_tokens entry "
+                f"{token!r} names no partition of {data_path!r} or "
+                f"{index_path!r} — either it was already reconciled "
+                f"or it is mistyped (tokens look like "
+                f"'<lineage>_<batch id>'; known: "
+                f"{sorted(set(data) | set(index))[:10]})")
         for side in (data, index):
             if token in side and os.path.isdir(side[token]):
                 shutil.rmtree(side[token])
@@ -366,8 +382,9 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                              checkpoint: str | None = None):
     """NEAR-duplicate streaming ingestion: the MinHash+LSH analogue of
     :func:`streaming_ingest_dedup`. The persistent artifact is a BAND
-    INDEX (band, bh, doc) — ``bands`` rows per corpus document (one
-    sentinel row for cap-pruned shingle-less docs, see banded_of) — so a
+    INDEX (band, bh, doc) — ``bands`` rows per corpus document, plus
+    one id-keyed sentinel row each (the replay identity anchor, see
+    banded_of; cap-pruned shingle-less docs carry only it) — so a
     micro-batch probes the corpus with one key-equi join on
     (band, bh), never a corpus rescan.
 
@@ -395,10 +412,15 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     CLEAN checkpoint-loss replay (markers die with the checkpoint;
     the whole drop redelivers as batch 0 of a NEW lineage) converges
     duplicate-free through the identity guard: every redelivered
-    doc's band rows live in the OLD lineage's partitions, which a new
-    lineage's self-excluded read keeps visible, so each replayed doc
-    collides with its own rows in every band and the ``bdoc == pdoc``
-    candidates name exactly the replayed ids — dropped without
+    doc's index rows live in the OLD lineage's partitions, which a
+    new lineage's self-excluded read keeps visible, and each replayed
+    doc collides AT LEAST with its own id-keyed sentinel row — which,
+    unlike the real band hashes, does not depend on the hot-shingle
+    cap's dataset-relative pruning context (stored rows are computed
+    over a batch's survivors; the replay probes with the whole drop,
+    so a shingle can be capped in one context and not the other and
+    every real band hash can shift). The ``bdoc == pdoc`` candidates
+    therefore always name the replayed ids — dropped without
     verification, at zero extra index contact, corpus physically
     untouched. Same single caveat as :func:`streaming_ingest_dedup`:
     a batch torn at the moment of the loss (corpus partition without
@@ -428,24 +450,29 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                 for b in range(bands)
             ])).alias("bk"),
         ).select("doc", "bk.band", "bk.bh")
-        # SHINGLE-LESS docs — all shingles pruned by the hot-shingle
-        # DF cap (boilerplate shared by >256 docs; short docs are NOT
-        # this case, word_shingles folds them into one whole-doc
-        # shingle) — produce no band rows, which would leave an
-        # ingested doc with NO index presence:
-        # its batch's index partition could come out empty (faking the
-        # torn corpus-without-index signature reconcile keys on), and
-        # a checkpoint-loss replay would re-ingest it (no rows to
-        # self-collide with). Give every such doc one SENTINEL row
-        # (band -1, bh = hash of its own id): it can never collide
-        # with another doc — the bh is id-unique — so it generates no
-        # candidate pairs, but a replayed doc meets its own sentinel
-        # and the bdoc == pdoc identity guard fires exactly as it
-        # does for banded docs.
-        sentinel = (df.select(F.col("doc_id").alias("doc"))
-                    .join(sigs.select("doc"), "doc", "left_anti")
-                    .select("doc", F.lit(-1).alias("band"),
-                            F.xxhash64(F.col("doc")).alias("bh")))
+        # EVERY doc gets one SENTINEL row (band -1, bh = hash of its
+        # own id) in addition to its band rows. The sentinel is the
+        # identity guard's context-INDEPENDENT anchor: real band
+        # hashes are functions of the hot-shingle DF cap, which is
+        # dataset-relative — the stored rows are computed over the
+        # batch's SURVIVORS and a checkpoint-loss replay probes with
+        # the whole redelivered drop, so a shingle can be capped in
+        # one context and not the other and a doc's min-hashes can
+        # shift in every band, silencing the bdoc == pdoc guard and
+        # re-ingesting the doc as a permanent duplicate. The sentinel
+        # depends only on the doc id, so a replayed doc ALWAYS meets
+        # its own stored sentinel. It can never collide with another
+        # doc (the bh is id-unique), so it creates no candidate
+        # pairs; it also guarantees a nonempty index partition for
+        # every nonempty corpus partition — the structural invariant
+        # reconcile_replace_by_batch keys on — including docs whose
+        # every shingle is cap-pruned (boilerplate shared by >256
+        # docs; short docs are NOT that case — word_shingles folds
+        # them into one whole-doc shingle). Cost: one extra index row
+        # per doc next to `bands` real ones.
+        sentinel = df.select(F.col("doc_id").alias("doc"),
+                             F.lit(-1).alias("band"),
+                             F.xxhash64(F.col("doc_id")).alias("bh"))
         return banded.unionByName(sentinel)
 
     stream = (

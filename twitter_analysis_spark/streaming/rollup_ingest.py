@@ -117,9 +117,17 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
     Marker scoping follows :func:`streaming.ingest.streaming_ingest_dedup`:
     reuse one checkpoint for the pipeline's lifetime.
     """
+    # Markers only exist under a checkpoint (streaming/ingest.py's
+    # round-10 fix): without one, availableNow re-reads the whole drop
+    # every drain with batch ids restarting at 0, so a persistent
+    # marker dir would match the stale batch_0 marker and silently
+    # skip a fresh drain's NEW events. Marker-less no-checkpoint
+    # drains are safe here — the id index absorbs redelivered events
+    # and the refresh is idempotent.
     marker_dir = (os.path.join(checkpoint, "__rollup_batches")
-                  if checkpoint else f"{rollup_path}__batches")
-    os.makedirs(marker_dir, exist_ok=True)
+                  if checkpoint else None)
+    if marker_dir:
+        os.makedirs(marker_dir, exist_ok=True)
 
     stream = (
         spark.readStream.schema(schema)
@@ -129,8 +137,9 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
     )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):            # re-delivered after crash
+        marker = (os.path.join(marker_dir, f"batch_{batch_id}")
+                  if marker_dir else None)
+        if marker and os.path.exists(marker):  # re-delivered after crash
             return
         batch = batch_df.dropDuplicates(["event_id"]).persist()
         # Touched grain partitions: a bounded collect (distinct DATES
@@ -151,7 +160,8 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
             refresh_rollup(spark, pruned, rollup_path, grain=grain,
                            dates=dates)
         batch.unpersist()
-        open(marker, "w").close()             # commit point, written last
+        if marker:
+            open(marker, "w").close()         # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
@@ -184,9 +194,12 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
     """
     from pyspark.sql import Window
 
+    # Checkpoint-only markers, as in streaming_rollup_ingest; the
+    # alerts anti-join keeps no-checkpoint replays from re-alerting.
     marker_dir = (os.path.join(checkpoint, "__alert_batches")
-                  if checkpoint else f"{alerts_path}__batches")
-    os.makedirs(marker_dir, exist_ok=True)
+                  if checkpoint else None)
+    if marker_dir:
+        os.makedirs(marker_dir, exist_ok=True)
 
     stream = (
         spark.readStream.schema(schema)
@@ -221,8 +234,9 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
                         .alias("zscore")))
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):
+        marker = (os.path.join(marker_dir, f"batch_{batch_id}")
+                  if marker_dir else None)
+        if marker and os.path.exists(marker):
             return
         batch = batch_df.dropDuplicates(["event_id"]).persist()
         dates = [r["d"] for r in
@@ -247,7 +261,8 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
                 "detected_batch", F.lit(int(batch_id)).cast("long"))
             fresh.write.mode("append").parquet(alerts_path)
         batch.unpersist()
-        open(marker, "w").close()
+        if marker:
+            open(marker, "w").close()
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
