@@ -1477,13 +1477,13 @@ def test_reconcile_drop_tokens_and_no_checkpoint_neardup_markers(
     assert dropped == tokens
     assert _batch_dirs(corpus) == {} and _batch_dirs(index) == {}
 
-    # a token naming NO partition on either side raises (typo guard:
-    # silently reporting it dropped would leave a torn partition in
-    # place) — which also makes a blind re-run of the same drop loud
-    import pytest
-    with pytest.raises(ValueError, match="names no partition"):
-        ing.reconcile_replace_by_batch(corpus, index,
-                                       drop_tokens=tokens)
+    # a token naming NO partition on either side is EXCLUDED from the
+    # return (and warned about) rather than reported dropped or
+    # raised: the state is healthy both on a retry after success and
+    # when the in-flight batch crashed before its first write — the
+    # caller catches a typo by checking the return value
+    assert ing.reconcile_replace_by_batch(corpus, index,
+                                          drop_tokens=tokens) == []
 
 
 def test_streaming_ingest_dedup_crash_after_index_before_marker(

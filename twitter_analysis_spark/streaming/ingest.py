@@ -155,17 +155,38 @@ def _batch_token(checkpoint: str | None, batch_id: int,
                 try:
                     with open(meta) as fh:
                         lineage = str(json.load(fh)["id"])
-                except (OSError, ValueError, KeyError, TypeError):
-                    # any unreadable/unparseable metadata (not just
-                    # malformed JSON) falls back to a per-drain
-                    # lineage — the safe semantics — instead of
-                    # failing the drain on an opaque error
+                except (ValueError, KeyError, TypeError):
+                    # unparseable metadata CONTENT (malformed JSON,
+                    # non-dict, missing id) falls back to a per-drain
+                    # lineage — the safe semantics for a foreign or
+                    # corrupt file. A transient READ failure (OSError)
+                    # must NOT fall back: the checkpoint is live, and
+                    # silently minting a one-off lineage would strand
+                    # this drain's partitions where the real lineage's
+                    # replay never addresses them — fail the drain
+                    # loudly instead.
                     lineage = None
         if lineage is None:
             import uuid
             lineage = f"nockpt-{uuid.uuid4().hex}"
         cache["lineage"] = lineage
     return f"{cache['lineage']}_{int(batch_id)}"
+
+
+
+def _marker(checkpoint: str | None, subdir: str, token) -> str | None:
+    """Recompute-skip marker path for a batch, or None without a
+    checkpoint — markers are checkpoint-scoped: without one every
+    drain is its own lineage (see :func:`_batch_token`), a marker
+    could never match, and a persistent fallback dir would only
+    accumulate orphan files (and, pre-token, silently swallowed fresh
+    drains' batch 0). Creates the marker dir on first use. The ONE
+    place marker scoping lives — all five pipelines share it."""
+    if not checkpoint:
+        return None
+    d = os.path.join(checkpoint, subdir)
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"batch_{token}")
 
 
 def _replace_batch_partition(df: DataFrame, path: str,
@@ -232,7 +253,12 @@ def reconcile_replace_by_batch(data_path: str, index_path: str,
     matching partition in ``index_path``, plus any explicitly named
     ``drop_tokens`` (removed from BOTH sides) — returning the dropped
     tokens. Run this BEFORE re-draining with a fresh checkpoint;
-    failures to remove raise rather than report the token as dropped.
+    failures to remove raise rather than report the token as dropped,
+    and a drop_tokens entry naming NO partition on either side is
+    warned about and excluded from the return (healthy when the
+    in-flight batch crashed before its first write, or on a retry
+    after a successful reconcile — check the return value to catch a
+    mistyped token).
 
     Why it exists: within a checkpoint lineage a torn batch (crash
     between the corpus and index writes) heals by replay — the re-run
@@ -268,18 +294,23 @@ def reconcile_replace_by_batch(data_path: str, index_path: str,
     for token in dropped:
         shutil.rmtree(data[token])        # failures raise, loudly
     for token in sorted(set(drop_tokens or ())):
-        # a token matching NEITHER side is an error, not a success:
-        # silently reporting it dropped would mask a typo (e.g. the
-        # bare batch id instead of the full lineage token) and leave
-        # the actually-torn partition in place
+        # a token matching NEITHER side is excluded from the returned
+        # dropped list and warned about, but NOT an error: it is
+        # indistinguishable between "already reconciled", "the
+        # in-flight batch crashed before its first write" (both
+        # healthy — the docstring's runbook passes such tokens on
+        # purpose) and a typo — which the caller catches by checking
+        # the return value, keeping the reconcile itself retryable.
         if token not in data and token not in index:
-            raise ValueError(
-                f"reconcile_replace_by_batch: drop_tokens entry "
-                f"{token!r} names no partition of {data_path!r} or "
-                f"{index_path!r} — either it was already reconciled "
-                f"or it is mistyped (tokens look like "
-                f"'<lineage>_<batch id>'; known: "
-                f"{sorted(set(data) | set(index))[:10]})")
+            import logging
+            logging.getLogger(__name__).warning(
+                "reconcile_replace_by_batch: drop_tokens entry %r "
+                "names no partition of %r or %r (already reconciled, "
+                "never written, or mistyped — tokens look like "
+                "'<lineage>_<batch id>'; known: %s); nothing dropped "
+                "for it", token, data_path, index_path,
+                sorted(set(data) | set(index))[:10])
+            continue
         for side in (data, index):
             if token in side and os.path.isdir(side[token]):
                 shutil.rmtree(side[token])
@@ -321,14 +352,6 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
     duplicates; run :func:`reconcile_replace_by_batch` before the
     re-drain to drop those torn partitions (their docs redeliver).
     """
-    # Markers only exist under a checkpoint: without one, every drain
-    # is its own lineage (see _batch_token), a marker could never
-    # match, and a persistent fallback dir would only accumulate
-    # orphan files.
-    marker_dir = (os.path.join(checkpoint, "__ingest_batches")
-                  if checkpoint else None)
-    if marker_dir:
-        os.makedirs(marker_dir, exist_ok=True)
 
     stream = (
         spark.readStream.schema(schema)
@@ -341,8 +364,7 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         token = _batch_token(checkpoint, batch_id, lineage_cache)
-        marker = (os.path.join(marker_dir, f"batch_{token}")
-                  if marker_dir else None)
+        marker = _marker(checkpoint, "__ingest_batches", token)
         if marker and os.path.exists(marker):  # re-delivered after crash
             return
         # exclude our own partition: a torn first attempt's partial
@@ -422,19 +444,21 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     every real band hash can shift). The ``bdoc == pdoc`` candidates
     therefore always name the replayed ids — dropped without
     verification, at zero extra index contact, corpus physically
-    untouched. Same single caveat as :func:`streaming_ingest_dedup`:
-    a batch torn at the moment of the loss (corpus partition without
-    its band-index partition) needs
+    untouched. Scope of that guarantee: it is an IDENTITY guarantee
+    (no redelivered doc is ever ingested twice). Docs the original
+    run verify-DROPPED have no index rows at all, so their replay is
+    re-classified from scratch under the replay's cap context — they
+    carry the same probabilistic LSH/cap recall as a fresh run, i.e.
+    a previously-eliminated near-dup pair can re-enter if its bands
+    no longer collide in the new context (the documented cap
+    trade-off, not a replay defect). Same single torn-batch caveat as
+    :func:`streaming_ingest_dedup`: a batch torn at the moment of the
+    loss (corpus partition without its band-index partition) needs
     :func:`reconcile_replace_by_batch` before the re-drain.
     """
     from ..operators.dedup import (_jaccard_pairs_from, _signatures_from,
                                    doc_shingle_pairs)
 
-    # Marker scoping as in streaming_ingest_dedup: checkpoint-only.
-    marker_dir = (os.path.join(checkpoint, "__ingest_batches")
-                  if checkpoint else None)
-    if marker_dir:
-        os.makedirs(marker_dir, exist_ok=True)
     r = num_hashes // bands
     assert num_hashes % bands == 0
 
@@ -486,8 +510,7 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         token = _batch_token(checkpoint, batch_id, lineage_cache)
-        marker = (os.path.join(marker_dir, f"batch_{token}")
-                  if marker_dir else None)
+        marker = _marker(checkpoint, "__ingest_batches", token)
         if marker and os.path.exists(marker):  # re-delivered after crash
             return
         batch_df = batch_df.persist()
@@ -626,11 +649,6 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
     from ..operators.curation import (build_decontamination_filter,
                                       decontaminate_probe)
 
-    # Marker scoping as in streaming_ingest_dedup: checkpoint-only.
-    marker_dir = (os.path.join(checkpoint, "__decon_batches")
-                  if checkpoint else None)
-    if marker_dir:
-        os.makedirs(marker_dir, exist_ok=True)
 
     bench_sh, words = build_decontamination_filter(benchmark, "text", n)
     bench_sh = bench_sh.persist()
@@ -647,8 +665,7 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         token = _batch_token(checkpoint, batch_id, lineage_cache)
-        marker = (os.path.join(marker_dir, f"batch_{token}")
-                  if marker_dir else None)
+        marker = _marker(checkpoint, "__decon_batches", token)
         if marker and os.path.exists(marker):  # re-delivered after crash
             return
         batch = batch_df.persist()

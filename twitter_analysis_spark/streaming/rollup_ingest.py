@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.rollup import prune_to_dates, refresh_rollup
+from .ingest import _marker
 
 _EVENT_SCHEMA = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
                  "event_type STRING, value DOUBLE")
@@ -117,17 +118,6 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
     Marker scoping follows :func:`streaming.ingest.streaming_ingest_dedup`:
     reuse one checkpoint for the pipeline's lifetime.
     """
-    # Markers only exist under a checkpoint (streaming/ingest.py's
-    # round-10 fix): without one, availableNow re-reads the whole drop
-    # every drain with batch ids restarting at 0, so a persistent
-    # marker dir would match the stale batch_0 marker and silently
-    # skip a fresh drain's NEW events. Marker-less no-checkpoint
-    # drains are safe here — the id index absorbs redelivered events
-    # and the refresh is idempotent.
-    marker_dir = (os.path.join(checkpoint, "__rollup_batches")
-                  if checkpoint else None)
-    if marker_dir:
-        os.makedirs(marker_dir, exist_ok=True)
 
     stream = (
         spark.readStream.schema(schema)
@@ -137,8 +127,10 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
     )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        marker = (os.path.join(marker_dir, f"batch_{batch_id}")
-                  if marker_dir else None)
+        # checkpoint-scoped markers (ingest.py:_marker); marker-less
+        # no-checkpoint drains are safe here — the id index absorbs
+        # redelivered events and the refresh/anti-join are idempotent
+        marker = _marker(checkpoint, "__rollup_batches", batch_id)
         if marker and os.path.exists(marker):  # re-delivered after crash
             return
         batch = batch_df.dropDuplicates(["event_id"]).persist()
@@ -194,12 +186,6 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
     """
     from pyspark.sql import Window
 
-    # Checkpoint-only markers, as in streaming_rollup_ingest; the
-    # alerts anti-join keeps no-checkpoint replays from re-alerting.
-    marker_dir = (os.path.join(checkpoint, "__alert_batches")
-                  if checkpoint else None)
-    if marker_dir:
-        os.makedirs(marker_dir, exist_ok=True)
 
     stream = (
         spark.readStream.schema(schema)
@@ -234,8 +220,7 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
                         .alias("zscore")))
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        marker = (os.path.join(marker_dir, f"batch_{batch_id}")
-                  if marker_dir else None)
+        marker = _marker(checkpoint, "__alert_batches", batch_id)
         if marker and os.path.exists(marker):
             return
         batch = batch_df.dropDuplicates(["event_id"]).persist()
