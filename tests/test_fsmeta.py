@@ -1,0 +1,155 @@
+"""The filesystem-metadata shim (fsmeta.py) and the contracts built
+on it this round: every driver-side directory protocol routes through
+the ONE module that states the local/HDFS rename assumption, the
+streaming lineage token fails loudly on checkpoint path-resolution
+divergence instead of stranding partitions, and the upsert winner is
+deterministic under within-side duplicate keys."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from twitter_analysis_spark import fsmeta
+
+
+def test_fsmeta_primitives(tmp_path):
+    root = str(tmp_path / "r")
+    fsmeta.makedirs(root)
+    fsmeta.makedirs(root)                      # exist_ok semantics
+    assert fsmeta.isdir(root) and fsmeta.exists(root)
+    fsmeta.touch(os.path.join(root, "m"))
+    assert fsmeta.listdir(root) == ["m"]
+    fsmeta.rename(root, str(tmp_path / "r2"))
+    assert not fsmeta.exists(root)
+    assert fsmeta.exists(str(tmp_path / "r2" / "m"))
+    # replace_file overwrites an existing destination atomically
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p, content in ((a, "new"), (b, "old")):
+        with open(p, "w") as f:
+            f.write(content)
+    fsmeta.replace_file(a, b)
+    with open(b) as f:
+        assert f.read() == "new"
+    fsmeta.rmtree(str(tmp_path / "r2"))
+    assert not fsmeta.exists(str(tmp_path / "r2"))
+    with pytest.raises(FileNotFoundError):
+        fsmeta.rmtree(str(tmp_path / "nope"))  # loud by default
+    fsmeta.rmtree(str(tmp_path / "nope"), ignore_errors=True)
+
+
+def test_swap_in_routes_through_fsmeta(tmp_path, monkeypatch):
+    """The crash-safe table swap must perform its renames through the
+    shim — the seam a deploy on object storage swaps out. Pinned by
+    counting fsmeta.rename calls during a live swap (2: aside + in)."""
+    from twitter_analysis_spark.sources import maintenance
+
+    calls: list[tuple[str, str]] = []
+    real = fsmeta.rename
+
+    def counting(src, dst):
+        calls.append((src, dst))
+        real(src, dst)
+
+    monkeypatch.setattr(maintenance.fsmeta, "rename", counting)
+    live, tmp = str(tmp_path / "live"), str(tmp_path / "tmp")
+    for d in (live, tmp):
+        os.makedirs(d)
+        with open(os.path.join(d, "part"), "w") as f:
+            f.write(d)
+    maintenance._swap_in(tmp, live)
+    assert len(calls) == 2
+    with open(os.path.join(live, "part")) as f:
+        assert f.read() == tmp                 # new table is live
+    assert not any(e.startswith("live__old") for e in os.listdir(tmp_path))
+
+
+def test_batch_token_refuses_unresolvable_checkpoint(tmp_path):
+    """A live checkpoint whose metadata is missing or unparseable AT
+    THE LITERAL PATH must fail the drain loudly — minting a one-off
+    lineage would strand the drain's partitions where the real
+    lineage's replay never overwrites them (the round-10 ADVICE
+    finding). No checkpoint still mints a per-drain lineage."""
+    import json
+
+    from twitter_analysis_spark.streaming.ingest import _batch_token
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    with pytest.raises(RuntimeError, match="metadata not found"):
+        _batch_token(ckpt, 0, {})
+    # unparseable metadata content = reading a DIFFERENT file than
+    # Spark's (Spark wrote and read it fine) -> same loud refusal
+    with open(os.path.join(ckpt, "metadata"), "w") as f:
+        f.write("not json")
+    with pytest.raises(RuntimeError, match="not Spark query metadata"):
+        _batch_token(ckpt, 0, {})
+    # the healthy path: lineage-scoped token, cached per drain
+    with open(os.path.join(ckpt, "metadata"), "w") as f:
+        json.dump({"id": "q-123"}, f)
+    cache: dict = {}
+    assert _batch_token(ckpt, 0, cache) == "q-123_0"
+    assert _batch_token(ckpt, 7, cache) == "q-123_7"
+    # no checkpoint: per-drain nockpt lineage (documented semantics)
+    c2: dict = {}
+    t = _batch_token(None, 0, c2)
+    assert t.startswith("nockpt-") and t.endswith("_0")
+
+
+def test_winner_per_key_deterministic_tiebreak(spark):
+    """Duplicate keys WITHIN one side (the cross-partition-dup case
+    full_rewrite=True heals) must resolve to the SAME winner every
+    run — ordered by a stable row hash, not shuffle order. Pinned by
+    merging a current side that holds two differing copies of one key
+    under every shuffle-partition setting and asserting the survivor
+    is identical."""
+    from twitter_analysis_spark.sources.maintenance import _winner_per_key
+
+    current = spark.createDataFrame(
+        [(1, "copyA", "b1"), (1, "copyB", "b2"), (2, "only", "b1")],
+        "k INT, payload STRING, _batch_id STRING")
+    updates = spark.createDataFrame([], "k INT, payload STRING, _batch_id STRING")
+    winners = []
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows = {r["k"]: (r["payload"], r["_batch_id"])
+                    for r in _winner_per_key(current, updates, "k",
+                                             None).collect()}
+            winners.append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert winners[0] == winners[1] == winners[2]
+    assert winners[0][2] == ("only", "b1")
+    assert winners[0][1][0] in ("copyA", "copyB")   # exactly one survives
+
+
+def test_rollup_markers_are_lineage_scoped(spark, tmp_path):
+    """The rollup ingest's recompute-skip markers must carry the
+    lineage-scoped token (not the bare numeric batch id) — the
+    round-10 ADVICE finding: bare ids silently re-open the
+    swallowed-batch-0 bug if marker storage is ever relocated."""
+    import json as _json
+
+    from twitter_analysis_spark.streaming.rollup_ingest import (
+        streaming_rollup_ingest)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rows = [{"event_id": i, "ts": "2024-03-01T00:00:05",
+             "user_id": 1, "event_type": "view", "value": 1.0}
+            for i in range(4)]
+    with open(drop / "a.jsonl", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+    ckpt = str(tmp_path / "ckpt")
+    streaming_rollup_ingest(
+        spark, str(drop), str(tmp_path / "lake"),
+        str(tmp_path / "idx"), str(tmp_path / "rollup"),
+        checkpoint=ckpt)
+    with open(os.path.join(ckpt, "metadata")) as f:
+        lineage = str(_json.load(f)["id"])
+    markers = os.listdir(os.path.join(ckpt, "__rollup_batches"))
+    assert markers, "drain stamped no marker"
+    assert all(m.startswith(f"batch_{lineage}_") for m in markers), markers

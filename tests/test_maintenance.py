@@ -104,8 +104,6 @@ def test_swap_crash_never_loses_table(spark, tmp_path, monkeypatch):
     """A crash at any point of the table swap leaves the data
     recoverable: the old table is moved aside, never deleted, until the
     new one is live."""
-    import shutil
-
     from twitter_analysis_spark.sources import maintenance as m
 
     path = str(tmp_path / "snap")
@@ -113,33 +111,37 @@ def test_swap_crash_never_loses_table(spark, tmp_path, monkeypatch):
     v1.write.parquet(path)
     updates = spark.createDataFrame([(2, "b")], "k long, v string")
 
-    # Crash while moving the new table in: the original must be restored.
-    real_rename = os.rename
+    # Crash while moving the new table in: the original must be
+    # restored. The swap's renames go through the fsmeta shim (the
+    # round-11 seam), so the crash is injected there.
+    real_rename = m.fsmeta.rename
 
     def crash_on_tmp_move(src, dst):
         if dst == path and "__upsert_" in src:
             raise OSError("simulated crash")
         real_rename(src, dst)
 
-    monkeypatch.setattr(m.os, "rename", crash_on_tmp_move)
+    monkeypatch.setattr(m.fsmeta, "rename", crash_on_tmp_move)
     try:
         upsert_by_key(spark, path, updates, key="k")
     except OSError:
         pass
-    monkeypatch.setattr(m.os, "rename", real_rename)
+    monkeypatch.setattr(m.fsmeta, "rename", real_rename)
     assert {r["k"] for r in spark.read.parquet(path).collect()} == {1}
 
     # Crash during old-table cleanup: the NEW table is already live and
     # complete; only a stray __old dir leaks.
+    real_rmtree = m.fsmeta.rmtree
+
     def crash_rmtree(p, *a, **kw):
         raise OSError("simulated crash")
 
-    monkeypatch.setattr(m.shutil, "rmtree", crash_rmtree)
+    monkeypatch.setattr(m.fsmeta, "rmtree", crash_rmtree)
     try:
         upsert_by_key(spark, path, updates, key="k")
     except OSError:
         pass
-    monkeypatch.setattr(m.shutil, "rmtree", shutil.rmtree)
+    monkeypatch.setattr(m.fsmeta, "rmtree", real_rmtree)
     assert {r["k"] for r in spark.read.parquet(path).collect()} == {1, 2}
 
 

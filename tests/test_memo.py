@@ -104,7 +104,10 @@ def test_torn_ledger_and_orphan_dirs_recover_on_boot(spark, tmp_path):
 
     # torn ledger: truncated JSON -> empty restore, no raise — and NO
     # sweep: the still-valid result dir is preserved on disk (it is
-    # unreachable until recomputed over, which overwrites in place)
+    # unreachable until recomputed over, which overwrites in place).
+    # The corrupt bytes are QUARANTINED to ledger.json.corrupt for
+    # operator inspection; the deletion of orphaned result dirs is
+    # thereby deferred one boot, not avoided (docstring contract).
     fp = fingerprint({"q": 1})
     with open(os.path.join(root, "ledger.json"), "w") as f:
         f.write('{"trunc')
@@ -112,7 +115,22 @@ def test_torn_ledger_and_orphan_dirs_recover_on_boot(spark, tmp_path):
     assert memo3.stats()["entries"] == 0
     assert memo3.lookup({"q": 1}) is None
     assert os.path.isdir(os.path.join(root, fp))
+    assert not os.path.exists(os.path.join(root, "ledger.json"))
+    with open(os.path.join(root, "ledger.json.corrupt")) as f:
+        assert f.read() == '{"trunc'             # bytes preserved
     # recompute over the preserved dir converges back to a clean memo
     memo3.get_or_compute({"q": 1}, _builder_factory(spark, calls))
     assert memo3.lookup({"q": 1}).count() == 5
     assert os.path.exists(os.path.join(foreign, "keep.txt"))
+    # the boot AFTER the rebuild sweeps dirs the fresh ledger does not
+    # own — the documented one-boot deferral running to completion
+    orphan2 = os.path.join(root, "cafebabe" * 4)
+    os.makedirs(orphan2)
+    QueryMemo(spark, root)
+    assert not os.path.exists(orphan2)
+    # a second quarantine replaces the first (no .corrupt pile-up)
+    with open(os.path.join(root, "ledger.json"), "w") as f:
+        f.write('[also bad')
+    QueryMemo(spark, root)
+    with open(os.path.join(root, "ledger.json.corrupt")) as f:
+        assert f.read() == '[also bad'

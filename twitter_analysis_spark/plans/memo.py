@@ -26,11 +26,12 @@ import hashlib
 import json
 import os
 import re
-import shutil
 import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .. import fsmeta
 
 
 def fingerprint(params: dict) -> str:
@@ -51,7 +52,7 @@ class QueryMemo:
         self.root = root
         self.max_entries = max_entries          # K6 (cache.py:49,252)
         self.ttl_seconds = ttl_seconds          # K2 (cache.py:55,87-90)
-        os.makedirs(root, exist_ok=True)
+        fsmeta.makedirs(root)
         self._ledger_path = os.path.join(root, "ledger.json")
         self._ledger: dict[str, dict] = {}
         self._restore()                         # K5 (cache.py:62-67)
@@ -77,9 +78,19 @@ class QueryMemo:
         look unowned, and rm-rf'ing all still-valid cached results on
         the strength of a corrupt 2 KB JSON is the wrong trade. Those
         dirs are unreachable until recomputed over (same fingerprint
-        → overwritten in place), so the leak is bounded and converges."""
+        → overwritten in place), so the leak is bounded and converges.
+        The corrupt ledger itself is QUARANTINED (renamed to
+        ``ledger.json.corrupt``, replacing any earlier quarantine) so
+        operators can inspect or hand-repair it — and so its bytes
+        survive the rebuild: the memo restarts empty, the next
+        ``_persist`` writes a fresh authoritative ledger, and the boot
+        AFTER that sweeps the now-unowned result dirs. The skip
+        therefore DEFERS the deletion of the orphaned results by one
+        boot rather than avoiding it — deliberate: what it protects
+        against is deleting on the strength of a torn read, not
+        keeping unreachable parquet forever."""
         ledger_corrupt = False
-        if os.path.exists(self._ledger_path):
+        if fsmeta.exists(self._ledger_path):
             try:
                 with open(self._ledger_path) as f:
                     self._ledger = json.load(f)
@@ -87,12 +98,14 @@ class QueryMemo:
                 self._ledger = {}
                 ledger_corrupt = True
         if ledger_corrupt:
+            fsmeta.replace_file(self._ledger_path,
+                                self._ledger_path + ".corrupt")
             return
-        for entry in os.listdir(self.root):
+        for entry in fsmeta.listdir(self.root):
             p = os.path.join(self.root, entry)
-            if (os.path.isdir(p) and entry not in self._ledger
+            if (fsmeta.isdir(p) and entry not in self._ledger
                     and re.fullmatch(r"[0-9a-f]{32}", entry)):
-                shutil.rmtree(p, ignore_errors=True)
+                fsmeta.rmtree(p, ignore_errors=True)
 
     def _persist(self) -> None:                 # K3 (cache.py:125)
         # atomic replace: the same no-torn-state discipline as
@@ -102,7 +115,7 @@ class QueryMemo:
         tmp = f"{self._ledger_path}.tmp"
         with open(tmp, "w") as f:
             json.dump(self._ledger, f)
-        os.replace(tmp, self._ledger_path)
+        fsmeta.replace_file(tmp, self._ledger_path)
 
     # -- core -----------------------------------------------------------
     def _path(self, fp: str) -> str:
@@ -144,7 +157,7 @@ class QueryMemo:
 
     def evict(self, fp: str) -> None:
         self._ledger.pop(fp, None)
-        shutil.rmtree(self._path(fp), ignore_errors=True)
+        fsmeta.rmtree(self._path(fp), ignore_errors=True)
         self._persist()
 
     def warm(self, keyword_df: DataFrame,

@@ -25,19 +25,20 @@ from __future__ import annotations
 import logging
 import math
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+from .. import fsmeta
 
 _log = logging.getLogger(__name__)
 
 
 def _dir_bytes(path: str) -> int:
     total = 0
-    for root, _dirs, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f))
+    for root, _dirs, files in fsmeta.walk(path):
+        total += sum(fsmeta.getsize(os.path.join(root, f))
                      for f in files if not f.startswith(("_", ".")))
     return total
 
@@ -51,20 +52,22 @@ def _swap_in(tmp: str, path: str) -> None:
     absent — restore by renaming ``__old`` back); after the second the
     new table is live and the worst case is a leaked ``__old`` dir.
     The previous rmtree-then-rename ordering lost the table outright if
-    the process died between the two calls.
+    the process died between the two calls. Atomicity of each step is
+    the fsmeta module's stated local/HDFS rename assumption — on
+    object stores use a transactional table format instead.
     """
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    had_existing = os.path.exists(path)
+    had_existing = fsmeta.exists(path)
     if had_existing:
-        os.rename(path, old)
+        fsmeta.rename(path, old)
     try:
-        os.rename(tmp, path)
+        fsmeta.rename(tmp, path)
     except BaseException:
         if had_existing:
-            os.rename(old, path)
+            fsmeta.rename(old, path)
         raise
     if had_existing:
-        shutil.rmtree(old)
+        fsmeta.rmtree(old)
 
 
 #: Hive's directory name for a null partition value.
@@ -97,9 +100,9 @@ def _walk_partitions(path: str, partition_by: list[str]):
             yield values, dirpath
             return
         prefix = f"{partition_by[depth]}="
-        for entry in sorted(os.listdir(dirpath)):
+        for entry in sorted(fsmeta.listdir(dirpath)):
             sub = os.path.join(dirpath, entry)
-            if os.path.isdir(sub) and entry.startswith(prefix):
+            if fsmeta.isdir(sub) and entry.startswith(prefix):
                 yield from walk(sub, depth + 1,
                                 values + [unquote(entry[len(prefix):])])
 
@@ -216,13 +219,27 @@ def compact_parquet(spark: SparkSession, path: str,
 def _winner_per_key(current: DataFrame, updates: DataFrame,
                     key: str, order_by: str | None) -> DataFrame:
     """One row per key: highest ``order_by`` wins, ties go to the
-    update; with no ``order_by``, updates replace current outright."""
+    update; with no ``order_by``, updates replace current outright.
+    Remaining ties (duplicate keys WITHIN one side — e.g. the
+    cross-partition duplicates ``full_rewrite=True`` heals) resolve
+    by a stable hash of the row's remaining columns, so the winner
+    is DETERMINISTIC across runs: byte-identical copies tie the hash
+    harmlessly (any pick is the same row), while differing copies
+    (say, different ``_batch_id`` values deciding which partition
+    the survivor lands in) always resolve the same way instead of
+    by shuffle order. Map-typed columns are excluded from the hash
+    (Spark's xxhash64 rejects them); rows differing ONLY in a map
+    column remain arbitrarily ordered — the documented residue."""
     merged = (current.withColumn("_src", F.lit(0))
               .unionByName(updates.withColumn("_src", F.lit(1))))
     if order_by:
         rank_cols = [F.desc(order_by), F.desc("_src")]
     else:
         rank_cols = [F.desc("_src")]
+    tie_cols = [c for c, t in merged.dtypes
+                if c != "_src" and not t.startswith("map<")]
+    if tie_cols:
+        rank_cols.append(F.desc(F.xxhash64(*tie_cols)))
     from pyspark.sql import Window
     w = Window.partitionBy(key).orderBy(*rank_cols)
     return (merged.withColumn("_rn", F.row_number().over(w))
@@ -282,7 +299,7 @@ def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
     not partition-stable there, so the partition-scoped merge must not
     be used, but the healed table still needs its partitioned layout
     for subsequent drains."""
-    if partition_by and os.path.exists(path) and not full_rewrite:
+    if partition_by and fsmeta.exists(path) and not full_rewrite:
         current = spark.read.parquet(path)
         # Touched-partition predicate, kept FLAT: one tuple-key
         # expression (Hive string form of the partition columns,
@@ -392,7 +409,7 @@ def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
             spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                            prev)
         return
-    if os.path.exists(path):
+    if fsmeta.exists(path):
         current = spark.read.parquet(path)
     else:
         current = updates.limit(0)

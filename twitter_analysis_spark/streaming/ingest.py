@@ -68,6 +68,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsmeta
 from ..operators.dedup import content_index, incremental_exact_dedup
 
 #: content_key dtype per hash family (xxhash64 → 8-byte long,
@@ -89,9 +90,9 @@ def _check_batch_layout(path: str) -> None:
     overwrite). Name the one-time migration instead. Checked
     unconditionally, so the mixed case raises here too, not inside
     Spark's 'conflicting directory structures' error."""
-    if not os.path.isdir(path):
+    if not fsmeta.isdir(path):
         return
-    entries = os.listdir(path)
+    entries = fsmeta.listdir(path)
     if any(e.endswith(".parquet") for e in entries):
         raise ValueError(
             f"{path!r} holds parquet files at the table root (a "
@@ -122,8 +123,8 @@ def _check_batch_layout(path: str) -> None:
 
 
 def _has_batches(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        e.startswith("_batch_id=") for e in os.listdir(path))
+    return fsmeta.isdir(path) and any(
+        e.startswith("_batch_id=") for e in fsmeta.listdir(path))
 
 
 def _batch_token(checkpoint: str | None, batch_id: int,
@@ -145,28 +146,52 @@ def _batch_token(checkpoint: str | None, batch_id: int,
     checkpoint-loss tests pin. Without a checkpoint every drain is
     its own lineage (availableNow re-sends everything and a temp
     checkpoint restarts ids anyway), which also keeps the marker
-    fast-path from silently skipping a fresh drain's batch 0."""
+    fast-path from silently skipping a fresh drain's batch 0.
+
+    With a LIVE checkpoint there is no fallback: Spark writes
+    ``<checkpoint>/metadata`` at query start, before the first
+    ``foreachBatch`` call, so by the time this runs the file exists
+    at the checkpoint's real location. If it is missing or
+    unparseable AT THE LITERAL PATH given (a ``file://`` URI, a
+    path Spark's Hadoop FS resolves differently than ``os.path``),
+    minting a one-off lineage would stamp this drain's partitions
+    with tokens the real lineage's replay never addresses — exactly
+    the stranded-partitions hazard the token exists to prevent — so
+    the drain fails loudly instead: pass the checkpoint as the plain
+    local path Spark resolves it to."""
     if "lineage" not in cache:
-        lineage = None
         if checkpoint:
             meta = os.path.join(checkpoint, "metadata")
-            if os.path.exists(meta):
-                import json
-                try:
-                    with open(meta) as fh:
-                        lineage = str(json.load(fh)["id"])
-                except (ValueError, KeyError, TypeError):
-                    # unparseable metadata CONTENT (malformed JSON,
-                    # non-dict, missing id) falls back to a per-drain
-                    # lineage — the safe semantics for a foreign or
-                    # corrupt file. A transient READ failure (OSError)
-                    # must NOT fall back: the checkpoint is live, and
-                    # silently minting a one-off lineage would strand
-                    # this drain's partitions where the real lineage's
-                    # replay never addresses them — fail the drain
-                    # loudly instead.
-                    lineage = None
-        if lineage is None:
+            if not fsmeta.exists(meta):
+                raise RuntimeError(
+                    f"streaming checkpoint metadata not found at "
+                    f"{meta!r} although the query is running with "
+                    f"checkpointLocation={checkpoint!r}. Spark writes "
+                    "it at query start, so the checkpoint path as "
+                    "passed here does not resolve to the location "
+                    "Spark is using (file:// URI? relative path?). "
+                    "Refusing to mint a one-off lineage for a live "
+                    "checkpoint — its partitions would be stranded "
+                    "where the lineage's replay never overwrites "
+                    "them. Pass the checkpoint as the plain local "
+                    "path Spark resolves it to.")
+            import json
+            try:
+                with open(meta) as fh:
+                    lineage = str(json.load(fh)["id"])
+            except (ValueError, KeyError, TypeError) as exc:
+                # Spark itself wrote (and can read) this file, so a
+                # parse failure here means we are reading a DIFFERENT
+                # file than Spark's metadata — same path-resolution
+                # hazard as the missing-file case, same loud refusal.
+                raise RuntimeError(
+                    f"streaming checkpoint metadata at {meta!r} is "
+                    f"not Spark query metadata ({exc!r}); the "
+                    "checkpoint path as passed here does not resolve "
+                    "to the location Spark is using. Refusing to "
+                    "mint a one-off lineage for a live checkpoint."
+                ) from exc
+        else:
             import uuid
             lineage = f"nockpt-{uuid.uuid4().hex}"
         cache["lineage"] = lineage
@@ -185,7 +210,7 @@ def _marker(checkpoint: str | None, subdir: str, token) -> str | None:
     if not checkpoint:
         return None
     d = os.path.join(checkpoint, subdir)
-    os.makedirs(d, exist_ok=True)
+    fsmeta.makedirs(d)
     return os.path.join(d, f"batch_{token}")
 
 
@@ -239,10 +264,10 @@ def _batch_dirs(path: str) -> dict[str, str]:
     """Map each ``_batch_id`` token of a replace-by-batch table to its
     partition directory (driver-side listing)."""
     from urllib.parse import unquote
-    if not os.path.isdir(path):
+    if not fsmeta.isdir(path):
         return {}
     return {unquote(e[len("_batch_id="):]): os.path.join(path, e)
-            for e in os.listdir(path) if e.startswith("_batch_id=")}
+            for e in fsmeta.listdir(path) if e.startswith("_batch_id=")}
 
 
 def reconcile_replace_by_batch(data_path: str, index_path: str,
@@ -286,13 +311,11 @@ def reconcile_replace_by_batch(data_path: str, index_path: str,
     drop-then-redeliver invariant. Do NOT run this while an ingest
     query is live (its in-flight batch naturally has the
     corpus-but-no-index shape)."""
-    import shutil
-
     data = _batch_dirs(data_path)
     index = _batch_dirs(index_path)
     dropped = sorted(set(data) - set(index))
     for token in dropped:
-        shutil.rmtree(data[token])        # failures raise, loudly
+        fsmeta.rmtree(data[token])        # failures raise, loudly
     for token in sorted(set(drop_tokens or ())):
         # a token matching NEITHER side is excluded from the returned
         # dropped list and warned about, but NOT an error: it is
@@ -312,8 +335,8 @@ def reconcile_replace_by_batch(data_path: str, index_path: str,
                 sorted(set(data) | set(index))[:10])
             continue
         for side in (data, index):
-            if token in side and os.path.isdir(side[token]):
-                shutil.rmtree(side[token])
+            if token in side and fsmeta.isdir(side[token]):
+                fsmeta.rmtree(side[token])
         if token not in dropped:
             dropped.append(token)
     return sorted(dropped)
@@ -365,7 +388,7 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         token = _batch_token(checkpoint, batch_id, lineage_cache)
         marker = _marker(checkpoint, "__ingest_batches", token)
-        if marker and os.path.exists(marker):  # re-delivered after crash
+        if marker and fsmeta.exists(marker):  # re-delivered after crash
             return
         # exclude our own partition: a torn first attempt's partial
         # index write must not poison the re-run's classification
@@ -381,7 +404,7 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
             index_path, token)
         new_docs.unpersist()
         if marker:
-            open(marker, "w").close()         # recompute-skip fast path
+            fsmeta.touch(marker)              # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
@@ -511,7 +534,7 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         token = _batch_token(checkpoint, batch_id, lineage_cache)
         marker = _marker(checkpoint, "__ingest_batches", token)
-        if marker and os.path.exists(marker):  # re-delivered after crash
+        if marker and fsmeta.exists(marker):  # re-delivered after crash
             return
         batch_df = batch_df.persist()
         banded = banded_of(batch_df).persist()
@@ -602,7 +625,7 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
         for d in (new_docs, cand, banded, batch_df):
             d.unpersist()
         if marker:
-            open(marker, "w").close()         # recompute-skip fast path
+            fsmeta.touch(marker)              # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
@@ -666,7 +689,7 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         token = _batch_token(checkpoint, batch_id, lineage_cache)
         marker = _marker(checkpoint, "__decon_batches", token)
-        if marker and os.path.exists(marker):  # re-delivered after crash
+        if marker and fsmeta.exists(marker):  # re-delivered after crash
             return
         batch = batch_df.persist()
         hits = decontaminate_probe(batch, bench_sh, words,
@@ -679,7 +702,7 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
         hits.unpersist()
         batch.unpersist()
         if marker:
-            open(marker, "w").close()         # recompute-skip fast path
+            fsmeta.touch(marker)              # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)

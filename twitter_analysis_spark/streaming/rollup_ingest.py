@@ -44,13 +44,13 @@ non-transactional sinks).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsmeta
 from ..operators.rollup import prune_to_dates, refresh_rollup
-from .ingest import _marker
+from .ingest import _batch_token, _marker
 
 _EVENT_SCHEMA = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
                  "event_type STRING, value DOUBLE")
@@ -66,7 +66,7 @@ def _absorb_into_lake(spark: SparkSession, batch: DataFrame,
     batch's touched dates — never the corpus — because the index is
     partitioned by event_date and a redelivered record carries its
     original ts."""
-    if os.path.exists(index_path):
+    if fsmeta.exists(index_path):
         index = spark.read.parquet(index_path)
         if "event_date" not in index.columns:
             # a flat event_id-only index built by versions before the
@@ -126,12 +126,19 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
         .where(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
     )
 
+    lineage_cache: dict = {}
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        # checkpoint-scoped markers (ingest.py:_marker); marker-less
-        # no-checkpoint drains are safe here — the id index absorbs
-        # redelivered events and the refresh/anti-join are idempotent
-        marker = _marker(checkpoint, "__rollup_batches", batch_id)
-        if marker and os.path.exists(marker):  # re-delivered after crash
+        # checkpoint-scoped markers (ingest.py:_marker), named by the
+        # LINEAGE-SCOPED token like every other pipeline — markers
+        # happen to die with the checkpoint today, but a bare numeric
+        # id would quietly re-open the swallowed-batch-0 bug if marker
+        # storage were ever relocated. Marker-less no-checkpoint
+        # drains are safe here — the id index absorbs redelivered
+        # events and the refresh/anti-join are idempotent.
+        token = _batch_token(checkpoint, batch_id, lineage_cache)
+        marker = _marker(checkpoint, "__rollup_batches", token)
+        if marker and fsmeta.exists(marker):  # re-delivered after crash
             return
         batch = batch_df.dropDuplicates(["event_id"]).persist()
         # Touched grain partitions: a bounded collect (distinct DATES
@@ -153,7 +160,7 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
                            dates=dates)
         batch.unpersist()
         if marker:
-            open(marker, "w").close()         # recompute-skip fast path
+            fsmeta.touch(marker)              # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
@@ -219,9 +226,14 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
                         (dev / F.sqrt(var_num.cast("double")))
                         .alias("zscore")))
 
+    lineage_cache: dict = {}
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        marker = _marker(checkpoint, "__alert_batches", batch_id)
-        if marker and os.path.exists(marker):
+        # lineage-scoped marker token, same rationale as
+        # streaming_rollup_ingest's
+        token = _batch_token(checkpoint, batch_id, lineage_cache)
+        marker = _marker(checkpoint, "__alert_batches", token)
+        if marker and fsmeta.exists(marker):
             return
         batch = batch_df.dropDuplicates(["event_id"]).persist()
         dates = [r["d"] for r in
@@ -235,7 +247,7 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
             refresh_rollup(spark, pruned, rollup_path, grain="hour",
                            dates=dates)
             anomalies = detect()
-            if os.path.exists(alerts_path):
+            if fsmeta.exists(alerts_path):
                 known = spark.read.parquet(alerts_path) \
                     .select("event_type", "d")
                 fresh = anomalies.join(known, ["event_type", "d"],
@@ -247,7 +259,7 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
             fresh.write.mode("append").parquet(alerts_path)
         batch.unpersist()
         if marker:
-            open(marker, "w").close()
+            fsmeta.touch(marker)
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)

@@ -41,6 +41,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsmeta
 from ..operators.dedup import tokens
 from ..operators.sketches import DEFAULT_DEPTH, DEFAULT_WIDTH, cms_build
 from ..sources.maintenance import _swap_in
@@ -95,14 +96,14 @@ def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
 
     def stored_batch_id() -> int | None:
         p = os.path.join(sketch_path, "_last_batch_id")
-        if os.path.exists(p):
+        if fsmeta.exists(p):
             with open(p) as fh:
                 return int(fh.read().strip())
         return None
 
     def stored_run_id() -> str | None:
         p = os.path.join(sketch_path, "_run_id")
-        if os.path.exists(p):
+        if fsmeta.exists(p):
             with open(p) as fh:
                 return fh.read().strip()
         return None
@@ -123,10 +124,27 @@ def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
             return run_cache["id"]
         rid = fallback_run
         if checkpoint:
+            # Same fail-loudly contract as ingest.py:_batch_token:
+            # with a live checkpoint the metadata file exists at the
+            # checkpoint's real location by the time this is reached
+            # (post-start inside foreachBatch; pre-start only behind
+            # the has-commits short-circuit, i.e. an ESTABLISHED
+            # checkpoint) — a miss means the path as passed here does
+            # not resolve to the location Spark uses, and silently
+            # minting a per-drain run id would flip the lineage guard
+            # into rebuild-per-drain (transient undercounts) or a
+            # spurious artifact-loss refusal one drain later.
             meta = os.path.join(checkpoint, "metadata")
-            if os.path.exists(meta):
-                with open(meta) as fh:
-                    rid = str(json.load(fh)["id"])
+            if not fsmeta.exists(meta):
+                raise RuntimeError(
+                    f"streaming checkpoint metadata not found at "
+                    f"{meta!r} although checkpointLocation="
+                    f"{checkpoint!r} is in use (file:// URI? relative "
+                    "path?); refusing to mint a per-drain run id for "
+                    "a live checkpoint — pass the checkpoint as the "
+                    "plain local path Spark resolves it to.")
+            with open(meta) as fh:
+                rid = str(json.load(fh)["id"])
         run_cache["id"] = rid
         return rid
 
@@ -145,8 +163,9 @@ def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
         if not checkpoint:
             return False
         commits = os.path.join(checkpoint, "commits")
-        return (os.path.isdir(commits)
-                and any(not f.startswith(".") for f in os.listdir(commits)))
+        return (fsmeta.isdir(commits)
+                and any(not f.startswith(".")
+                        for f in fsmeta.listdir(commits)))
 
     if _lineage_has_commits() and stored_run_id() != current_run_id():
         raise RuntimeError(
@@ -166,7 +185,7 @@ def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
         occ = batch_df.select(
             F.explode(tokens(F.col("text"))).alias("token"))
         batch_sketch = cms_build(occ, "token", depth, width)
-        if os.path.exists(sketch_path) and same_lineage:
+        if fsmeta.exists(sketch_path) and same_lineage:
             merged = (spark.read.parquet(sketch_path)
                       .unionByName(batch_sketch)
                       .groupBy("j", "bucket")
