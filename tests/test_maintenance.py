@@ -512,3 +512,143 @@ def test_upsert_partition_type_skew_refuses_loudly(spark, tmp_path):
     upsert_by_key(spark, path, more, key="k", partition_by=["month"])
     assert {r["k"] for r in spark.read.parquet(path).collect()} == \
         {1, 2, 3, 4}
+
+
+def test_fold_index_bucketed_two_tier_roundtrip(spark, tmp_path):
+    """Round-11 directive: drain -> fold -> drain again. The folded
+    base table must (a) keep the corpus duplicate-free through
+    subsequent two-tier drains, (b) keep reconcile_replace_by_batch
+    from mistaking folded corpus partitions for torn batches, and
+    (c) carry the bucketed layout under which the probe's index
+    branch reaches its first join with ZERO exchange even when
+    nothing can broadcast."""
+    import json
+
+    from twitter_analysis_spark.operators.dedup import (
+        incremental_exact_dedup)
+    from twitter_analysis_spark.sources.maintenance import (
+        fold_index_bucketed)
+    from twitter_analysis_spark.streaming.ingest import (
+        reconcile_replace_by_batch, streaming_ingest_dedup)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = "fold_idx_base"
+
+    def write_drop(name, rows):
+        with open(drop / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    try:
+        write_drop("d1.json", [(1, "alpha"), (2, "alpha"), (3, "beta")])
+        streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=ckpt)
+        folded = fold_index_bucketed(spark, index, tbl)
+        assert len(folded) == 1
+        # delta is drained into the base: no _batch_id dirs remain
+        assert not [e for e in os.listdir(index)
+                    if e.startswith("_batch_id=")]
+        base_tokens = {r["_batch_id"] for r in
+                       spark.table(tbl).select("_batch_id")
+                       .distinct().collect()}
+        assert base_tokens == set(folded)
+        # idempotent no-op when there is nothing to fold
+        assert fold_index_bucketed(spark, index, tbl) == []
+
+        # second drain, two-tier: dups of BASE content (alpha, beta),
+        # a new doc, and an in-batch dup of the new doc
+        write_drop("d2.json", [(10, "alpha"), (11, "gamma"),
+                               (12, "beta"), (13, "gamma")])
+        streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=ckpt, base_index_table=tbl)
+        got = {r["doc_id"]: r["text"]
+               for r in spark.read.parquet(corpus).collect()}
+        assert got == {1: "alpha", 3: "beta", 11: "gamma"}
+        texts = list(got.values())
+        assert len(texts) == len(set(texts))   # zero duplicates
+
+        # reconcile, base-aware: the folded batch's corpus partition
+        # has no delta index partition — exactly the torn signature —
+        # but its tokens live in the base, so nothing is dropped
+        assert reconcile_replace_by_batch(
+            corpus, index, spark=spark, base_index_table=tbl) == []
+        assert {r["doc_id"] for r in
+                spark.read.parquet(corpus).collect()} == {1, 3, 11}
+        # a drop_tokens entry naming a folded token refuses loudly
+        import pytest
+        with pytest.raises(ValueError, match="folded into"):
+            reconcile_replace_by_batch(
+                corpus, index, drop_tokens=[folded[0]],
+                spark=spark, base_index_table=tbl)
+
+        # fold the second drain's delta in too (merge path), then a
+        # third drain against the twice-folded base
+        folded2 = fold_index_bucketed(spark, index, tbl)
+        assert len(folded2) == 1 and folded2[0] not in folded
+        write_drop("d3.json", [(14, "gamma"), (15, "epsilon")])
+        streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=ckpt, base_index_table=tbl)
+        assert {r["doc_id"] for r in
+                spark.read.parquet(corpus).collect()} == {1, 3, 11, 15}
+
+        # (c) the zero-exchange pin over the folded base, read exactly
+        # the way the streaming probe reads it, nothing broadcastable
+        from tests.test_plans import _ancestors_of_index_scan
+        keys = ("spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        prev = {k: spark.conf.get(k, None) for k in keys}
+        for k in keys:
+            spark.conf.set(k, "-1")
+        try:
+            base = (spark.table(tbl)
+                    .where(F.col("_batch_id") != "zz").drop("_batch_id"))
+            batch = spark.createDataFrame(
+                [(100, "alpha"), (101, "zeta")], "doc_id LONG, text STRING")
+            res = incremental_exact_dedup(batch, base, "doc_id", "text")
+            res.collect()
+            plan = res._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount: 8 out of 8" in plan
+            anc = _ancestors_of_index_scan(plan)
+            fj = next((i for i, s in enumerate(anc) if "Join" in s), None)
+            fe = next((i for i, s in enumerate(anc)
+                       if s.startswith("Exchange")), len(anc))
+            assert fj is not None and fj < fe, anc
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    finally:
+        for t in (tbl, f"{tbl}__folding", f"{tbl}__prefold"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_dedup_multi_tier_min_holder(spark):
+    """Two-tier probe semantics: keys present in BOTH tiers (the
+    fold's crash-retry overlap window) resolve to the MIN holder, and
+    a key in either single tier still classifies dup_of_corpus."""
+    from twitter_analysis_spark.operators.dedup import (
+        content_index, incremental_exact_dedup)
+
+    # build both tiers from real hashes so the join keys line up
+    docs = spark.createDataFrame(
+        [(7, "shared"), (9, "base_only")], "doc_id LONG, text STRING")
+    base = content_index(docs, "doc_id", "text")
+    delta_docs = spark.createDataFrame(
+        [(3, "shared"), (4, "delta_only")], "doc_id LONG, text STRING")
+    delta = content_index(delta_docs, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [(20, "shared"), (21, "base_only"), (22, "delta_only"),
+         (23, "brand_new")], "doc_id LONG, text STRING")
+    res = {r["doc_id"]: (r["status"], r["dup_of"]) for r in
+           incremental_exact_dedup(batch, [base, delta],
+                                   "doc_id", "text").collect()}
+    assert res[20] == ("dup_of_corpus", 3)    # min(7, 3) wins
+    assert res[21] == ("dup_of_corpus", 9)
+    assert res[22] == ("dup_of_corpus", 4)
+    assert res[23] == ("new", None)

@@ -803,6 +803,20 @@ def incremental_exact_dedup(batch: DataFrame, index: DataFrame,
     _batch_id-partitioned streaming layout composed in, plus a
     plain-parquet negative control) by tests/test_plans.py::
     test_incremental_dedup_bucketed_index_scan_has_no_exchange.
+
+    ``index`` may also be a list/tuple of index TIERS — the two-tier
+    deploy layout where a bucketed catalog BASE table (folded by
+    maintenance.fold_index_bucketed) coexists with the recent
+    plain-parquet delta partitions the streaming sinks append. Each
+    tier is semi-joined against the batch keys on its OWN plan
+    branch, so the bucketed base keeps its exchange-free scan (a
+    pre-union of the tiers would destroy the bucket distribution and
+    shuffle the corpus-sized base into the join); only the
+    batch-bounded HIT SETS are unioned, with a min-holder aggregate
+    resolving keys present in more than one tier (possible only in
+    the fold's crash-retry window, where base and delta briefly
+    overlap — min matches content_index's lowest-holder semantics
+    either way).
     """
     if hash_fn == "xxhash64":
         key = F.xxhash64(F.col(text_col))
@@ -814,8 +828,18 @@ def incremental_exact_dedup(batch: DataFrame, index: DataFrame,
                          key.alias("content_key"))
     batch_min = keyed.groupBy("content_key").agg(
         F.min("_id").alias("_batch_first"))
-    hits = index.join(keyed.select("content_key").distinct(),
-                      "content_key", "left_semi")
+    tiers = list(index) if isinstance(index, (list, tuple)) else [index]
+    batch_keys = keyed.select("content_key").distinct()
+    hit_sets = [t.join(batch_keys, "content_key", "left_semi")
+                for t in tiers]
+    if len(hit_sets) == 1:
+        hits = hit_sets[0]
+    else:
+        all_hits = hit_sets[0]
+        for h in hit_sets[1:]:
+            all_hits = all_hits.unionByName(h)
+        hits = all_hits.groupBy("content_key").agg(
+            F.min("holder_id").alias("holder_id"))
     return (
         keyed.join(batch_min, "content_key")
         .join(hits, "content_key", "left")

@@ -420,3 +420,109 @@ def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
     _swap_in(tmp, path)
+
+
+def fold_index_bucketed(spark: SparkSession, index_path: str,
+                        table: str, key_col: str = "content_key",
+                        n_buckets: int = 8) -> list[str]:
+    """Fold the accumulated ``_batch_id`` delta partitions of a
+    replace-by-batch index (streaming/ingest.py) into the catalog
+    table ``table``, bucketed AND sorted by ``key_col`` — the
+    deploy-scale layout under which the incremental-dedup probe
+    reaches its first join with ZERO exchange on the index branch
+    even when nothing can broadcast (the device tests/test_plans.py::
+    test_incremental_dedup_bucketed_index_scan_has_no_exchange pins).
+    Returns the folded tokens; their directories are removed from
+    ``index_path``, which afterwards holds only the batches newer
+    than the fold. Steady state is the TWO-TIER index: pass ``table``
+    to ``streaming_ingest_dedup(base_index_table=...)`` so each batch
+    probes the bucketed base and the small parquet delta on separate
+    plan branches — and pass it to ``reconcile_replace_by_batch`` too
+    (folded corpus partitions would otherwise match its torn-batch
+    signature).
+
+    LAYOUT DECISION: ``_batch_id`` is carried into the base VERBATIM
+    but as a plain DATA column, not a partition column. The ingest's
+    own-token exclusion is a ``!=`` predicate either way (it prunes
+    at most one partition, so partitioning buys nothing physical),
+    while a PARTITIONED managed table cannot be atomically renamed:
+    the catalog rename moves the directory but leaves per-partition
+    metadata locations stale (observed on Spark's session catalog;
+    Hive metastores have the same per-partition-location pitfall), so
+    every swap would open a window in which the live base silently
+    reads EMPTY — for a dedup index that means quietly re-ingesting
+    every duplicate, the exact corruption class this module exists to
+    prevent. Unpartitioned bucketed tables rename metadata-clean.
+
+    CRASH CONTRACT (the ``_swap_in`` shape, expressed in catalog
+    renames because bucket metadata lives in the catalog, not the
+    files): the merged table is staged under ``<table>__folding``,
+    the live table moves aside to ``<table>__prefold``, the staging
+    renames in, the backup drops, and ONLY THEN are the folded delta
+    directories deleted — no step destroys the only copy of
+    anything. Torn windows heal at the next call's entry:
+    live-missing-with-backup restores the backup; live-plus-backup
+    drops the stale backup; already-folded-but-undeleted deltas are
+    detected against the base's token set (skipping the rewrite) and
+    their directories removed — the brief base∩delta overlap is
+    absorbed by the probe's min-holder union. Fold cost is one
+    base+delta rewrite (the same class as any compaction); the token
+    scan it needs reads one dictionary-encoded column. Do NOT run
+    while an ingest query is live (its in-flight batch's partition
+    would fold mid-write); the catalog/dir renames carry fsmeta.py's
+    local/HDFS assumption — on object stores use a transactional
+    table format.
+    """
+    staging, backup = f"{table}__folding", f"{table}__prefold"
+    cat = spark.catalog
+    if not cat.tableExists(table) and cat.tableExists(backup):
+        # torn previous fold (crashed between the two renames):
+        # restore the pre-fold table before computing anything, or
+        # the rewrite below would silently drop its rows
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {table}")
+    if cat.tableExists(table) and cat.tableExists(backup):
+        spark.sql(f"DROP TABLE {backup}")     # completed fold's leak
+    if not fsmeta.isdir(index_path):
+        return []
+    tok_dirs = {v[0]: d for v, d in
+                _walk_partitions(index_path, ["_batch_id"])}
+    tokens = sorted(tok_dirs)
+    if not tokens:
+        return []
+    if all(t.lstrip("-").isdigit() for t in tokens):
+        raise ValueError(
+            f"{index_path!r} carries bare numeric _batch_id "
+            "partitions (the pre-lineage-token layout); run the "
+            "one-time string-token migration (streaming/ingest.py:"
+            "_check_batch_layout names it) before folding.")
+    have: set[str] = set()
+    if cat.tableExists(table):
+        have = {r["_batch_id"] for r in
+                spark.table(table).select("_batch_id")
+                .distinct().collect()}        # token-count-bounded
+    fresh = sorted(set(tokens) - have)
+    if fresh:
+        new_rows = (spark.read.parquet(index_path)
+                    .where(F.col("_batch_id").isin(fresh))
+                    .select("content_key", "holder_id", "_batch_id"))
+        contents = (spark.table(table).unionByName(new_rows)
+                    if cat.tableExists(table) else new_rows)
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        (contents.write.mode("overwrite")
+         .bucketBy(n_buckets, key_col).sortBy(key_col)
+         .saveAsTable(staging))
+        if cat.tableExists(table):
+            spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
+        try:
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        except BaseException:
+            if cat.tableExists(backup):
+                spark.sql(f"ALTER TABLE {backup} RENAME TO {table}")
+            raise
+        spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    # only after the base is live: remove the folded delta partitions
+    # (including any left by a crashed earlier retry); failures raise
+    for t in tokens:
+        if fsmeta.isdir(tok_dirs[t]):
+            fsmeta.rmtree(tok_dirs[t])
+    return tokens

@@ -48,13 +48,15 @@ micro-batch (inside ``foreachBatch``):
 At 100 TB the index is the only corpus-sized artifact touched per
 trigger, and only through a key-partitioned join; at deploy scale,
 periodically fold the accumulated ``_batch_id`` partitions into a
-table partitioned by ``_batch_id`` AND bucketed by ``content_key``
-(the ``write_bucketed``/``saveAsTable`` machinery, sources/io.py) —
-the probe then reaches its first join with ZERO exchange on the index
-branch even when nothing can broadcast, pinned by tests/test_plans.py
-::test_incremental_dedup_bucketed_index_scan_has_no_exchange over
-exactly this composed layout and this module's self-excluded read
-shape. Replace-by-batch leaves one
+catalog table bucketed by ``content_key`` with ``_batch_id`` kept as
+a sorted data column (``maintenance.fold_index_bucketed`` — the
+two-tier form, see ``streaming_ingest_dedup(base_index_table=...)``)
+— the probe then reaches its first join with ZERO exchange on the
+index branch even when nothing can broadcast, pinned by
+tests/test_plans.py
+::test_incremental_dedup_bucketed_index_scan_has_no_exchange and by
+tests/test_maintenance.py's drain-fold-drain roundtrip over this
+module's self-excluded read shape. Replace-by-batch leaves one
 parquet file generation per trigger (like any appending writer) —
 ``maintenance.compact_parquet(partition_by=["_batch_id"])`` is the
 steady-state file-count maintenance, now purely a PERFORMANCE chore
@@ -271,7 +273,9 @@ def _batch_dirs(path: str) -> dict[str, str]:
 
 
 def reconcile_replace_by_batch(data_path: str, index_path: str,
-                               drop_tokens: list[str] | None = None
+                               drop_tokens: list[str] | None = None,
+                               *, spark: SparkSession | None = None,
+                               base_index_table: str | None = None
                                ) -> list[str]:
     """Drop TORN batch partitions after checkpoint loss: removes every
     ``_batch_id`` partition of ``data_path`` (corpus) that has no
@@ -310,13 +314,48 @@ def reconcile_replace_by_batch(data_path: str, index_path: str,
     sides' partitions for it are removed, restoring the
     drop-then-redeliver invariant. Do NOT run this while an ingest
     query is live (its in-flight batch naturally has the
-    corpus-but-no-index shape)."""
+    corpus-but-no-index shape).
+
+    TWO-TIER DEPLOYMENTS: after ``maintenance.fold_index_bucketed``
+    moved index partitions into a bucketed base table, their corpus
+    partitions at ``data_path`` have no matching partition at
+    ``index_path`` — which is exactly this function's torn-batch
+    signature, so running it base-blind would DELETE every folded
+    batch's corpus data. Pass the base via ``base_index_table``
+    (with ``spark``) and its partition tokens count as indexed. A
+    base-blind call cannot be detected from the paths alone, so the
+    discipline sits with the caller: pass ``base_index_table`` here
+    exactly when the ingest pipeline runs with one. A ``drop_tokens``
+    entry naming a FOLDED token refuses loudly — its index keys live
+    inside the bucketed table where a partition-level drop cannot
+    reach, and deleting only the corpus side would leave dangling
+    index keys that silently suppress the docs' re-ingestion."""
+    if base_index_table is not None:
+        if spark is None:
+            raise ValueError(
+                "reconcile_replace_by_batch: base_index_table requires "
+                "the spark session to list the base table's partitions")
+        base_tokens = {
+            r["_batch_id"]
+            for r in spark.table(base_index_table)
+            .select("_batch_id").distinct().collect()}
+    else:
+        base_tokens = set()
     data = _batch_dirs(data_path)
     index = _batch_dirs(index_path)
-    dropped = sorted(set(data) - set(index))
+    dropped = sorted(set(data) - set(index) - base_tokens)
     for token in dropped:
         fsmeta.rmtree(data[token])        # failures raise, loudly
     for token in sorted(set(drop_tokens or ())):
+        if token in base_tokens:
+            raise ValueError(
+                f"reconcile_replace_by_batch: drop_tokens entry "
+                f"{token!r} was folded into {base_index_table!r}; its "
+                "index keys cannot be removed partition-wise. If the "
+                "partition really is torn inside the base, heal with "
+                "maintenance.upsert_by_key(..., full_rewrite=True) "
+                "after re-draining, or rebuild the base from the "
+                "delta history.")
         # a token matching NEITHER side is excluded from the returned
         # dropped list and warned about, but NOT an error: it is
         # indistinguishable between "already reconciled", "the
@@ -346,7 +385,8 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
                            corpus_path: str, index_path: str,
                            schema: str = "doc_id LONG, text STRING",
                            hash_fn: str = "xxhash64",
-                           checkpoint: str | None = None):
+                           checkpoint: str | None = None,
+                           base_index_table: str | None = None):
     """Drain ``drop_dir`` (availableNow) into the corpus at
     ``corpus_path``, maintaining the content index at ``index_path``.
     Returns the finished streaming query.
@@ -374,6 +414,19 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
     rows with no index keys, which the new lineage would re-ingest as
     duplicates; run :func:`reconcile_replace_by_batch` before the
     re-drain to drop those torn partitions (their docs redeliver).
+
+    ``base_index_table`` is the deploy-scale two-tier form: after
+    ``maintenance.fold_index_bucketed`` compacts accumulated
+    ``_batch_id`` partitions into a catalog table bucketed by
+    ``content_key`` (tokens kept as a data column), pass that table
+    name here and the per-batch classification probes BOTH tiers —
+    the bucketed base on its own exchange-free plan branch and the
+    (now small) parquet delta at ``index_path`` as before. The base
+    is read with the same own-token exclusion as the delta: its rows
+    carry the original lineage tokens, so current batches never
+    collide, and a torn batch that got folded mid-crash-window stays
+    invisible to its own replay. When running two-tier, pass the
+    table to ``reconcile_replace_by_batch`` as well.
     """
 
     stream = (
@@ -394,6 +447,11 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
         # index write must not poison the re-run's classification
         index = _read_excluding_batch(spark, index_path, token,
                                       _empty_index(spark, hash_fn))
+        if base_index_table:
+            base = (spark.table(base_index_table)
+                    .where(F.col("_batch_id") != token)
+                    .drop("_batch_id"))
+            index = [base, index]
         res = incremental_exact_dedup(batch_df, index, "doc_id", "text",
                                       hash_fn=hash_fn)
         new_ids = res.where(F.col("status") == "new").select("doc_id")
