@@ -237,7 +237,7 @@ def _winner_per_key(current: DataFrame, updates: DataFrame,
     else:
         rank_cols = [F.desc("_src")]
     tie_cols = [c for c, t in merged.dtypes
-                if c != "_src" and not t.startswith("map<")]
+                if c != "_src" and "map<" not in t]
     if tie_cols:
         rank_cols.append(F.desc(F.xxhash64(*tie_cols)))
     from pyspark.sql import Window
