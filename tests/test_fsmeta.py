@@ -153,3 +153,30 @@ def test_rollup_markers_are_lineage_scoped(spark, tmp_path):
     markers = os.listdir(os.path.join(ckpt, "__rollup_batches"))
     assert markers, "drain stamped no marker"
     assert all(m.startswith(f"batch_{lineage}_") for m in markers), markers
+
+
+def test_batch_token_lenient_degrades_instead_of_failing(tmp_path, caplog):
+    """Marker-only pipelines (rollup/alerts) degrade to a per-drain
+    lineage — markers never match, batches recompute idempotently —
+    instead of failing the drain when the checkpoint path is
+    unresolvable; and they still get the REAL lineage token when the
+    path resolves."""
+    import json
+    import logging
+
+    from twitter_analysis_spark.streaming.ingest import (
+        _batch_token_lenient)
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)                          # no metadata file
+    cache: dict = {}
+    with caplog.at_level(logging.WARNING):
+        t0 = _batch_token_lenient(ckpt, 0, cache)
+        t1 = _batch_token_lenient(ckpt, 1, cache)
+    assert t0.startswith("unresolved-") and t0.endswith("_0")
+    assert t1.rsplit("_", 1)[0] == t0.rsplit("_", 1)[0]  # one lineage/drain
+    assert any("per-drain lineage" in r.message for r in caplog.records)
+
+    with open(os.path.join(ckpt, "metadata"), "w") as f:
+        json.dump({"id": "q-7"}, f)
+    assert _batch_token_lenient(ckpt, 2, {}) == "q-7_2"

@@ -652,3 +652,127 @@ def test_incremental_dedup_multi_tier_min_holder(spark):
     assert res[21] == ("dup_of_corpus", 9)
     assert res[22] == ("dup_of_corpus", 4)
     assert res[23] == ("new", None)
+
+
+def test_fold_crash_windows_heal_at_entry(spark, tmp_path):
+    """fold_index_bucketed's torn states heal at the NEXT call's
+    entry (docstring contract): (A) crashed between the two catalog
+    renames — live missing, backup present — restores the backup
+    before computing, so no base row is lost; (B) already-folded
+    tokens whose delta dirs survived a crash-before-deletion are
+    skipped (no rewrite) and their dirs removed; (C) a stale backup
+    next to a live table (crash after swap, before the drop) is
+    dropped."""
+    from twitter_analysis_spark.sources.maintenance import (
+        fold_index_bucketed)
+
+    tbl = "fold_crash_tbl"
+    schema = "content_key LONG, holder_id LONG, _batch_id STRING"
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(11, 1, "lin-a_0"), (22, 2, "lin-a_1")], schema
+    ).write.partitionBy("_batch_id").parquet(idx)
+    try:
+        # (A) backup-only state: the pre-fold base was moved aside and
+        # the crash hit before the staging rename
+        spark.createDataFrame([(33, 3, "lin-0_0")], schema) \
+            .write.bucketBy(8, "content_key").sortBy("content_key") \
+            .saveAsTable(f"{tbl}__prefold")
+        folded = fold_index_bucketed(spark, idx, tbl)
+        assert folded == ["lin-a_0", "lin-a_1"]
+        rows = {(r["content_key"], r["_batch_id"])
+                for r in spark.table(tbl).collect()}
+        assert rows == {(11, "lin-a_0"), (22, "lin-a_1"), (33, "lin-0_0")}
+        assert not spark.catalog.tableExists(f"{tbl}__prefold")
+        assert not [e for e in os.listdir(idx)
+                    if e.startswith("_batch_id=")]
+
+        # (B) folded-but-undeleted: a delta dir for a token already in
+        # the base must not re-fold (no duplicate rows), only vanish
+        spark.createDataFrame([(11, 1, "lin-a_0")], schema) \
+            .write.mode("append").partitionBy("_batch_id").parquet(idx)
+        assert fold_index_bucketed(spark, idx, tbl) == ["lin-a_0"]
+        assert spark.table(tbl).count() == 3          # unchanged
+        assert not [e for e in os.listdir(idx)
+                    if e.startswith("_batch_id=")]
+
+        # (C) stale backup beside a live table is dropped at entry
+        spark.createDataFrame([(99, 9, "stale_0")], schema) \
+            .write.bucketBy(8, "content_key").sortBy("content_key") \
+            .saveAsTable(f"{tbl}__prefold")
+        assert fold_index_bucketed(spark, idx, tbl) == []
+        assert not spark.catalog.tableExists(f"{tbl}__prefold")
+        assert spark.table(tbl).count() == 3          # live untouched
+    finally:
+        for t in (tbl, f"{tbl}__folding", f"{tbl}__prefold"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_two_tier_guards_refuse_before_damage(spark, tmp_path):
+    """Review-pass pins: (a) a base_index_table that does not exist
+    refuses BEFORE the stream starts (a silent single-tier fallback
+    would re-ingest every key the missing tier holds); (b) the same
+    refusal in reconcile; (c) a reconcile refused over a folded
+    drop_tokens entry must have deleted NOTHING — including torn
+    partitions its structural pass would otherwise drop."""
+    import json
+
+    import pytest
+
+    from twitter_analysis_spark.sources.maintenance import (
+        fold_index_bucketed)
+    from twitter_analysis_spark.streaming.ingest import (
+        reconcile_replace_by_batch, streaming_ingest_dedup)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    with pytest.raises(ValueError, match="does not exist"):
+        streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               base_index_table="never_created_tbl")
+    with pytest.raises(ValueError, match="does not exist"):
+        reconcile_replace_by_batch(corpus, index, spark=spark,
+                                   base_index_table="never_created_tbl")
+
+    tbl = "guard_fold_tbl"
+    try:
+        with open(drop / "d.json", "w") as f:
+            f.write(json.dumps({"doc_id": 1, "text": "alpha"}) + "\n")
+        streaming_ingest_dedup(spark, str(drop), corpus, index,
+                               checkpoint=str(tmp_path / "ck"))
+        folded = fold_index_bucketed(spark, index, tbl)
+        # plant a TORN partition (corpus dir with no index partition)
+        torn = os.path.join(corpus, "_batch_id=torn-lineage_0")
+        os.makedirs(torn)
+        with pytest.raises(ValueError, match="folded into"):
+            reconcile_replace_by_batch(corpus, index,
+                                       drop_tokens=[folded[0]],
+                                       spark=spark, base_index_table=tbl)
+        assert os.path.isdir(torn)      # refusal deleted NOTHING
+        # without the offending drop_tokens entry the torn partition
+        # is dropped and the folded one survives
+        assert reconcile_replace_by_batch(
+            corpus, index, spark=spark,
+            base_index_table=tbl) == ["torn-lineage_0"]
+        assert [e for e in os.listdir(corpus)
+                if e.startswith("_batch_id=")] == [
+                    f"_batch_id={folded[0]}"]
+    finally:
+        for t in (tbl, f"{tbl}__folding", f"{tbl}__prefold"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fold_refuses_flat_legacy_layout(spark, tmp_path):
+    """A pre-replace-by-batch index (flat parquet at the root) must
+    refuse with the named migration, not silently return [] as if
+    two-tier were active with nothing to fold."""
+    import pytest
+
+    from twitter_analysis_spark.sources.maintenance import (
+        fold_index_bucketed)
+
+    flat = str(tmp_path / "flat_idx")
+    spark.createDataFrame([(1, 1)], "content_key LONG, holder_id LONG") \
+        .coalesce(1).write.parquet(flat)
+    with pytest.raises(ValueError, match="one-time migration"):
+        fold_index_bucketed(spark, flat, "never_made_tbl")

@@ -484,17 +484,17 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
         spark.sql(f"DROP TABLE {backup}")     # completed fold's leak
     if not fsmeta.isdir(index_path):
         return []
+    # the ONE layout gate (flat pre-replace-by-batch files at the
+    # root AND bare-numeric pre-lineage tokens both refuse with the
+    # named migration — a silent [] here would read as "two-tier
+    # active" while no base was ever created)
+    from ..streaming.ingest import _check_batch_layout
+    _check_batch_layout(index_path)
     tok_dirs = {v[0]: d for v, d in
                 _walk_partitions(index_path, ["_batch_id"])}
     tokens = sorted(tok_dirs)
     if not tokens:
         return []
-    if all(t.lstrip("-").isdigit() for t in tokens):
-        raise ValueError(
-            f"{index_path!r} carries bare numeric _batch_id "
-            "partitions (the pre-lineage-token layout); run the "
-            "one-time string-token migration (streaming/ingest.py:"
-            "_check_batch_layout names it) before folding.")
     have: set[str] = set()
     if cat.tableExists(table):
         have = {r["_batch_id"] for r in
@@ -503,8 +503,14 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
     fresh = sorted(set(tokens) - have)
     if fresh:
         new_rows = (spark.read.parquet(index_path)
-                    .where(F.col("_batch_id").isin(fresh))
-                    .select("content_key", "holder_id", "_batch_id"))
+                    .where(F.col("_batch_id").isin(fresh)))
+        if key_col not in new_rows.columns:
+            raise ValueError(
+                f"fold_index_bucketed: key_col={key_col!r} is not a "
+                f"column of the index at {index_path!r} "
+                f"(columns: {new_rows.columns}); the base must be "
+                "bucketed by a real index column or every probe "
+                "would shuffle.")
         contents = (spark.table(table).unionByName(new_rows)
                     if cat.tableExists(table) else new_rows)
         spark.sql(f"DROP TABLE IF EXISTS {staging}")

@@ -201,6 +201,33 @@ def _batch_token(checkpoint: str | None, batch_id: int,
 
 
 
+def _batch_token_lenient(checkpoint: str | None, batch_id: int,
+                         cache: dict) -> str:
+    """:func:`_batch_token` for pipelines whose ONLY token consumer
+    is the recompute-skip marker (rollup/alerts): those sinks write
+    no token-scoped partitions, so an unresolvable checkpoint path
+    costs an OPTIMIZATION (markers that never match → idempotent
+    recompute), not stranded data — fall back to a per-drain lineage
+    with a logged warning instead of failing the drain. Pipelines
+    that stamp the token into sink partitions must keep using the
+    strict form; here the hard refusal would turn a
+    previously-draining configuration into a hard failure with no
+    hazard to justify it."""
+    try:
+        return _batch_token(checkpoint, batch_id, cache)
+    except RuntimeError as exc:
+        if "lineage" not in cache:
+            import logging
+            import uuid
+            logging.getLogger(__name__).warning(
+                "checkpoint metadata unresolvable at the literal "
+                "path; markers fall back to a per-drain lineage and "
+                "will never match (batches recompute idempotently): "
+                "%s", exc)
+            cache["lineage"] = f"unresolved-{uuid.uuid4().hex}"
+        return f"{cache['lineage']}_{int(batch_id)}"
+
+
 def _marker(checkpoint: str | None, subdir: str, token) -> str | None:
     """Recompute-skip marker path for a batch, or None without a
     checkpoint — markers are checkpoint-scoped: without one every
@@ -335,17 +362,24 @@ def reconcile_replace_by_batch(data_path: str, index_path: str,
             raise ValueError(
                 "reconcile_replace_by_batch: base_index_table requires "
                 "the spark session to list the base table's partitions")
+        if not spark.catalog.tableExists(base_index_table):
+            raise ValueError(
+                f"reconcile_replace_by_batch: base_index_table="
+                f"{base_index_table!r} does not exist in the catalog. "
+                "If no fold has run yet, reconcile base-blind (omit "
+                "the argument); a mistyped name here would count zero "
+                "base tokens and delete every folded batch's corpus "
+                "partition as 'torn'.")
         base_tokens = {
             r["_batch_id"]
             for r in spark.table(base_index_table)
             .select("_batch_id").distinct().collect()}
     else:
         base_tokens = set()
-    data = _batch_dirs(data_path)
-    index = _batch_dirs(index_path)
-    dropped = sorted(set(data) - set(index) - base_tokens)
-    for token in dropped:
-        fsmeta.rmtree(data[token])        # failures raise, loudly
+    # ALL refusals precede ANY deletion: a refused call must leave
+    # both tables untouched, or the raised error discards the return
+    # value that records what was already dropped and the retry's
+    # matching-nothing warnings misread as never-dropped.
     for token in sorted(set(drop_tokens or ())):
         if token in base_tokens:
             raise ValueError(
@@ -355,7 +389,13 @@ def reconcile_replace_by_batch(data_path: str, index_path: str,
                 "partition really is torn inside the base, heal with "
                 "maintenance.upsert_by_key(..., full_rewrite=True) "
                 "after re-draining, or rebuild the base from the "
-                "delta history.")
+                "delta history. Nothing was dropped by this call.")
+    data = _batch_dirs(data_path)
+    index = _batch_dirs(index_path)
+    dropped = sorted(set(data) - set(index) - base_tokens)
+    for token in dropped:
+        fsmeta.rmtree(data[token])        # failures raise, loudly
+    for token in sorted(set(drop_tokens or ())):
         # a token matching NEITHER side is excluded from the returned
         # dropped list and warned about, but NOT an error: it is
         # indistinguishable between "already reconciled", "the
@@ -426,8 +466,22 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
     carry the original lineage tokens, so current batches never
     collide, and a torn batch that got folded mid-crash-window stays
     invisible to its own replay. When running two-tier, pass the
-    table to ``reconcile_replace_by_batch`` as well.
+    table to ``reconcile_replace_by_batch`` as well. A
+    ``base_index_table`` that does not exist refuses UP FRONT, before
+    the stream starts: the table is created by the first fold, so
+    wire the argument in only after that fold has run — a silent
+    single-tier fallback here would be worse than the refusal (a
+    mistyped table name would quietly skip the tier holding most of
+    the corpus keys and re-ingest every duplicate).
     """
+    if base_index_table and not spark.catalog.tableExists(base_index_table):
+        raise ValueError(
+            f"streaming_ingest_dedup: base_index_table="
+            f"{base_index_table!r} does not exist in the catalog. It "
+            "is created by maintenance.fold_index_bucketed — run the "
+            "first fold before wiring the two-tier argument in, and "
+            "check the spelling: silently probing without this tier "
+            "would re-ingest every document whose key it holds.")
 
     stream = (
         spark.readStream.schema(schema)

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from .. import fsmeta
 from ..operators.rollup import prune_to_dates, refresh_rollup
-from .ingest import _batch_token, _marker
+from .ingest import _batch_token_lenient, _marker
 
 _EVENT_SCHEMA = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
                  "event_type STRING, value DOUBLE")
@@ -133,10 +133,12 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
         # LINEAGE-SCOPED token like every other pipeline — markers
         # happen to die with the checkpoint today, but a bare numeric
         # id would quietly re-open the swallowed-batch-0 bug if marker
-        # storage were ever relocated. Marker-less no-checkpoint
-        # drains are safe here — the id index absorbs redelivered
-        # events and the refresh/anti-join are idempotent.
-        token = _batch_token(checkpoint, batch_id, lineage_cache)
+        # storage were ever relocated. The LENIENT token form: these
+        # sinks write no token-scoped partitions, so an unresolvable
+        # checkpoint path degrades to never-matching markers (the id
+        # index absorbs redelivered events; refresh/anti-join are
+        # idempotent) instead of failing the drain.
+        token = _batch_token_lenient(checkpoint, batch_id, lineage_cache)
         marker = _marker(checkpoint, "__rollup_batches", token)
         if marker and fsmeta.exists(marker):  # re-delivered after crash
             return
@@ -229,9 +231,9 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
     lineage_cache: dict = {}
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        # lineage-scoped marker token, same rationale as
+        # lineage-scoped LENIENT marker token, same rationale as
         # streaming_rollup_ingest's
-        token = _batch_token(checkpoint, batch_id, lineage_cache)
+        token = _batch_token_lenient(checkpoint, batch_id, lineage_cache)
         marker = _marker(checkpoint, "__alert_batches", token)
         if marker and fsmeta.exists(marker):
             return
