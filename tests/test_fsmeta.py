@@ -156,11 +156,13 @@ def test_rollup_markers_are_lineage_scoped(spark, tmp_path):
 
 
 def test_batch_token_lenient_degrades_instead_of_failing(tmp_path, caplog):
-    """Marker-only pipelines (rollup/alerts) degrade to a per-drain
-    lineage — markers never match, batches recompute idempotently —
-    instead of failing the drain when the checkpoint path is
-    unresolvable; and they still get the REAL lineage token when the
-    path resolves."""
+    """Marker-only pipelines (rollup/alerts) degrade to
+    markers-DISABLED (None; batches recompute idempotently) instead
+    of failing the drain when the checkpoint path is unresolvable —
+    not to a throwaway lineage, which would stamp never-matching
+    marker files at the literal path forever. One warning per drain,
+    not per batch; OSError on the metadata read degrades too; a
+    resolvable path still yields the REAL lineage token."""
     import json
     import logging
 
@@ -171,12 +173,16 @@ def test_batch_token_lenient_degrades_instead_of_failing(tmp_path, caplog):
     os.makedirs(ckpt)                          # no metadata file
     cache: dict = {}
     with caplog.at_level(logging.WARNING):
-        t0 = _batch_token_lenient(ckpt, 0, cache)
-        t1 = _batch_token_lenient(ckpt, 1, cache)
-    assert t0.startswith("unresolved-") and t0.endswith("_0")
-    assert t1.rsplit("_", 1)[0] == t0.rsplit("_", 1)[0]  # one lineage/drain
-    assert any("per-drain lineage" in r.message for r in caplog.records)
+        assert _batch_token_lenient(ckpt, 0, cache) is None
+        assert _batch_token_lenient(ckpt, 1, cache) is None
+    warns = [r for r in caplog.records if "markers are disabled" in r.message]
+    assert len(warns) == 1                     # once per drain
+    # OSError slice of the same hazard class (metadata is a DIR)
+    os.makedirs(os.path.join(ckpt, "metadata"))
+    assert _batch_token_lenient(ckpt, 0, {}) is None
 
-    with open(os.path.join(ckpt, "metadata"), "w") as f:
+    ckpt2 = str(tmp_path / "ckpt2")
+    os.makedirs(ckpt2)
+    with open(os.path.join(ckpt2, "metadata"), "w") as f:
         json.dump({"id": "q-7"}, f)
-    assert _batch_token_lenient(ckpt, 2, {}) == "q-7_2"
+    assert _batch_token_lenient(ckpt2, 2, {}) == "q-7_2"

@@ -776,3 +776,35 @@ def test_fold_refuses_flat_legacy_layout(spark, tmp_path):
         .coalesce(1).write.parquet(flat)
     with pytest.raises(ValueError, match="one-time migration"):
         fold_index_bucketed(spark, flat, "never_made_tbl")
+
+
+def test_fold_refuses_index_schema_drift(spark, tmp_path):
+    """Merging a delta whose columns drifted from the base refuses AT
+    THE FOLD (next to the cause) instead of poisoning the base and
+    failing every later streaming micro-batch far from it."""
+    import pytest
+
+    from twitter_analysis_spark.sources.maintenance import (
+        fold_index_bucketed)
+
+    idx = str(tmp_path / "idx")
+    tbl = "drift_fold_tbl"
+    spark.createDataFrame(
+        [(1, 1, "lin-a_0")],
+        "content_key LONG, holder_id LONG, _batch_id STRING"
+    ).write.partitionBy("_batch_id").parquet(idx)
+    try:
+        fold_index_bucketed(spark, idx, tbl)
+        spark.createDataFrame(
+            [(2, 2, 9, "lin-a_1")],
+            "content_key LONG, holder_id LONG, extra LONG, "
+            "_batch_id STRING"
+        ).write.mode("append").partitionBy("_batch_id").parquet(idx)
+        with pytest.raises(ValueError, match="schema drift"):
+            fold_index_bucketed(spark, idx, tbl)
+        # refusal left the base untouched and the delta dir in place
+        assert spark.table(tbl).count() == 1
+        assert [e for e in os.listdir(idx) if e.startswith("_batch_id=")]
+    finally:
+        for t in (tbl, f"{tbl}__folding", f"{tbl}__prefold"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

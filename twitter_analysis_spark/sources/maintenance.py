@@ -502,7 +502,11 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
                 .distinct().collect()}        # token-count-bounded
     fresh = sorted(set(tokens) - have)
     if fresh:
-        new_rows = (spark.read.parquet(index_path)
+        # mergeSchema: without it Spark samples ONE file's footer and
+        # a drifted column could be silently projected away, blinding
+        # the schema-drift refusal below to exactly what it guards
+        new_rows = (spark.read.option("mergeSchema", "true")
+                    .parquet(index_path)
                     .where(F.col("_batch_id").isin(fresh)))
         if key_col not in new_rows.columns:
             raise ValueError(
@@ -511,6 +515,21 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
                 f"(columns: {new_rows.columns}); the base must be "
                 "bucketed by a real index column or every probe "
                 "would shuffle.")
+        if cat.tableExists(table):
+            base_cols = set(spark.table(table).columns)
+            if set(new_rows.columns) != base_cols:
+                # catch schema drift AT THE FOLD, next to its cause —
+                # left alone it either dies here as an opaque
+                # unionByName error or (first fold after the drift)
+                # poisons the base so every subsequent streaming
+                # micro-batch fails far from the fold that did it
+                raise ValueError(
+                    f"fold_index_bucketed: the delta at {index_path!r} "
+                    f"(columns {sorted(new_rows.columns)}) does not "
+                    f"match the base table {table!r} (columns "
+                    f"{sorted(base_cols)}); fold refuses to merge "
+                    "across index schema drift — migrate one side "
+                    "first (or fold into a fresh table name).")
         contents = (spark.table(table).unionByName(new_rows)
                     if cat.tableExists(table) else new_rows)
         spark.sql(f"DROP TABLE IF EXISTS {staging}")

@@ -202,30 +202,33 @@ def _batch_token(checkpoint: str | None, batch_id: int,
 
 
 def _batch_token_lenient(checkpoint: str | None, batch_id: int,
-                         cache: dict) -> str:
+                         cache: dict) -> str | None:
     """:func:`_batch_token` for pipelines whose ONLY token consumer
     is the recompute-skip marker (rollup/alerts): those sinks write
     no token-scoped partitions, so an unresolvable checkpoint path
-    costs an OPTIMIZATION (markers that never match → idempotent
-    recompute), not stranded data — fall back to a per-drain lineage
-    with a logged warning instead of failing the drain. Pipelines
-    that stamp the token into sink partitions must keep using the
-    strict form; here the hard refusal would turn a
-    previously-draining configuration into a hard failure with no
-    hazard to justify it."""
+    costs an OPTIMIZATION, not stranded data — return ``None``
+    (markers DISABLED for the drain, batches recompute idempotently)
+    with one logged warning instead of failing the drain. Returning
+    None rather than minting a throwaway lineage matters: a fallback
+    token would still create and stamp never-matching marker files
+    at the LITERAL unresolvable path every drain — unbounded orphan
+    accumulation, and for a ``file://`` URI a bogus relative
+    ``file:/...`` tree under the driver cwd. OSError degrades here
+    too (a metadata file the driver cannot read is the same
+    marker-only non-hazard), where the strict form deliberately
+    propagates it. Pipelines that stamp the token into sink
+    partitions must keep using the strict form."""
     try:
         return _batch_token(checkpoint, batch_id, cache)
-    except RuntimeError as exc:
-        if "lineage" not in cache:
+    except (RuntimeError, OSError) as exc:
+        if not cache.get("warned"):
             import logging
-            import uuid
             logging.getLogger(__name__).warning(
                 "checkpoint metadata unresolvable at the literal "
-                "path; markers fall back to a per-drain lineage and "
-                "will never match (batches recompute idempotently): "
-                "%s", exc)
-            cache["lineage"] = f"unresolved-{uuid.uuid4().hex}"
-        return f"{cache['lineage']}_{int(batch_id)}"
+                "path; recompute-skip markers are disabled for this "
+                "drain (batches recompute idempotently): %s", exc)
+            cache["warned"] = True
+        return None
 
 
 def _marker(checkpoint: str | None, subdir: str, token) -> str | None:
@@ -357,7 +360,9 @@ def reconcile_replace_by_batch(data_path: str, index_path: str,
     inside the bucketed table where a partition-level drop cannot
     reach, and deleting only the corpus side would leave dangling
     index keys that silently suppress the docs' re-ingestion."""
-    if base_index_table is not None:
+    # truthiness gate, matching streaming_ingest_dedup: an unset
+    # config that serializes as '' means "no base" in both places
+    if base_index_table:
         if spark is None:
             raise ValueError(
                 "reconcile_replace_by_batch: base_index_table requires "

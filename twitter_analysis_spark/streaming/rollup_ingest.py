@@ -135,11 +135,12 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
         # id would quietly re-open the swallowed-batch-0 bug if marker
         # storage were ever relocated. The LENIENT token form: these
         # sinks write no token-scoped partitions, so an unresolvable
-        # checkpoint path degrades to never-matching markers (the id
-        # index absorbs redelivered events; refresh/anti-join are
+        # checkpoint path degrades to markers-disabled (the id index
+        # absorbs redelivered events; refresh/anti-join are
         # idempotent) instead of failing the drain.
         token = _batch_token_lenient(checkpoint, batch_id, lineage_cache)
-        marker = _marker(checkpoint, "__rollup_batches", token)
+        marker = _marker(checkpoint, "__rollup_batches", token) \
+            if token is not None else None
         if marker and fsmeta.exists(marker):  # re-delivered after crash
             return
         batch = batch_df.dropDuplicates(["event_id"]).persist()
@@ -234,7 +235,8 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
         # lineage-scoped LENIENT marker token, same rationale as
         # streaming_rollup_ingest's
         token = _batch_token_lenient(checkpoint, batch_id, lineage_cache)
-        marker = _marker(checkpoint, "__alert_batches", token)
+        marker = _marker(checkpoint, "__alert_batches", token) \
+            if token is not None else None
         if marker and fsmeta.exists(marker):
             return
         batch = batch_df.dropDuplicates(["event_id"]).persist()
