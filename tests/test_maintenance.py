@@ -808,3 +808,46 @@ def test_fold_refuses_index_schema_drift(spark, tmp_path):
     finally:
         for t in (tbl, f"{tbl}__folding", f"{tbl}__prefold"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_empty_string_base_table_refused(spark, tmp_path):
+    """'' is ambiguous between 'no base on purpose' and 'config key
+    came through empty'; on the reconcile side the mistaken reading
+    is permanent data loss, so both entry points refuse it."""
+    import pytest
+
+    from twitter_analysis_spark.streaming.ingest import (
+        reconcile_replace_by_batch, streaming_ingest_dedup)
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        streaming_ingest_dedup(spark, str(tmp_path / "d"),
+                               str(tmp_path / "c"), str(tmp_path / "i"),
+                               base_index_table="")
+    with pytest.raises(ValueError, match="ambiguous"):
+        reconcile_replace_by_batch(str(tmp_path / "c"),
+                                   str(tmp_path / "i"),
+                                   base_index_table="")
+
+
+def test_fold_refuses_heterogeneous_fresh_partitions(spark, tmp_path):
+    """A FIRST fold over deltas that disagree among themselves must
+    refuse — the merged-footer view alone would mint a NULL-padded
+    base whose NULLed keys never match a probe (silent re-ingest of
+    every doc those rows covered)."""
+    import pytest
+
+    from twitter_analysis_spark.sources.maintenance import (
+        fold_index_bucketed)
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(1, 1, "lin-a_0")],
+        "content_key LONG, holder_id LONG, _batch_id STRING"
+    ).write.partitionBy("_batch_id").parquet(idx)
+    spark.createDataFrame(
+        [(2, 2, 9, "lin-a_1")],
+        "content_key LONG, holder_id LONG, extra LONG, _batch_id STRING"
+    ).write.mode("append").partitionBy("_batch_id").parquet(idx)
+    with pytest.raises(ValueError, match="disagree on schema"):
+        fold_index_bucketed(spark, idx, "never_made_het_tbl")
+    assert not spark.catalog.tableExists("never_made_het_tbl")

@@ -502,34 +502,69 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
                 .distinct().collect()}        # token-count-bounded
     fresh = sorted(set(tokens) - have)
     if fresh:
-        # mergeSchema: without it Spark samples ONE file's footer and
-        # a drifted column could be silently projected away, blinding
-        # the schema-drift refusal below to exactly what it guards
-        new_rows = (spark.read.option("mergeSchema", "true")
-                    .parquet(index_path)
-                    .where(F.col("_batch_id").isin(fresh)))
-        if key_col not in new_rows.columns:
+        # SCHEMA-DRIFT refusal, next to its cause. Left alone, drift
+        # either dies at the union as an opaque AnalysisException or
+        # — worse — folds "successfully" with NULL-padded columns: a
+        # NULLed content_key never matches a probe join, so every doc
+        # those index rows covered silently re-ingests as a duplicate.
+        # Three layers, because a merged-footer view alone is blind to
+        # two of them: (a) every FRESH partition's own (name, type)
+        # file schema must be identical — a merged union would mask a
+        # column DROPPED by a newer writer while any older partition
+        # still carries it, and this is also what makes a first fold
+        # over heterogeneous deltas refuse instead of minting a
+        # NULL-padded base; (b) that uniform schema must match the
+        # base's (names AND types — content_key switching hash
+        # families is a type drift names alone pass); (c) key_col
+        # must actually be one of the columns. Cost: one parquet
+        # footer read per fresh partition, token-count-bounded.
+        def _file_schema(path: str) -> tuple:
+            return tuple(sorted(
+                (f.name, f.dataType.simpleString())
+                for f in spark.read.parquet(path).schema.fields))
+
+        by_schema: dict[tuple, list[str]] = {}
+        for t in fresh:
+            by_schema.setdefault(_file_schema(tok_dirs[t]), []).append(t)
+        if len(by_schema) > 1:
+            shapes = {tuple(v[:3]): [f"{n}:{ty}" for n, ty in k]
+                      for k, v in by_schema.items()}
+            raise ValueError(
+                f"fold_index_bucketed: the fresh partitions at "
+                f"{index_path!r} disagree on schema ({shapes}); fold "
+                "refuses to merge across index schema drift — "
+                "migrate the old-layout partitions first (or fold "
+                "into a fresh table name).")
+        delta_schema = next(iter(by_schema))
+        if key_col not in {n for n, _ in delta_schema}:
             raise ValueError(
                 f"fold_index_bucketed: key_col={key_col!r} is not a "
                 f"column of the index at {index_path!r} "
-                f"(columns: {new_rows.columns}); the base must be "
-                "bucketed by a real index column or every probe "
-                "would shuffle.")
+                f"(columns: {[n for n, _ in delta_schema]}); the base "
+                "must be bucketed by a real index column or every "
+                "probe would shuffle.")
         if cat.tableExists(table):
-            base_cols = set(spark.table(table).columns)
-            if set(new_rows.columns) != base_cols:
-                # catch schema drift AT THE FOLD, next to its cause —
-                # left alone it either dies here as an opaque
-                # unionByName error or (first fold after the drift)
-                # poisons the base so every subsequent streaming
-                # micro-batch fails far from the fold that did it
+            base_schema = tuple(sorted(
+                (f.name, f.dataType.simpleString())
+                for f in spark.table(table).schema.fields
+                if f.name != "_batch_id"))
+            if delta_schema != base_schema:
                 raise ValueError(
                     f"fold_index_bucketed: the delta at {index_path!r} "
-                    f"(columns {sorted(new_rows.columns)}) does not "
-                    f"match the base table {table!r} (columns "
-                    f"{sorted(base_cols)}); fold refuses to merge "
-                    "across index schema drift — migrate one side "
-                    "first (or fold into a fresh table name).")
+                    f"({[f'{n}:{t}' for n, t in delta_schema]}) does "
+                    f"not match the base table {table!r} "
+                    f"({[f'{n}:{t}' for n, t in base_schema]}); fold "
+                    "refuses to merge across index schema drift — "
+                    "migrate one side first (or fold into a fresh "
+                    "table name).")
+        # mergeSchema + an explicit projection onto the VERIFIED
+        # columns: the plain read samples one footer, which could
+        # belong to a stale already-folded partition awaiting
+        # deletion, silently mis-projecting the fresh rows
+        new_rows = (spark.read.option("mergeSchema", "true")
+                    .parquet(index_path)
+                    .where(F.col("_batch_id").isin(fresh))
+                    .select(*[n for n, _ in delta_schema], "_batch_id"))
         contents = (spark.table(table).unionByName(new_rows)
                     if cat.tableExists(table) else new_rows)
         spark.sql(f"DROP TABLE IF EXISTS {staging}")

@@ -239,7 +239,13 @@ def _marker(checkpoint: str | None, subdir: str, token) -> str | None:
     accumulate orphan files (and, pre-token, silently swallowed fresh
     drains' batch 0). Creates the marker dir on first use. The ONE
     place marker scoping lives — all five pipelines share it."""
-    if not checkpoint:
+    if not checkpoint or token is None:
+        # token None = the lenient form degraded (markers disabled
+        # for the drain). Guarded HERE, not at call sites: a caller
+        # passing the degraded token straight through would name
+        # every batch's marker 'batch_None' — batch 0 stamps it and
+        # every later batch of every drain silently skips, the exact
+        # swallowed-batch class this module documents.
         return None
     d = os.path.join(checkpoint, subdir)
     fsmeta.makedirs(d)
@@ -360,9 +366,20 @@ def reconcile_replace_by_batch(data_path: str, index_path: str,
     inside the bucketed table where a partition-level drop cannot
     reach, and deleting only the corpus side would leave dangling
     index keys that silently suppress the docs' re-ingestion."""
-    # truthiness gate, matching streaming_ingest_dedup: an unset
-    # config that serializes as '' means "no base" in both places
-    if base_index_table:
+    if base_index_table == "":
+        # '' is ambiguous between "no base, on purpose" and "config
+        # key came through empty by mistake" — and here the mistaken
+        # reading is PERMANENT data loss (base-blind reconcile
+        # deletes every folded batch's corpus partition, whose drop
+        # files are long gone). Refuse; base-blind is spelled None.
+        raise ValueError(
+            "reconcile_replace_by_batch: base_index_table='' is "
+            "ambiguous — pass None to reconcile base-blind (no fold "
+            "has ever run), or the real base table name. An empty "
+            "string usually means an unset config key, and running "
+            "base-blind by accident on a two-tier deployment deletes "
+            "every folded batch's corpus data.")
+    if base_index_table is not None:
         if spark is None:
             raise ValueError(
                 "reconcile_replace_by_batch: base_index_table requires "
@@ -479,6 +496,13 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
     mistyped table name would quietly skip the tier holding most of
     the corpus keys and re-ingest every duplicate).
     """
+    if base_index_table == "":
+        raise ValueError(
+            "streaming_ingest_dedup: base_index_table='' is ambiguous "
+            "— pass None for single-tier, or the real base table "
+            "name. An empty string usually means an unset config "
+            "key, and silently running single-tier would re-ingest "
+            "every document whose key the base holds.")
     if base_index_table and not spark.catalog.tableExists(base_index_table):
         raise ValueError(
             f"streaming_ingest_dedup: base_index_table="

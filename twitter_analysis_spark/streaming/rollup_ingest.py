@@ -139,8 +139,7 @@ def streaming_rollup_ingest(spark: SparkSession, drop_dir: str,
         # absorbs redelivered events; refresh/anti-join are
         # idempotent) instead of failing the drain.
         token = _batch_token_lenient(checkpoint, batch_id, lineage_cache)
-        marker = _marker(checkpoint, "__rollup_batches", token) \
-            if token is not None else None
+        marker = _marker(checkpoint, "__rollup_batches", token)
         if marker and fsmeta.exists(marker):  # re-delivered after crash
             return
         batch = batch_df.dropDuplicates(["event_id"]).persist()
@@ -235,8 +234,7 @@ def streaming_anomaly_alerts(spark: SparkSession, drop_dir: str,
         # lineage-scoped LENIENT marker token, same rationale as
         # streaming_rollup_ingest's
         token = _batch_token_lenient(checkpoint, batch_id, lineage_cache)
-        marker = _marker(checkpoint, "__alert_batches", token) \
-            if token is not None else None
+        marker = _marker(checkpoint, "__alert_batches", token)
         if marker and fsmeta.exists(marker):
             return
         batch = batch_df.dropDuplicates(["event_id"]).persist()
