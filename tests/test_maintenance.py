@@ -851,3 +851,35 @@ def test_fold_refuses_heterogeneous_fresh_partitions(spark, tmp_path):
     with pytest.raises(ValueError, match="disagree on schema"):
         fold_index_bucketed(spark, idx, "never_made_het_tbl")
     assert not spark.catalog.tableExists("never_made_het_tbl")
+
+
+def test_fold_tolerates_empty_torn_partition_dir(spark, tmp_path):
+    """A fresh _batch_id dir with no readable parquet (torn write
+    remnant) must not wedge the fold: it contributes no rows, its
+    dir is deleted, and real partitions fold normally — restoring
+    the torn-batch signature for reconcile instead of failing every
+    subsequent fold with an opaque infer-schema error."""
+    from twitter_analysis_spark.sources.maintenance import (
+        fold_index_bucketed)
+
+    idx = str(tmp_path / "idx")
+    tbl = "fold_empty_tbl"
+    spark.createDataFrame(
+        [(1, 1, "lin-a_0")],
+        "content_key LONG, holder_id LONG, _batch_id STRING"
+    ).write.partitionBy("_batch_id").parquet(idx)
+    os.makedirs(os.path.join(idx, "_batch_id=lin-torn_1"))
+    try:
+        folded = fold_index_bucketed(spark, idx, tbl)
+        assert folded == ["lin-a_0", "lin-torn_1"]
+        assert spark.table(tbl).count() == 1
+        assert not [e for e in os.listdir(idx)
+                    if e.startswith("_batch_id=")]
+        # all-empty case: only torn remnants present -> no table
+        # mutation, dirs still cleaned
+        os.makedirs(os.path.join(idx, "_batch_id=lin-torn_2"))
+        assert fold_index_bucketed(spark, idx, tbl) == ["lin-torn_2"]
+        assert spark.table(tbl).count() == 1
+    finally:
+        for t in (tbl, f"{tbl}__folding", f"{tbl}__prefold"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -508,24 +508,44 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
         # NULLed content_key never matches a probe join, so every doc
         # those index rows covered silently re-ingests as a duplicate.
         # Three layers, because a merged-footer view alone is blind to
-        # two of them: (a) every FRESH partition's own (name, type)
-        # file schema must be identical — a merged union would mask a
-        # column DROPPED by a newer writer while any older partition
-        # still carries it, and this is also what makes a first fold
-        # over heterogeneous deltas refuse instead of minting a
-        # NULL-padded base; (b) that uniform schema must match the
-        # base's (names AND types — content_key switching hash
-        # families is a type drift names alone pass); (c) key_col
-        # must actually be one of the columns. Cost: one parquet
-        # footer read per fresh partition, token-count-bounded.
-        def _file_schema(path: str) -> tuple:
-            return tuple(sorted(
-                (f.name, f.dataType.simpleString())
-                for f in spark.read.parquet(path).schema.fields))
+        # two of them: (a) every FRESH partition's file schema —
+        # merged ACROSS ITS OWN FILES, so a torn commit mixing writer
+        # generations inside one dir surfaces as that dir's union —
+        # must be identical across partitions; this is also what
+        # makes a first fold over heterogeneous deltas refuse instead
+        # of minting a NULL-padded base; (b) that uniform schema must
+        # match the base's (names AND types — content_key switching
+        # hash families is a type drift names alone pass); (c)
+        # key_col must actually be one of the columns. Cost: footer
+        # reads per fresh partition, token-count-bounded. A fresh
+        # dir holding NO readable parquet (torn write remnant) is
+        # tolerated as empty: it contributes no rows and its dir is
+        # still deleted below, restoring the torn-batch signature
+        # for reconcile instead of wedging every subsequent fold.
+        def _schema_key(fields, exclude=frozenset()) -> tuple:
+            return tuple(sorted((f.name, f.dataType.simpleString())
+                                for f in fields if f.name not in exclude))
 
         by_schema: dict[tuple, list[str]] = {}
+        readable: list[str] = []
         for t in fresh:
-            by_schema.setdefault(_file_schema(tok_dirs[t]), []).append(t)
+            try:
+                fields = (spark.read.option("mergeSchema", "true")
+                          .parquet(tok_dirs[t]).schema.fields)
+            except Exception as exc:
+                # ONLY a genuinely file-free dir is "empty": treating
+                # a transiently unreadable dir as empty would delete
+                # real data below. Schema inference on a file-free
+                # dir is an AnalysisException; anything else — or any
+                # non-hidden file present — propagates.
+                from pyspark.errors import AnalysisException
+                if (isinstance(exc, AnalysisException)
+                        and not any(not e.startswith((".", "_"))
+                                    for e in fsmeta.listdir(tok_dirs[t]))):
+                    continue                  # torn empty remnant
+                raise
+            readable.append(t)
+            by_schema.setdefault(_schema_key(fields), []).append(t)
         if len(by_schema) > 1:
             shapes = {tuple(v[:3]): [f"{n}:{ty}" for n, ty in k]
                       for k, v in by_schema.items()}
@@ -533,8 +553,17 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
                 f"fold_index_bucketed: the fresh partitions at "
                 f"{index_path!r} disagree on schema ({shapes}); fold "
                 "refuses to merge across index schema drift — "
-                "migrate the old-layout partitions first (or fold "
-                "into a fresh table name).")
+                "migrate the old-layout partitions to the current "
+                "schema first, or fold the two generations "
+                "separately (a fresh table NAME does not help: the "
+                "disagreement is among the deltas themselves).")
+        if not readable:
+            # every fresh dir was a torn empty remnant: nothing to
+            # merge; fall through to the deletion pass below
+            for t in tokens:
+                if fsmeta.isdir(tok_dirs[t]):
+                    fsmeta.rmtree(tok_dirs[t])
+            return tokens
         delta_schema = next(iter(by_schema))
         if key_col not in {n for n, _ in delta_schema}:
             raise ValueError(
@@ -544,10 +573,8 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
                 "must be bucketed by a real index column or every "
                 "probe would shuffle.")
         if cat.tableExists(table):
-            base_schema = tuple(sorted(
-                (f.name, f.dataType.simpleString())
-                for f in spark.table(table).schema.fields
-                if f.name != "_batch_id"))
+            base_schema = _schema_key(
+                spark.table(table).schema.fields, {"_batch_id"})
             if delta_schema != base_schema:
                 raise ValueError(
                     f"fold_index_bucketed: the delta at {index_path!r} "
@@ -557,13 +584,13 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
                     "refuses to merge across index schema drift — "
                     "migrate one side first (or fold into a fresh "
                     "table name).")
-        # mergeSchema + an explicit projection onto the VERIFIED
-        # columns: the plain read samples one footer, which could
-        # belong to a stale already-folded partition awaiting
-        # deletion, silently mis-projecting the fresh rows
+        # read ONLY the fresh dirs (basePath keeps _batch_id as a
+        # partition column): a stale already-folded-but-undeleted
+        # partition with a drifted footer must not wedge the merge or
+        # mis-project the fresh rows
         new_rows = (spark.read.option("mergeSchema", "true")
-                    .parquet(index_path)
-                    .where(F.col("_batch_id").isin(fresh))
+                    .option("basePath", index_path)
+                    .parquet(*[tok_dirs[t] for t in readable])
                     .select(*[n for n, _ in delta_schema], "_batch_id"))
         contents = (spark.table(table).unionByName(new_rows)
                     if cat.tableExists(table) else new_rows)
