@@ -848,7 +848,7 @@ def test_fold_refuses_heterogeneous_fresh_partitions(spark, tmp_path):
         [(2, 2, 9, "lin-a_1")],
         "content_key LONG, holder_id LONG, extra LONG, _batch_id STRING"
     ).write.mode("append").partitionBy("_batch_id").parquet(idx)
-    with pytest.raises(ValueError, match="disagree on schema"):
+    with pytest.raises(ValueError, match="disagree on file schema"):
         fold_index_bucketed(spark, idx, "never_made_het_tbl")
     assert not spark.catalog.tableExists("never_made_het_tbl")
 
@@ -883,3 +883,36 @@ def test_fold_tolerates_empty_torn_partition_dir(spark, tmp_path):
     finally:
         for t in (tbl, f"{tbl}__folding", f"{tbl}__prefold"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fold_refuses_mixed_generation_files_within_one_partition(
+        spark, tmp_path):
+    """The pass-5 reproduction: ONE partition dir holding files of
+    two writer generations (a torn commit straddling a schema
+    change). Any merged-footer view unions to the old schema when
+    the new generation DROPPED a column, NULL-padding the key
+    straight into the base — so verification is per file, and this
+    dir must refuse."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from twitter_analysis_spark.sources.maintenance import (
+        fold_index_bucketed)
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(1, 10, "lin-a_0")],
+        "content_key LONG, holder_id LONG, _batch_id STRING"
+    ).write.partitionBy("_batch_id").parquet(idx)
+    # smuggle a dropped-column file into the same partition dir
+    stray = str(tmp_path / "stray")
+    spark.createDataFrame([(20,)], "holder_id LONG") \
+        .coalesce(1).write.parquet(stray)
+    part = glob.glob(os.path.join(stray, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(idx, "_batch_id=lin-a_0",
+                                   "part-torn-gen2.parquet"))
+    with pytest.raises(ValueError, match="disagree on file schema"):
+        fold_index_bucketed(spark, idx, "never_made_mixed_tbl")
+    assert not spark.catalog.tableExists("never_made_mixed_tbl")

@@ -507,18 +507,20 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
         # — worse — folds "successfully" with NULL-padded columns: a
         # NULLed content_key never matches a probe join, so every doc
         # those index rows covered silently re-ingests as a duplicate.
-        # Three layers, because a merged-footer view alone is blind to
-        # two of them: (a) every FRESH partition's file schema —
-        # merged ACROSS ITS OWN FILES, so a torn commit mixing writer
-        # generations inside one dir surfaces as that dir's union —
-        # must be identical across partitions; this is also what
-        # makes a first fold over heterogeneous deltas refuse instead
-        # of minting a NULL-padded base; (b) that uniform schema must
+        # Verification is per FILE, not per merged footer: any merged
+        # view is blind to a column DROPPED by a newer writer (the
+        # union equals the old schema — reproduced: a mixed
+        # old+new-generation dir folds a NULL key straight into the
+        # base), so every parquet file of every fresh partition must
+        # carry the SAME (name, type) schema — which also makes a
+        # first fold over heterogeneous deltas refuse instead of
+        # minting a NULL-padded base; then that uniform schema must
         # match the base's (names AND types — content_key switching
-        # hash families is a type drift names alone pass); (c)
-        # key_col must actually be one of the columns. Cost: footer
-        # reads per fresh partition, token-count-bounded. A fresh
-        # dir holding NO readable parquet (torn write remnant) is
+        # hash families is a type drift names alone pass), and
+        # key_col must be one of the columns. Driver cost: one footer
+        # read per file — FILE-count-bounded, the same class as the
+        # compaction size walk, fine for a maintenance op. A fresh
+        # dir holding NO parquet files (torn write remnant) is
         # tolerated as empty: it contributes no rows and its dir is
         # still deleted below, restoring the torn-batch signature
         # for reconcile instead of wedging every subsequent fold.
@@ -529,41 +531,33 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
         by_schema: dict[tuple, list[str]] = {}
         readable: list[str] = []
         for t in fresh:
-            try:
-                fields = (spark.read.option("mergeSchema", "true")
-                          .parquet(tok_dirs[t]).schema.fields)
-            except Exception as exc:
-                # ONLY a genuinely file-free dir is "empty": treating
-                # a transiently unreadable dir as empty would delete
-                # real data below. Schema inference on a file-free
-                # dir is an AnalysisException; anything else — or any
-                # non-hidden file present — propagates.
-                from pyspark.errors import AnalysisException
-                if (isinstance(exc, AnalysisException)
-                        and not any(not e.startswith((".", "_"))
-                                    for e in fsmeta.listdir(tok_dirs[t]))):
-                    continue                  # torn empty remnant
-                raise
+            files = [os.path.join(root, f)
+                     for root, _dirs, fs in fsmeta.walk(tok_dirs[t])
+                     for f in fs
+                     if f.endswith(".parquet")
+                     and not f.startswith((".", "_"))]
+            if not files:
+                continue                      # torn empty remnant
             readable.append(t)
-            by_schema.setdefault(_schema_key(fields), []).append(t)
+            for fp in files:
+                key = _schema_key(spark.read.parquet(fp).schema.fields)
+                toks = by_schema.setdefault(key, [])
+                if not toks or toks[-1] != t:
+                    toks.append(t)
         if len(by_schema) > 1:
             shapes = {tuple(v[:3]): [f"{n}:{ty}" for n, ty in k]
                       for k, v in by_schema.items()}
             raise ValueError(
                 f"fold_index_bucketed: the fresh partitions at "
-                f"{index_path!r} disagree on schema ({shapes}); fold "
-                "refuses to merge across index schema drift — "
-                "migrate the old-layout partitions to the current "
-                "schema first, or fold the two generations "
+                f"{index_path!r} disagree on file schema ({shapes}); "
+                "fold refuses to merge across index schema drift — "
+                "migrate the old-layout partitions (or files) to the "
+                "current schema first, or fold the two generations "
                 "separately (a fresh table NAME does not help: the "
-                "disagreement is among the deltas themselves).")
-        if not readable:
-            # every fresh dir was a torn empty remnant: nothing to
-            # merge; fall through to the deletion pass below
-            for t in tokens:
-                if fsmeta.isdir(tok_dirs[t]):
-                    fsmeta.rmtree(tok_dirs[t])
-            return tokens
+                "disagreement is among the delta files themselves).")
+    else:
+        readable = []
+    if readable:
         delta_schema = next(iter(by_schema))
         if key_col not in {n for n, _ in delta_schema}:
             raise ValueError(
@@ -587,7 +581,8 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
         # read ONLY the fresh dirs (basePath keeps _batch_id as a
         # partition column): a stale already-folded-but-undeleted
         # partition with a drifted footer must not wedge the merge or
-        # mis-project the fresh rows
+        # mis-project the fresh rows; per-file uniformity above makes
+        # the merged read exact
         new_rows = (spark.read.option("mergeSchema", "true")
                     .option("basePath", index_path)
                     .parquet(*[tok_dirs[t] for t in readable])
