@@ -916,3 +916,45 @@ def test_fold_refuses_mixed_generation_files_within_one_partition(
     with pytest.raises(ValueError, match="disagree on file schema"):
         fold_index_bucketed(spark, idx, "never_made_mixed_tbl")
     assert not spark.catalog.tableExists("never_made_mixed_tbl")
+
+
+def test_fold_temporary_remnant_and_foreign_files(spark, tmp_path):
+    """Pass-6 pins: (a) a partition holding only a _temporary task
+    dir from a crashed write is a torn EMPTY remnant — folded away,
+    never wedging the merge (Spark's own reads ignore hidden paths,
+    so counting their part files as data would make the merged read
+    see zero files and fail forever); (b) a VISIBLE non-parquet file
+    refuses loudly — treating that dir as empty would rmtree real
+    data."""
+    import pytest
+
+    from twitter_analysis_spark.sources.maintenance import (
+        fold_index_bucketed)
+
+    idx = str(tmp_path / "idx")
+    tbl = "fold_remnant_tbl"
+    spark.createDataFrame(
+        [(1, 1, "lin-a_0")],
+        "content_key LONG, holder_id LONG, _batch_id STRING"
+    ).write.partitionBy("_batch_id").parquet(idx)
+    # (a) torn write: only an uncommitted task file under _temporary
+    tmpdir = os.path.join(idx, "_batch_id=lin-torn_1",
+                          "_temporary", "0", "task_0")
+    os.makedirs(tmpdir)
+    with open(os.path.join(tmpdir, "part-00000.parquet"), "w") as f:
+        f.write("not really parquet")
+    try:
+        folded = fold_index_bucketed(spark, idx, tbl)
+        assert folded == ["lin-a_0", "lin-torn_1"]
+        assert spark.table(tbl).count() == 1
+        # (b) foreign visible file: refuse, delete nothing
+        foreign_dir = os.path.join(idx, "_batch_id=lin-x_2")
+        os.makedirs(foreign_dir)
+        with open(os.path.join(foreign_dir, "data.csv"), "w") as f:
+            f.write("a,b\n1,2\n")
+        with pytest.raises(ValueError, match="non-parquet visible"):
+            fold_index_bucketed(spark, idx, tbl)
+        assert os.path.exists(os.path.join(foreign_dir, "data.csv"))
+    finally:
+        for t in (tbl, f"{tbl}__folding", f"{tbl}__prefold"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -531,11 +531,32 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
         by_schema: dict[tuple, list[str]] = {}
         readable: list[str] = []
         for t in fresh:
-            files = [os.path.join(root, f)
-                     for root, _dirs, fs in fsmeta.walk(tok_dirs[t])
-                     for f in fs
-                     if f.endswith(".parquet")
-                     and not f.startswith((".", "_"))]
+            # prune hidden components (._*/_temporary task dirs of a
+            # crashed write) so their uncommitted part files neither
+            # count as data (Spark's own read ignores them — a dir
+            # holding ONLY a _temporary remnant must stay "empty" or
+            # the merge wedges on it forever) nor feed the schema
+            # probe with stale retried-task footers
+            files: list[str] = []
+            stray: list[str] = []
+            for root, dirs, fs in fsmeta.walk(tok_dirs[t]):
+                dirs[:] = [d for d in dirs
+                           if not d.startswith((".", "_"))]
+                for f in fs:
+                    if f.startswith((".", "_")):
+                        continue
+                    (files if f.endswith(".parquet")
+                     else stray).append(os.path.join(root, f))
+            if stray:
+                # a VISIBLE non-parquet file is not a torn remnant:
+                # treating the dir as empty would rmtree real data
+                # below, and the merged read would choke on it anyway
+                raise ValueError(
+                    f"fold_index_bucketed: partition "
+                    f"{tok_dirs[t]!r} holds non-parquet visible "
+                    f"files (e.g. {stray[:3]}); refusing to fold or "
+                    "delete it — remove the foreign files or migrate "
+                    "the partition first.")
             if not files:
                 continue                      # torn empty remnant
             readable.append(t)
@@ -545,11 +566,12 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
                 if not toks or toks[-1] != t:
                     toks.append(t)
         if len(by_schema) > 1:
-            shapes = {tuple(v[:3]): [f"{n}:{ty}" for n, ty in k]
-                      for k, v in by_schema.items()}
+            shapes = {" ".join(f"{n}:{ty}" for n, ty in k):
+                      sorted(set(v))[:3] for k, v in by_schema.items()}
             raise ValueError(
                 f"fold_index_bucketed: the fresh partitions at "
-                f"{index_path!r} disagree on file schema ({shapes}); "
+                f"{index_path!r} disagree on file schema "
+                f"(schema -> example partitions: {shapes}); "
                 "fold refuses to merge across index schema drift — "
                 "migrate the old-layout partitions (or files) to the "
                 "current schema first, or fold the two generations "
