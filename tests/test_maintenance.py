@@ -955,6 +955,18 @@ def test_fold_temporary_remnant_and_foreign_files(spark, tmp_path):
         with pytest.raises(ValueError, match="non-parquet visible"):
             fold_index_bucketed(spark, idx, tbl)
         assert os.path.exists(os.path.join(foreign_dir, "data.csv"))
+        os.remove(os.path.join(foreign_dir, "data.csv"))
+        os.rmdir(foreign_dir)
+        # (c) the stray census covers STALE tokens too: a leftover
+        # dir for an already-folded token (fresh = empty) holding a
+        # foreign file must refuse, not be swept by the cleanup pass
+        stale_dir = os.path.join(idx, "_batch_id=lin-a_0")
+        os.makedirs(stale_dir, exist_ok=True)
+        with open(os.path.join(stale_dir, "data.csv"), "w") as f:
+            f.write("a,b\n")
+        with pytest.raises(ValueError, match="non-parquet visible"):
+            fold_index_bucketed(spark, idx, tbl)
+        assert os.path.exists(os.path.join(stale_dir, "data.csv"))
     finally:
         for t in (tbl, f"{tbl}__folding", f"{tbl}__prefold"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -495,6 +495,47 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
     tokens = sorted(tok_dirs)
     if not tokens:
         return []
+    # Visible-file census over EVERY token dir — fresh AND the
+    # already-folded leftovers of a crashed retry — because the
+    # cleanup pass at the end deletes them all: a refusal that
+    # only covered fresh dirs would let the deletion loop rmtree
+    # a stale partition's foreign file without a word. Hidden
+    # components (._*/_temporary task dirs of a crashed write)
+    # are pruned: their uncommitted part files neither count as
+    # data (Spark's own read ignores them — a dir holding ONLY a
+    # _temporary remnant must stay "empty" or the merge wedges on
+    # it forever) nor feed the schema probe stale retried-task
+    # footers. Data parked UNDER a hidden path is deliberately
+    # out of scope: hidden = writer-owned by Spark convention,
+    # and every reader here ignores it.
+    def _visible_files(d: str) -> tuple[list[str], list[str]]:
+        files: list[str] = []
+        stray: list[str] = []
+        for root, dirs, fs in fsmeta.walk(d):
+            dirs[:] = [x for x in dirs
+                       if not x.startswith((".", "_"))]
+            for f in fs:
+                if f.startswith((".", "_")):
+                    continue
+                (files if f.endswith(".parquet")
+                 else stray).append(os.path.join(root, f))
+        return files, stray
+
+    parquet_files: dict[str, list[str]] = {}
+    for t in tokens:
+        files, stray = _visible_files(tok_dirs[t])
+        if stray:
+            # a VISIBLE non-parquet file is not a torn remnant:
+            # treating the dir as empty would rmtree real data
+            # below, and the merged read would choke on it anyway
+            raise ValueError(
+                f"fold_index_bucketed: partition "
+                f"{tok_dirs[t]!r} holds non-parquet visible "
+                f"files (e.g. {stray[:3]}); refusing to fold or "
+                "delete it — remove the foreign files or migrate "
+                "the partition first. Nothing was folded or "
+                "deleted by this call.")
+        parquet_files[t] = files
     have: set[str] = set()
     if cat.tableExists(table):
         have = {r["_batch_id"] for r in
@@ -531,43 +572,19 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
         by_schema: dict[tuple, list[str]] = {}
         readable: list[str] = []
         for t in fresh:
-            # prune hidden components (._*/_temporary task dirs of a
-            # crashed write) so their uncommitted part files neither
-            # count as data (Spark's own read ignores them — a dir
-            # holding ONLY a _temporary remnant must stay "empty" or
-            # the merge wedges on it forever) nor feed the schema
-            # probe with stale retried-task footers
-            files: list[str] = []
-            stray: list[str] = []
-            for root, dirs, fs in fsmeta.walk(tok_dirs[t]):
-                dirs[:] = [d for d in dirs
-                           if not d.startswith((".", "_"))]
-                for f in fs:
-                    if f.startswith((".", "_")):
-                        continue
-                    (files if f.endswith(".parquet")
-                     else stray).append(os.path.join(root, f))
-            if stray:
-                # a VISIBLE non-parquet file is not a torn remnant:
-                # treating the dir as empty would rmtree real data
-                # below, and the merged read would choke on it anyway
-                raise ValueError(
-                    f"fold_index_bucketed: partition "
-                    f"{tok_dirs[t]!r} holds non-parquet visible "
-                    f"files (e.g. {stray[:3]}); refusing to fold or "
-                    "delete it — remove the foreign files or migrate "
-                    "the partition first.")
-            if not files:
+            if not parquet_files[t]:
                 continue                      # torn empty remnant
             readable.append(t)
-            for fp in files:
+            for fp in parquet_files[t]:
                 key = _schema_key(spark.read.parquet(fp).schema.fields)
                 toks = by_schema.setdefault(key, [])
                 if not toks or toks[-1] != t:
                     toks.append(t)
         if len(by_schema) > 1:
+            # each value list is sorted-unique by construction
+            # (fresh is sorted; per-token files are consecutive)
             shapes = {" ".join(f"{n}:{ty}" for n, ty in k):
-                      sorted(set(v))[:3] for k, v in by_schema.items()}
+                      v[:3] for k, v in by_schema.items()}
             raise ValueError(
                 f"fold_index_bucketed: the fresh partitions at "
                 f"{index_path!r} disagree on file schema "
