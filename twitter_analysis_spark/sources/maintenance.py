@@ -499,7 +499,10 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
     # already-folded leftovers of a crashed retry — because the
     # cleanup pass at the end deletes them all: a refusal that
     # only covered fresh dirs would let the deletion loop rmtree
-    # a stale partition's foreign file without a word. Hidden
+    # a stale partition's foreign file without a word. Checked once
+    # at entry — files appearing DURING the fold are out of scope,
+    # like all concurrent writes (the do-not-run-while-live
+    # contract). Hidden
     # components (._*/_temporary task dirs of a crashed write)
     # are pruned: their uncommitted part files neither count as
     # data (Spark's own read ignores them — a dir holding ONLY a
@@ -533,8 +536,10 @@ def fold_index_bucketed(spark: SparkSession, index_path: str,
                 f"{tok_dirs[t]!r} holds non-parquet visible "
                 f"files (e.g. {stray[:3]}); refusing to fold or "
                 "delete it — remove the foreign files or migrate "
-                "the partition first. Nothing was folded or "
-                "deleted by this call.")
+                "the partition first. No partition data was folded "
+                "or deleted by this call (entry-time healing may "
+                "have already tidied a prior fold's catalog "
+                "backup).")
         parquet_files[t] = files
     have: set[str] = set()
     if cat.tableExists(table):
