@@ -312,6 +312,55 @@ def main() -> None:
         timings[f"stream_neardup_steady_drain{n_drain}"] = round(
             time.perf_counter() - t0, 3)
 
+    # Two-tier steady state (round 11): after
+    # maintenance.fold_index_bucketed compacts the accumulated delta
+    # partitions into the content_key-bucketed base table, a late
+    # micro-batch probes base + delta on separate plan branches
+    # (streaming/ingest.py:streaming_ingest_dedup base_index_table).
+    # Rows: the fold itself (corpus-proportional by design — the
+    # amortized maintenance, like compaction drain1 below) and two
+    # late drains over the folded base, which must sit at the same
+    # batch-proportional floor as the single-tier late-drain cost or
+    # the base probe added a per-trigger penalty. Zero-dup
+    # correctness of exactly this sequence is pinned in
+    # tests/test_maintenance.py's drain-fold-drain roundtrip.
+    from twitter_analysis_spark.sources.maintenance import (
+        fold_index_bucketed,
+    )
+    from twitter_analysis_spark.streaming.ingest import (
+        streaming_ingest_dedup,
+    )
+    tt_base = os.path.join(root, "twotier_steady")
+    tt_drop = os.path.join(tt_base, "drop")
+    os.makedirs(tt_drop, exist_ok=True)
+    for f in os.listdir(doc_drop):
+        if not f.startswith("_"):
+            shutil.copy(os.path.join(doc_drop, f), os.path.join(tt_drop, f))
+    tt_kwargs = dict(
+        corpus_path=os.path.join(tt_base, "corpus"),
+        index_path=os.path.join(tt_base, "index"),
+        checkpoint=os.path.join(tt_base, "ckpt"))
+    spark.sql("DROP TABLE IF EXISTS bench_fold_base")
+    streaming_ingest_dedup(spark, tt_drop, **tt_kwargs)  # untimed build
+    t0 = time.perf_counter()
+    fold_index_bucketed(spark, tt_kwargs["index_path"], "bench_fold_base")
+    timings["stream_ingest_fold"] = round(time.perf_counter() - t0, 3)
+    for n_drain in (2, 3):
+        late = [json.dumps({
+            "doc_id": 20_000_000 * n_drain + i,
+            "text": f"two tier late doc {n_drain} {i} probing the "
+                    f"folded bucketed base"}) for i in range(200)]
+        with open(os.path.join(tt_drop, f"late{n_drain}.json"),
+                  "w") as fh:
+            fh.write("\n".join(late) + "\n")
+        t0 = time.perf_counter()
+        streaming_ingest_dedup(spark, tt_drop,
+                               base_index_table="bench_fold_base",
+                               **tt_kwargs)
+        timings[f"stream_ingest_twotier_drain{n_drain}"] = round(
+            time.perf_counter() - t0, 3)
+    spark.sql("DROP TABLE IF EXISTS bench_fold_base")
+
     # Lake-compaction economics (round-8 verdict directive 6): the
     # appending rollup lake above has one file generation per drain;
     # production compacts it. Triplet mirrors the rollup steady-state
