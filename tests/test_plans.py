@@ -758,3 +758,81 @@ def test_incremental_dedup_bucketed_index_scan_has_no_exchange(spark):
             else:
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS dedup_index_bucketed")
+
+
+def test_two_tier_dedup_base_branch_has_no_exchange(spark):
+    """The COMPOSED two-tier deploy plan (r11): incremental dedup
+    probing [folded bucketed base, parquet delta] as separate tiers.
+    The corpus-sized base branch must reach its LeftSemi join with
+    ZERO exchange even when nothing can broadcast (scan → filter →
+    project → local sort → SMJ; bucket distribution satisfies the
+    join), and only the batch-bounded hit sets meet at the Union.
+    This is the shape streaming_ingest_dedup(base_index_table=...)
+    runs every micro-batch, so a regression here is a per-trigger
+    corpus shuffle."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from twitter_analysis_spark.operators.dedup import (
+        incremental_exact_dedup)
+
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        idx = (spark.range(100_000)
+               .select(F.xxhash64(F.concat(F.lit("doc"), F.col("id")))
+                       .alias("content_key"),
+                       F.col("id").alias("holder_id"),
+                       F.concat(F.lit("lin-a_"), (F.col("id") % 7))
+                       .alias("_batch_id")))
+        (idx.write.mode("overwrite")
+         .bucketBy(8, "content_key").sortBy("content_key")
+         .saveAsTable("two_tier_plan_base"))
+        delta_dir = tempfile.mkdtemp(prefix="two_tier_delta_")
+        (spark.range(100_000, 100_500)
+         .select(F.xxhash64(F.concat(F.lit("doc"), F.col("id")))
+                 .alias("content_key"),
+                 F.col("id").alias("holder_id"))
+         .write.mode("overwrite").parquet(delta_dir))
+        base = (spark.table("two_tier_plan_base")
+                .where(F.col("_batch_id") != "zz").drop("_batch_id"))
+        delta = spark.read.parquet(delta_dir)
+        batch = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc"), (F.col("id") * 7).cast("string"))
+            .alias("text"))
+        res = incremental_exact_dedup(batch, [base, delta],
+                                      "doc_id", "text")
+        res.collect()                      # finalize AQE
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        lines = plan.splitlines()
+        scan_i = next(i for i, l in enumerate(lines)
+                      if "FileScan parquet" in l
+                      and "two_tier_plan_base" in l)
+        indent = len(lines[scan_i]) - len(
+            lines[scan_i].lstrip(" :+-*(0123456789)"))
+        anc = []
+        for line in reversed(lines[:scan_i]):
+            stripped = line.lstrip(" :+-")
+            this_indent = len(line) - len(stripped)
+            if this_indent < indent:
+                indent = this_indent
+                anc.append(stripped)
+        fj = next((i for i, s in enumerate(anc) if "Join" in s), None)
+        fe = next((i for i, s in enumerate(anc)
+                   if s.lstrip("*(0123456789) ").startswith("Exchange")),
+                  len(anc))
+        assert fj is not None, anc
+        assert fj < fe, anc
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS two_tier_plan_base")
