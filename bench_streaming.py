@@ -341,7 +341,13 @@ def main() -> None:
         index_path=os.path.join(tt_base, "index"),
         checkpoint=os.path.join(tt_base, "ckpt"))
     spark.sql("DROP TABLE IF EXISTS bench_fold_base")
-    streaming_ingest_dedup(spark, tt_drop, **tt_kwargs)  # untimed build
+    # drain 1 = the full single-tier build (same workload class as
+    # stream_ingest_dedup, re-timed here so the triplet is
+    # self-contained like the other steady-state triplets)
+    t0 = time.perf_counter()
+    streaming_ingest_dedup(spark, tt_drop, **tt_kwargs)
+    timings["stream_ingest_twotier_drain1"] = round(
+        time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     fold_index_bucketed(spark, tt_kwargs["index_path"], "bench_fold_base")
     timings["stream_ingest_fold"] = round(time.perf_counter() - t0, 3)
