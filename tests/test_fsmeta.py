@@ -39,6 +39,39 @@ def test_fsmeta_primitives(tmp_path):
     fsmeta.rmtree(str(tmp_path / "nope"), ignore_errors=True)
 
 
+def test_fsmeta_refuses_remote_uris_loudly(tmp_path):
+    """An object-store or remote-FS URI reaching the local seam must
+    raise the typed refusal — NOT FileNotFoundError, which the crash
+    protocols upstream read as 'no batches yet' / 'marker absent'.
+    ``file:`` URIs (RFC triple-slash and Hadoop single-slash forms)
+    unwrap to their OS path instead. rmtree must refuse even with
+    ignore_errors=True: that flag forgives missing paths, not a
+    delete silently no-op'ing against a bucket that still holds the
+    data."""
+    for uri in ("s3://bucket/key", "s3a://b/k", "gs://b/k",
+                "abfss://c@a.dfs.core.windows.net/k"):
+        with pytest.raises(fsmeta.UnsupportedFilesystemError,
+                           match="transactional format"):
+            fsmeta.listdir(uri)
+    for uri in ("hdfs://nn:8020/tmp/x", "dbfs:/mnt/x"):
+        with pytest.raises(fsmeta.UnsupportedFilesystemError,
+                           match="Mount the store"):
+            fsmeta.exists(uri)
+    with pytest.raises(fsmeta.UnsupportedFilesystemError):
+        fsmeta.rmtree("s3://bucket/key", ignore_errors=True)
+    with pytest.raises(fsmeta.UnsupportedFilesystemError):
+        fsmeta.rename(str(tmp_path / "a"), "s3://bucket/b")
+    # file: URIs unwrap — both forms name the same local directory
+    d = tmp_path / "sub"
+    d.mkdir()
+    fsmeta.touch(str(d / "m"))
+    assert fsmeta.listdir(f"file://{d}") == ["m"]
+    assert fsmeta.listdir(f"file:{d}") == ["m"]
+    assert fsmeta.exists(f"file://{d}/m") and fsmeta.isdir(f"file:{d}")
+    # a plain relative path with a colon later on is NOT a scheme
+    assert not fsmeta.exists(str(tmp_path / "x:y"))
+
+
 def test_swap_in_routes_through_fsmeta(tmp_path, monkeypatch):
     """The crash-safe table swap must perform its renames through the
     shim — the seam a deploy on object storage swaps out. Pinned by

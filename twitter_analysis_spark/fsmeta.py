@@ -28,55 +28,114 @@ writes go through Spark (whose Hadoop FS layer handles remote
 stores); tiny driver-side FILE content I/O (the memo ledger, the
 checkpoint metadata read) stays with builtin ``open`` — content I/O
 is not where the atomicity assumption bites.
+
+Every entry point refuses remote-store URIs loudly (see ``_local``):
+the OS API answers ``s3://...`` with FileNotFoundError, which the
+crash protocols upstream would misread as "no batches yet" /
+"marker absent" — silent data hazards, where a typed refusal at the
+seam is a config error caught on the first call.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import shutil
+
+#: Object-store schemes where the rename assumption is FALSE — the
+#: protocols built on this module are unsound there, not merely
+#: unimplemented, so the refusal message steers to a transactional
+#: table format rather than to "mount it".
+_OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+     "oss", "cos", "swift"})
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*):(?=/)")
+
+
+class UnsupportedFilesystemError(RuntimeError):
+    """A remote-store URI reached the local-metadata seam."""
+
+
+def _local(path: str) -> str:
+    """Resolve ``path`` to an OS path, refusing remote URIs LOUDLY.
+
+    ``os.listdir("s3://bucket/k")`` raises FileNotFoundError — a lie
+    (the data exists; the local API just can't see it) that would read
+    as "no batches yet" or "marker absent" to the crash protocols
+    upstream. ``file:`` URIs (both the ``file:///p`` RFC form and
+    Hadoop's ``file:/p``) are unwrapped to their OS path; every other
+    scheme raises, with the message split by WHY it can't work:
+    object stores lack the atomic rename the protocols require (use a
+    transactional format), while rename-capable remote filesystems
+    (hdfs:, dbfs:, ...) merely need this seam re-implemented over
+    their client or the store mounted as a local path.
+    """
+    m = _SCHEME_RE.match(path)
+    if m is None:
+        return path
+    scheme = m.group(1).lower()
+    if scheme == "file":
+        rest = path[m.end():]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest or "/"
+    if scheme in _OBJECT_STORE_SCHEMES:
+        raise UnsupportedFilesystemError(
+            f"fsmeta got the object-store URI {path!r}: '{scheme}:' "
+            "has no atomic directory rename, so the crash-safe swap / "
+            "marker protocols are unsound there no matter how this "
+            "seam is implemented. Put the table behind a "
+            "transactional format (Delta/Iceberg) instead.")
+    raise UnsupportedFilesystemError(
+        f"fsmeta got the remote URI {path!r}: this seam is "
+        "implemented over the local OS API. Mount the store as a "
+        "local path, or swap this module's implementation for one "
+        f"backed by the '{scheme}:' filesystem client (the rename "
+        "assumption itself holds on rename-capable remote FSes).")
 
 
 def listdir(path: str) -> list[str]:
-    return os.listdir(path)
+    return os.listdir(_local(path))
 
 
 def exists(path: str) -> bool:
-    return os.path.exists(path)
+    return os.path.exists(_local(path))
 
 
 def isdir(path: str) -> bool:
-    return os.path.isdir(path)
+    return os.path.isdir(_local(path))
 
 
 def makedirs(path: str) -> None:
-    os.makedirs(path, exist_ok=True)
+    os.makedirs(_local(path), exist_ok=True)
 
 
 def rename(src: str, dst: str) -> None:
     """Atomic move (see the module docstring's POSIX/HDFS assumption);
     fails if ``dst`` exists and is a non-empty directory."""
-    os.rename(src, dst)
+    os.rename(_local(src), _local(dst))
 
 
 def replace_file(src: str, dst: str) -> None:
     """Atomic FILE replace (``dst`` may exist) — the write-temp-then-
     replace step of every torn-write-safe small-file protocol here."""
-    os.replace(src, dst)
+    os.replace(_local(src), _local(dst))
 
 
 def rmtree(path: str, ignore_errors: bool = False) -> None:
-    shutil.rmtree(path, ignore_errors=ignore_errors)
+    shutil.rmtree(_local(path), ignore_errors=ignore_errors)
 
 
 def touch(path: str) -> None:
     """Create an empty marker file (truncates if present — markers
     are content-free; their existence is the bit)."""
-    open(path, "w").close()
+    open(_local(path), "w").close()
 
 
 def walk(path: str):
-    return os.walk(path)
+    return os.walk(_local(path))
 
 
 def getsize(path: str) -> int:
-    return os.path.getsize(path)
+    return os.path.getsize(_local(path))
