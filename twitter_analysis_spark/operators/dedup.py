@@ -27,7 +27,7 @@ Scale notes (why these shapes survive 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 #: Default document-frequency cap for the shingle inverted index. A
@@ -671,21 +671,26 @@ def connected_components(pairs: DataFrame, id1: str = "id1",
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src").agg(F.min("label").alias("nbr_min"))
         )
+        # The convergence check rides the checkpoint job: the old
+        # label is already in this round's plan, so an observe node
+        # counts label changes WHILE the new table materializes — no
+        # separate compare-join action per round (F.count, not sum:
+        # count is 0 on an empty label table, where a null sum would
+        # read as "not converged" forever).
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select("node",
+            .select("node", F.col("label").alias("_old"),
                     F.least("label", F.coalesce("nbr_min", "label"))
                     .alias("label"))
+            .observe(obs, F.count(
+                F.when(F.col("label") != F.col("_old"), 1))
+                .alias("n_changed"))
+            .select("node", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select("node", F.col("label").alias("old")), "node")
-            .where(F.col("label") != F.col("old"))
-            .limit(1).count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["n_changed"] == 0:
             break
     else:
         edges.unpersist()
@@ -898,21 +903,25 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
                 joined.select("u", F.col("m").alias("v")))
         return out
 
-    def _sig(d: DataFrame) -> tuple:
-        # one aggregate: (count, xor of per-edge hashes) — an
-        # order-free SET signature (the edge set is distinct), no
-        # overflow (xor, unlike sum, can't trip ANSI arithmetic); a
-        # missed change needs a ~2^-64 collision, and the check costs
-        # one scan instead of exceptAll's anti-join per round
-        r = d.agg(F.count(F.lit(1)).alias("n"),
-                  F.expr("bit_xor(xxhash64(u, v))").alias("h")).first()
-        return (r["n"], r["h"])
+    # Convergence signature: (count, xor of per-edge hashes) — an
+    # order-free SET signature (the edge set is distinct), no
+    # overflow (xor, unlike sum, can't trip ANSI arithmetic); a
+    # missed change needs a ~2^-64 collision. The per-round signature
+    # rides the checkpoint materialization via an observe node, so
+    # stabilization costs ZERO extra scans (the initial sig is one
+    # explicit aggregate over the persisted input).
+    _SIG_METRICS = (F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(xxhash64(u, v))").alias("h"))
 
-    sig = _sig(e)
+    r = e.agg(*_SIG_METRICS).first()
+    sig = (r["n"], r["h"])
     for _ in range(max_iter):
-        new_e = _sym(_star(_star(e, large=True), large=False)) \
-            .localCheckpoint()
-        new_sig = _sig(new_e)
+        obs = Observation()
+        new_e = (_sym(_star(_star(e, large=True), large=False))
+                 .observe(obs, *_SIG_METRICS)
+                 .localCheckpoint())
+        got = obs.get
+        new_sig = (got["n"], got["h"])
         e.unpersist()
         e = new_e.persist()
         if new_sig == sig:
