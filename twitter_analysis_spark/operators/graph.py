@@ -218,35 +218,40 @@ def bfs_khop(edges: DataFrame, source: int, max_hops: int) -> DataFrame:
     The k-hop neighborhood primitive (ego-net extraction, blast-radius
     queries). Each of the ``max_hops`` rounds is one frontier⋈edges
     join + an anti-join against the visited set — the frontier only
-    carries NEWLY reached nodes, so total work is O(edges touched), 
+    carries NEWLY reached nodes, so total work is O(edges touched),
     not O(paths): the anti-join is what keeps a dense graph from
     enumerating its path explosion. The loop is a fixed Python range
     over a driver-side CONSTANT (the hop bound — not data), exactly
     like pagerank_exact's iteration count; no data ever reaches the
-    driver. Visited sets persist per round; a localCheckpoint every
-    round keeps the lineage flat at any hop count.
+    driver. One localCheckpoint per round materializes the new
+    visited set AND truncates lineage; the next frontier is a filter
+    over it (depth = d), not a second materialization. An observe
+    node counts the newly reached nodes during that same job, so an
+    exhausted graph exits before the hop bound with zero extra
+    actions.
     """
+    from pyspark.sql import Observation
+
     sess = edges.sparkSession
     und = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
            .union(edges.select(F.col("dst").alias("a"),
                                F.col("src").alias("b")))
            .distinct().persist())
     reached = sess.createDataFrame([(source, 0)], "node LONG, depth INT") \
-        .persist()
-    frontier = reached.select("node")
+        .localCheckpoint()
     for d in range(1, max_hops + 1):
+        frontier = reached.where(F.col("depth") == d - 1).select("node")
         nxt = (frontier.join(und, frontier["node"] == und["a"])
                .select(F.col("b").alias("node")).distinct()
                .join(reached, "node", "left_anti")
-               .withColumn("depth", F.lit(d))
-               .localCheckpoint())
-        prev = reached
-        # The checkpointed union no longer references prev's cached
-        # partitions, so each round releases the previous visited set
-        # — without this, max_hops cached copies of the growing
-        # `reached` frame accumulate for the life of the session.
-        reached = prev.unionByName(nxt).localCheckpoint()
-        prev.unpersist()
-        frontier = nxt.select("node")
+               .withColumn("depth", F.lit(d)))
+        obs = Observation()
+        # The checkpointed union no longer references the previous
+        # round's blocks, and it is the round's ONLY materialization.
+        reached = (reached.unionByName(
+            nxt.observe(obs, F.count(F.lit(1)).alias("n_new")))
+            .localCheckpoint())
+        if obs.get["n_new"] == 0:
+            break
     und.unpersist()
     return reached
