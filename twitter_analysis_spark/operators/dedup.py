@@ -173,8 +173,8 @@ def shingle_cap_report(df: DataFrame, id_col: str, text_col: str, n: int,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8,
-                        max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF
-                        ) -> DataFrame:
+                        max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+                        cleanup: list | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id1 < id2, jaccard >= t).
 
     Inverted-index plan: distinct (doc, shingle) → self-join on shingle
@@ -184,9 +184,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     document-frequency cap are dropped BEFORE set sizes are computed,
     so Jaccard is exact over the capped shingle sets (mirrored in the
     DuckDB oracles).
+
+    The (doc, shingle) index feeds three consumers (both self-join
+    sides share one reused exchange, but the per-doc set-size
+    aggregate would otherwise re-run tokenize→shingle→cap over the
+    corpus — measured ~20% of pipeline wall clock), so it is
+    persisted. Same release contract as ``triangle_counts``: with no
+    ``cleanup`` list the (candidates-sized) result is materialized
+    eagerly and the index dropped now; callers wanting a lazy result
+    pass ``cleanup`` and unpersist after their own action.
     """
-    ds = doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df)
-    return _jaccard_pairs_from(ds, threshold)
+    ds = doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df) \
+        .persist()
+    out = _jaccard_pairs_from(ds, threshold)
+    if cleanup is not None:
+        cleanup.append(ds)
+        return out
+    out = out.localCheckpoint()
+    ds.unpersist()
+    return out
 
 
 def _jaccard_pairs_from(ds: DataFrame, threshold: float) -> DataFrame:
