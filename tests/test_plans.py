@@ -836,3 +836,78 @@ def test_two_tier_dedup_base_branch_has_no_exchange(spark):
             else:
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS two_tier_plan_base")
+
+
+def test_pagerank_iteration_edge_side_has_no_exchange(spark):
+    """The contract pagerank_exact's loop relies on (r11): an edge
+    list persisted pre-partitioned on src satisfies the per-iteration
+    contribution join's distribution straight from the cache, so each
+    round re-shuffles only the |V|-sized rank table — never the
+    |E|-sized edges. Pinned on the exact iteration shape (checkpointed
+    ranks joining the cached repartition("src") edges on node == src)
+    with broadcast disabled, the regime where a regression would mean
+    a full edge shuffle per iteration at cluster scale. The same join
+    against the UNPARTITIONED cached edges must show an edge-side
+    Exchange (the negative control keeping the pin falsifiable)."""
+    import pyspark.sql.functions as F
+
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+
+    def edge_scan_ancestors(res) -> list[str]:
+        res.collect()
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        scan_at = plan.index("InMemoryTableScan")
+        lines = plan[:scan_at].splitlines()
+        last = lines[-1]
+        indent = len(last) - len(last.lstrip(" :+-*(0123456789)"))
+        anc = []
+        for line in reversed(lines[:-1]):
+            stripped = line.lstrip(" :+-")
+            this_indent = len(line) - len(stripped)
+            if this_indent < indent:
+                indent = this_indent
+                anc.append(stripped)
+        return anc
+
+    def probe(ed):
+        ranks = (spark.range(2000)
+                 .select(F.col("id").alias("node"),
+                         F.lit(7).alias("out_deg"),
+                         (F.col("id") * 3).alias("rank_q"))
+                 .localCheckpoint())
+        return (ranks.where(F.col("out_deg").isNotNull())
+                .join(ed, ranks.node == ed.src)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.expr("rank_q DIV out_deg")).alias("c")))
+
+    edges = spark.range(20000).select(
+        (F.col("id") % 2000).alias("src"), (F.col("id") % 149).alias("dst"))
+    ed = edges.repartition("src").persist()
+    ed_flat = edges.persist()
+    try:
+        anc = edge_scan_ancestors(probe(ed))
+        fj = next((i for i, s in enumerate(anc) if "Join" in s), None)
+        fe = next((i for i, s in enumerate(anc)
+                   if s.lstrip("*(0123456789) ").startswith("Exchange")),
+                  len(anc))
+        assert fj is not None, anc
+        assert fj < fe, anc
+        # negative control: unpartitioned cache -> edge-side Exchange
+        anc2 = edge_scan_ancestors(probe(ed_flat))
+        fj2 = next((i for i, s in enumerate(anc2) if "Join" in s), None)
+        fe2 = next((i for i, s in enumerate(anc2)
+                    if s.lstrip("*(0123456789) ").startswith("Exchange")),
+                   len(anc2))
+        assert fj2 is not None and fe2 < fj2, anc2
+    finally:
+        ed.unpersist()
+        ed_flat.unpersist()
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
