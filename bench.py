@@ -249,18 +249,23 @@ CONTROL_RECORDS = {
     # hash-forced evaluation makes q1 compute its actual 7 decimal
     # sums (the count() basis timed a 3-column distinct — 0.42 s was
     # never the query's cost). Code of all three queries is UNCHANGED
-    # since their original records; only the measurement basis moved.
+    # since their records; a control whose own cost moves normalizes
+    # every other row wrong, so when round 11 changed
+    # ngram_jaccard_pairs' shape (persisted shingle index) that
+    # control was RETIRED per the BASELINE.md rule and replaced by
+    # j10_set_similarity_join — same shuffle-heavy join cost class,
+    # code untouched since its round-7 record.
     # Three controls in three COST CLASSES (round-8 ADVICE: two
     # shuffle-heavy controls let one class's drift mis-normalize the
-    # others): q1 = scan + wide partial agg, ngram = shuffle-heavy
-    # shingle self-join, text_fingerprint = pure map-only projection
-    # (no Exchange in its plan) — the geomean now averages over the
-    # classes a real regression would have to fight.
-    "q1_pricing_summary": 1.24,     # round-7 box, hash-forced basis
-    "dedup_ngram_jaccard": 2.43,    # round-7 box, hash-forced basis
-    "text_fingerprint": 0.55,       # round-7 box, hash-forced basis;
-                                    # map-only control (r8: 1.01 raw
-                                    # under cf 1.63 → 0.62 normalized)
+    # others): q1 = scan + wide partial agg, j10 = shuffle-heavy
+    # prefix-filtered self-join, text_fingerprint = pure map-only
+    # projection (no Exchange in its plan) — the geomean averages over
+    # the classes a real regression would have to fight.
+    "q1_pricing_summary": 1.24,        # round-7 box, hash-forced basis
+    "j10_set_similarity_join": 3.667,  # round-7 box, hash-forced basis
+    "text_fingerprint": 0.55,          # round-7 box, hash-forced basis;
+                                       # map-only control (r8: 1.01 raw
+                                       # under cf 1.63 → 0.62 normalized)
 }
 
 
