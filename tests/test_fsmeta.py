@@ -61,15 +61,25 @@ def test_fsmeta_refuses_remote_uris_loudly(tmp_path):
         fsmeta.rmtree("s3://bucket/key", ignore_errors=True)
     with pytest.raises(fsmeta.UnsupportedFilesystemError):
         fsmeta.rename(str(tmp_path / "a"), "s3://bucket/b")
-    # file: URIs unwrap — both forms name the same local directory
+    # file: URIs unwrap — RFC triple-slash, Hadoop single-slash, and
+    # the RFC-8089 localhost-authority form all name the same dir
     d = tmp_path / "sub"
     d.mkdir()
     fsmeta.touch(str(d / "m"))
     assert fsmeta.listdir(f"file://{d}") == ["m"]
     assert fsmeta.listdir(f"file:{d}") == ["m"]
+    assert fsmeta.listdir(f"file://localhost{d}") == ["m"]
     assert fsmeta.exists(f"file://{d}/m") and fsmeta.isdir(f"file:{d}")
+    # a REMOTE authority must refuse, not silently unwrap to the
+    # wrong local path (/nas/data would read as "marker absent")
+    with pytest.raises(fsmeta.UnsupportedFilesystemError,
+                       match="remote authority"):
+        fsmeta.exists("file://nas/data/marker")
     # a plain relative path with a colon later on is NOT a scheme
     assert not fsmeta.exists(str(tmp_path / "x:y"))
+    # a single-letter "scheme" is a Windows drive path — local, not
+    # a remote URI (False here on POSIX, but no refusal)
+    assert not fsmeta.exists("C:/Users/data")
 
 
 def test_swap_in_routes_through_fsmeta(tmp_path, monkeypatch):

@@ -50,7 +50,10 @@ _OBJECT_STORE_SCHEMES = frozenset(
     {"s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
      "oss", "cos", "swift"})
 
-_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*):(?=/)")
+#: Two chars minimum: a single-letter "scheme" is a Windows drive
+#: path (C:/data), which must pass through as a local path, not be
+#: refused as a remote URI (standard URI-vs-drive disambiguation).
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]+):(?=/)")
 
 
 class UnsupportedFilesystemError(RuntimeError):
@@ -77,8 +80,21 @@ def _local(path: str) -> str:
     scheme = m.group(1).lower()
     if scheme == "file":
         rest = path[m.end():]
-        while rest.startswith("//"):
-            rest = rest[1:]
+        if rest.startswith("//"):
+            # RFC 8089 authority: file://HOST/p names a path on HOST.
+            # Only the local host (empty or "localhost") unwraps;
+            # silently stripping a real host would turn file://nas/p
+            # into the WRONG local path /nas/p — the exact
+            # marker-misread hazard this guard exists to stop.
+            auth, sep, tail = rest[2:].partition("/")
+            if auth not in ("", "localhost"):
+                raise UnsupportedFilesystemError(
+                    f"fsmeta got the file: URI {path!r} with remote "
+                    f"authority {auth!r}: a path on another host is "
+                    "not reachable through the local OS API. Mount "
+                    "it locally, or use an empty/localhost "
+                    "authority for local paths.")
+            rest = "/" + tail
         return rest or "/"
     if scheme in _OBJECT_STORE_SCHEMES:
         raise UnsupportedFilesystemError(

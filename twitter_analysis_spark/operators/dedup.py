@@ -185,24 +185,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     so Jaccard is exact over the capped shingle sets (mirrored in the
     DuckDB oracles).
 
-    The (doc, shingle) index feeds three consumers (both self-join
-    sides share one reused exchange, but the per-doc set-size
-    aggregate would otherwise re-run tokenize→shingle→cap over the
-    corpus — measured ~20% of pipeline wall clock), so it is
-    persisted. Same release contract as ``triangle_counts``: with no
-    ``cleanup`` list the (candidates-sized) result is materialized
-    eagerly and the index dropped now; callers wanting a lazy result
-    pass ``cleanup`` and unpersist after their own action.
+    The (doc, shingle) index feeds four plan branches (the self-join
+    sides share one reused exchange, but the set-size table is joined
+    twice more — the lazy plan shows SIX corpus scans), so it is
+    persisted: measured ~20% of pipeline wall clock at sf0.1. The
+    result stays LAZY — an eager checkpoint here would collapse every
+    downstream plan to an opaque RDD leaf, hiding the DF-cap filter
+    the plan pins assert on the deployed catalog rows. Release
+    contract is therefore ``minhash_lsh_pairs``', not
+    ``triangle_counts``': pass ``cleanup`` to receive the persisted
+    index for unpersisting after your action; without it, repeated
+    calls in a long-lived session accumulate cached storage (bench
+    clears via ``spark.catalog.clearCache()``).
     """
     ds = doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df) \
         .persist()
-    out = _jaccard_pairs_from(ds, threshold)
     if cleanup is not None:
         cleanup.append(ds)
-        return out
-    out = out.localCheckpoint()
-    ds.unpersist()
-    return out
+    return _jaccard_pairs_from(ds, threshold)
 
 
 def _jaccard_pairs_from(ds: DataFrame, threshold: float) -> DataFrame:
@@ -949,9 +949,16 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
             f"connected_components_star: no convergence in {max_iter} "
             "rounds (theoretical bound ~2 log n — the input edge list "
             "is pathological or max_iter is set too low)")
+    # Materialize the (|V|-sized) result and release the persisted
+    # edge set now — the lazy form left the FINAL round's |E|-sized
+    # cache registered for the life of the session on every bare
+    # call (triangle_counts' no-cleanup contract; the labels table
+    # min-label returns is already a checkpoint leaf).
     out = (e.groupBy("u").agg(F.min("v").alias("_mn"))
            .select(F.col("u").alias("node"),
-                   F.least("_mn", F.col("u")).alias("cluster")))
+                   F.least("_mn", F.col("u")).alias("cluster"))
+           .localCheckpoint())
+    e.unpersist()
     return out
 
 
