@@ -10,6 +10,17 @@ from pyspark.sql import functions as F
 from twitter_analysis_spark.operators import dedup, similarity
 
 
+def _jaccard_rows(*args, **kw):
+    """Collect ngram_jaccard_pairs and release its persisted shingle
+    index — tests share one long-lived session, so the no-cleanup
+    call's documented cache accumulation is not acceptable here."""
+    cl: list = []
+    rows = dedup.ngram_jaccard_pairs(*args, cleanup=cl, **kw).collect()
+    for f in cl:
+        f.unpersist()
+    return rows
+
+
 @pytest.fixture(scope="module")
 def planted(spark):
     """Tiny corpus with known near-dup structure."""
@@ -36,8 +47,8 @@ def test_exact_dedup_planted(planted):
 
 def test_jaccard_finds_near_dups(planted):
     pairs = {(r["id1"], r["id2"]): r["jaccard"]
-             for r in dedup.ngram_jaccard_pairs(
-                 planted, "doc_id", "text", n=3, threshold=0.3).collect()}
+             for r in _jaccard_rows(
+                 planted, "doc_id", "text", n=3, threshold=0.3)}
     assert pairs[(0, 1)] == 1.0                # exact dup
     assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
     assert not any({a, b} & {4, 5} for a, b in pairs)
@@ -54,8 +65,8 @@ def test_minhash_lsh_subset_and_recall(planted, hash_fn):
     J≈0.5 pairs are legitimately coin flips that exact verification
     cannot resurrect."""
     jac = {(r["id1"], r["id2"]): r["jaccard"]
-           for r in dedup.ngram_jaccard_pairs(
-               planted, "doc_id", "text", n=3, threshold=0.3).collect()}
+           for r in _jaccard_rows(
+               planted, "doc_id", "text", n=3, threshold=0.3)}
     lsh = {(r["id1"], r["id2"])
            for r in dedup.minhash_lsh_pairs(
                planted, "doc_id", "text", n=3, num_hashes=32, bands=8,
@@ -324,8 +335,8 @@ def test_shingle_cap_blocks_boilerplate_explosion(spark):
     rows = [(i, f"document body number {i} is unique here {boiler}")
             for i in range(40)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    got = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
-                                    threshold=0.05, max_shingle_df=10).collect()
+    got = _jaccard_rows(df, "doc_id", "text", n=3,
+                        threshold=0.05, max_shingle_df=10)
     # Every doc shares the 4-token boilerplate tail; uncapped, those
     # shingles alone join 40x40 docs. Capped, the only shared shingles
     # are gone, so no pair clears the threshold.

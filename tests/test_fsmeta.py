@@ -69,12 +69,15 @@ def test_fsmeta_refuses_remote_uris_loudly(tmp_path):
     assert fsmeta.listdir(f"file://{d}") == ["m"]
     assert fsmeta.listdir(f"file:{d}") == ["m"]
     assert fsmeta.listdir(f"file://localhost{d}") == ["m"]
+    assert fsmeta.listdir(f"file://LOCALHOST{d}") == ["m"]   # hosts are ci
     assert fsmeta.exists(f"file://{d}/m") and fsmeta.isdir(f"file:{d}")
-    # a REMOTE authority must refuse, not silently unwrap to the
-    # wrong local path (/nas/data would read as "marker absent")
-    with pytest.raises(fsmeta.UnsupportedFilesystemError,
-                       match="remote authority"):
-        fsmeta.exists("file://nas/data/marker")
+    # a REMOTE host must refuse, not silently unwrap to the wrong
+    # local path (/nas/data would read as "marker absent") — in the
+    # plain-authority form AND the four-slash UNC spelling
+    for uri in ("file://nas/data/marker", "file:////nas/data/marker"):
+        with pytest.raises(fsmeta.UnsupportedFilesystemError,
+                           match="remote host"):
+            fsmeta.exists(uri)
     # a plain relative path with a colon later on is NOT a scheme
     assert not fsmeta.exists(str(tmp_path / "x:y"))
     # a single-letter "scheme" is a Windows drive path — local, not

@@ -49,9 +49,13 @@ def test_jaccard_symmetric_and_bounded(sc_spark, a, b):
     ta, tb = " ".join(a) or "x", " ".join(b) or "y"
     df = sc_spark.createDataFrame(
         [(1, ta), (2, tb), (3, ta)], "doc_id long, text string")
+    cl = []
     pairs = {(r["id1"], r["id2"]): r["jaccard"]
              for r in D.ngram_jaccard_pairs(
-                 df, "doc_id", "text", n=3, threshold=0.0).collect()}
+                 df, "doc_id", "text", n=3, threshold=0.0,
+                 cleanup=cl).collect()}
+    for f in cl:
+        f.unpersist()
     # identical docs 1 and 3 must pair with jaccard 1.0
     assert pairs.get((1, 3)) == pytest.approx(1.0)
     for v in pairs.values():

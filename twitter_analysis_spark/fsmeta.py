@@ -87,13 +87,19 @@ def _local(path: str) -> str:
             # into the WRONG local path /nas/p — the exact
             # marker-misread hazard this guard exists to stop.
             auth, sep, tail = rest[2:].partition("/")
-            if auth not in ("", "localhost"):
+            # tail.startswith("/"): the four-slash UNC spelling
+            # (file:////HOST/p, RFC 8089 appendix) parses as an empty
+            # authority with a //HOST/p path — same remote-host
+            # meaning, same refusal (and "//x" is implementation-
+            # defined to POSIX anyway).
+            if auth.lower() not in ("", "localhost") \
+                    or tail.startswith("/"):
                 raise UnsupportedFilesystemError(
-                    f"fsmeta got the file: URI {path!r} with remote "
-                    f"authority {auth!r}: a path on another host is "
-                    "not reachable through the local OS API. Mount "
-                    "it locally, or use an empty/localhost "
-                    "authority for local paths.")
+                    f"fsmeta got the file: URI {path!r} naming a "
+                    "remote host: a path on another host is not "
+                    "reachable through the local OS API. Mount it "
+                    "locally, or use an empty/localhost authority "
+                    "for local paths.")
             rest = "/" + tail
         return rest or "/"
     if scheme in _OBJECT_STORE_SCHEMES:
