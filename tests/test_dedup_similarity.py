@@ -7,18 +7,17 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import collect_with_cleanup
+
 from twitter_analysis_spark.operators import dedup, similarity
 
 
 def _jaccard_rows(*args, **kw):
-    """Collect ngram_jaccard_pairs and release its persisted shingle
-    index — tests share one long-lived session, so the no-cleanup
-    call's documented cache accumulation is not acceptable here."""
-    cl: list = []
-    rows = dedup.ngram_jaccard_pairs(*args, cleanup=cl, **kw).collect()
-    for f in cl:
-        f.unpersist()
-    return rows
+    return collect_with_cleanup(dedup.ngram_jaccard_pairs, *args, **kw)
+
+
+def _lsh_rows(*args, **kw):
+    return collect_with_cleanup(dedup.minhash_lsh_pairs, *args, **kw)
 
 
 @pytest.fixture(scope="module")
@@ -68,9 +67,9 @@ def test_minhash_lsh_subset_and_recall(planted, hash_fn):
            for r in _jaccard_rows(
                planted, "doc_id", "text", n=3, threshold=0.3)}
     lsh = {(r["id1"], r["id2"])
-           for r in dedup.minhash_lsh_pairs(
+           for r in _lsh_rows(
                planted, "doc_id", "text", n=3, num_hashes=32, bands=8,
-               threshold=0.3, hash_fn=hash_fn).collect()}
+               threshold=0.3, hash_fn=hash_fn)}
     assert lsh <= set(jac)
     sure = {p for p, j in jac.items() if j >= 0.7}
     assert sure <= lsh                         # guarantee-zone recall
@@ -113,9 +112,8 @@ def test_lsh_hot_bucket_cap(spark, planted):
               max_shingle_df=None)
 
     capped = {(r["id1"], r["id2"])
-              for r in dedup.minhash_lsh_pairs(
-                  corpus, "doc_id", "text",
-                  max_bucket_size=50, **kw).collect()}
+              for r in _lsh_rows(corpus, "doc_id", "text",
+                                 max_bucket_size=50, **kw)}
     # genuine near-dup recall survives the cap
     assert (0, 1) in capped and (0, 2) in capped
     # the mega-bucket's quadratic pair set is gone
@@ -124,9 +122,8 @@ def test_lsh_hot_bucket_cap(spark, planted):
     # control: with the cap off the same pairs DO surface, proving the
     # cap (not the planting) is what removed them
     uncapped = {(r["id1"], r["id2"])
-                for r in dedup.minhash_lsh_pairs(
-                    corpus, "doc_id", "text",
-                    max_bucket_size=None, **kw).collect()}
+                for r in _lsh_rows(corpus, "doc_id", "text",
+                                   max_bucket_size=None, **kw)}
     assert (100, 101) in uncapped and capped < uncapped
 
 

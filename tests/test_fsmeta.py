@@ -73,10 +73,14 @@ def test_fsmeta_refuses_remote_uris_loudly(tmp_path):
     assert fsmeta.exists(f"file://{d}/m") and fsmeta.isdir(f"file:{d}")
     # a REMOTE host must refuse, not silently unwrap to the wrong
     # local path (/nas/data would read as "marker absent") — in the
-    # plain-authority form AND the four-slash UNC spelling
-    for uri in ("file://nas/data/marker", "file:////nas/data/marker"):
+    # plain-authority form, the four-slash UNC spelling, and the
+    # //-leading-path form (each with its accurate diagnostic)
+    with pytest.raises(fsmeta.UnsupportedFilesystemError,
+                       match="remote host"):
+        fsmeta.exists("file://nas/data/marker")
+    for uri in ("file:////nas/data/marker", "file://localhost//mnt/x"):
         with pytest.raises(fsmeta.UnsupportedFilesystemError,
-                           match="remote host"):
+                           match="begins with"):
             fsmeta.exists(uri)
     # a plain relative path with a colon later on is NOT a scheme
     assert not fsmeta.exists(str(tmp_path / "x:y"))

@@ -49,13 +49,11 @@ def test_jaccard_symmetric_and_bounded(sc_spark, a, b):
     ta, tb = " ".join(a) or "x", " ".join(b) or "y"
     df = sc_spark.createDataFrame(
         [(1, ta), (2, tb), (3, ta)], "doc_id long, text string")
-    cl = []
+    from conftest import collect_with_cleanup
     pairs = {(r["id1"], r["id2"]): r["jaccard"]
-             for r in D.ngram_jaccard_pairs(
-                 df, "doc_id", "text", n=3, threshold=0.0,
-                 cleanup=cl).collect()}
-    for f in cl:
-        f.unpersist()
+             for r in collect_with_cleanup(
+                 D.ngram_jaccard_pairs, df, "doc_id", "text",
+                 n=3, threshold=0.0)}
     # identical docs 1 and 3 must pair with jaccard 1.0
     assert pairs.get((1, 3)) == pytest.approx(1.0)
     for v in pairs.values():

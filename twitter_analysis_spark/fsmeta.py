@@ -87,19 +87,27 @@ def _local(path: str) -> str:
             # into the WRONG local path /nas/p — the exact
             # marker-misread hazard this guard exists to stop.
             auth, sep, tail = rest[2:].partition("/")
-            # tail.startswith("/"): the four-slash UNC spelling
-            # (file:////HOST/p, RFC 8089 appendix) parses as an empty
-            # authority with a //HOST/p path — same remote-host
-            # meaning, same refusal (and "//x" is implementation-
-            # defined to POSIX anyway).
-            if auth.lower() not in ("", "localhost") \
-                    or tail.startswith("/"):
+            if auth.lower() not in ("", "localhost"):
                 raise UnsupportedFilesystemError(
                     f"fsmeta got the file: URI {path!r} naming a "
                     "remote host: a path on another host is not "
                     "reachable through the local OS API. Mount it "
                     "locally, or use an empty/localhost authority "
                     "for local paths.")
+            if tail.startswith("/"):
+                # A //-leading path: either the four-slash UNC
+                # spelling (file:////HOST/p, RFC 8089 appendix — a
+                # remote host hiding in an empty authority) or a
+                # deliberate double slash, whose meaning POSIX leaves
+                # implementation-defined. Neither resolves to a
+                # well-defined local path.
+                raise UnsupportedFilesystemError(
+                    f"fsmeta got the file: URI {path!r} whose path "
+                    "begins with '//': that is the UNC remote-host "
+                    "spelling (not reachable through the local OS "
+                    "API), and a literal leading '//' is "
+                    "implementation-defined to POSIX. Use a single "
+                    "leading slash for local paths.")
             rest = "/" + tail
         return rest or "/"
     if scheme in _OBJECT_STORE_SCHEMES:
