@@ -64,18 +64,3 @@ def twitter_fixture(spark, tmp_path_factory):
         "users_df": spark.read.parquet(users_path),
         "tweets_df": spark.read.parquet(tweets_path),
     }
-
-
-def collect_with_cleanup(fn, *args, **kw):
-    """Call an operator that persists internal frames behind a
-    ``cleanup`` list (ngram_jaccard_pairs, minhash_lsh_pairs, ...),
-    collect its result, and ALWAYS release the persisted frames —
-    tests share one session-scoped Spark, so the operators' documented
-    no-cleanup cache accumulation is not acceptable here. try/finally:
-    a raising collect() must not strand the caches either."""
-    cl: list = []
-    try:
-        return fn(*args, cleanup=cl, **kw).collect()
-    finally:
-        for f in cl:
-            f.unpersist()

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from conftest import collect_with_cleanup
+from helpers import collect_with_cleanup
 
 from twitter_analysis_spark.operators import dedup, similarity
 

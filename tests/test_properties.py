@@ -11,6 +11,8 @@ import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
+from helpers import collect_with_cleanup
+
 from twitter_analysis_spark.operators import dedup as D
 
 WORDS = st.lists(
@@ -49,7 +51,6 @@ def test_jaccard_symmetric_and_bounded(sc_spark, a, b):
     ta, tb = " ".join(a) or "x", " ".join(b) or "y"
     df = sc_spark.createDataFrame(
         [(1, ta), (2, tb), (3, ta)], "doc_id long, text string")
-    from conftest import collect_with_cleanup
     pairs = {(r["id1"], r["id2"]): r["jaccard"]
              for r in collect_with_cleanup(
                  D.ngram_jaccard_pairs, df, "doc_id", "text",
