@@ -101,7 +101,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact 3-gram Jaccard pairs via shingle inverted-index self-join,
     # with the boilerplate DF cap active (DEFAULT_MAX_SHINGLE_DF; the
-    # oracle's sh CTE applies the identical cap).
+    # oracle's sh CTE applies the identical cap). Deliberately NO
+    # cleanup list: this row is cap-plan-pinned (tests/test_plans.py
+    # greps the returned lazy plan for the size(_docs) <= 256 filter),
+    # so the persisted index follows the documented
+    # leak-until-clearCache contract.
     return _dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.1)
 

@@ -614,9 +614,17 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = _ts.quality_features(docs.select("doc_id", "text")).drop("text")
     good = (feat.where((F.col("quality_score") >= 0.4)
                        & (F.col("n_tokens") >= 5)).select("doc_id"))
+    # The violator-id set is tiny; checkpoint it so the persisted
+    # shingle index can be released now instead of leaking per call
+    # (the downstream anti-join plan the pipeline pin asserts sits
+    # ABOVE this leaf, so the pin is unaffected).
+    _cl: list = []
     dups = (_dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
-                                       n=3, threshold=0.1)
-            .select(F.col("id2").alias("doc_id")).distinct())
+                                       n=3, threshold=0.1, cleanup=_cl)
+            .select(F.col("id2").alias("doc_id")).distinct()
+            .localCheckpoint())
+    for _f in _cl:
+        _f.unpersist()
     contam = _cur.decontaminate(
         corpus, docs.where(F.col("doc_id") % 97 == 0),
         "doc_id", "text", n=4).select("doc_id")
