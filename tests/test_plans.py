@@ -152,12 +152,19 @@ def test_jaccard_paths_carry_shingle_cap(spark, sf_dir):
     """The pair-explosion guard is part of the executed plan for every
     production Jaccard query: a size filter on the per-shingle posting
     list. Match the specific predicate fragment (size(_docs) <= 256),
-    not bare substrings that could survive the filter being dropped."""
+    not bare substrings that could survive the filter being dropped.
+    These three rows are deliberately kept LAZY (their catalog
+    comments say so) so this pin can see the whole shingle pipeline —
+    which also makes them the place to assert the self-join never
+    degenerates to a cross join (the rows that materialize the pairs
+    branch eagerly, e.g. corpus_training_set, hide it behind an RDD
+    leaf)."""
     import re
 
     for name in ("dedup_ngram_jaccard", "corpus_curation", "dedup_minhash_lsh"):
         plan = plan_of(spark, sf_dir, name)
         assert re.search(r"size\(_docs#\d+[^)]*\)[^<>]{0,20}<= 256", plan), name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_q6_filters_reach_scan_and_agg_is_partial(spark, sf_dir):

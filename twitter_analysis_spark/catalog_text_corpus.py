@@ -941,18 +941,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The oracle computes the same transitive closure with a recursive
     # CTE — fine at oracle scale, quadratic in cluster size at 100 TB,
     # which is exactly why the engine side iterates joins instead.
-    cl: list = []
-    pairs = _dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
-        threshold=0.1, cleanup=cl)
     # The CC loop runs eagerly and its result is a checkpoint leaf,
     # so the shingle index is fully consumed by the time it returns —
-    # release it here rather than leaking one cached frame per call.
-    out = (_dedup.connected_components(pairs)
-           .select(F.col("node").alias("doc"), "cluster"))
-    for f in cl:
-        f.unpersist()
-    return out
+    # released (even if CC raises) rather than leaking per call.
+    with _dedup.released() as cl:
+        pairs = _dedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+            threshold=0.1, cleanup=cl)
+        return (_dedup.connected_components(pairs)
+                .select(F.col("node").alias("doc"), "cluster"))
 
 
 def _canonical_oracle() -> str:
@@ -993,17 +990,16 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (recursive CTE), quality, and the argmax with the identical
     # tie-break.
     docs = _t(spark, sf_dir, "documents")
-    cl: list = []
-    pairs = _dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
-                                       n=3, threshold=0.1, cleanup=cl)
-    scored = _ts.quality_features(docs.select("doc_id", "text"))
     # canonicalize consumes pairs through the eager CC loop; after it
     # returns, the result references only the checkpointed cluster
-    # table and the scored frame — the shingle index can be released.
-    out = _dedup.canonicalize(scored, pairs)
-    for f in cl:
-        f.unpersist()
-    return out
+    # table and the scored frame — the shingle index releases on exit
+    # (exception-safe: a CC non-convergence must not strand it).
+    with _dedup.released() as cl:
+        pairs = _dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                           n=3, threshold=0.1,
+                                           cleanup=cl)
+        scored = _ts.quality_features(docs.select("doc_id", "text"))
+        return _dedup.canonicalize(scored, pairs)
 
 
 @register("dedup_clusters_star", ORACLES["dedup_clusters"])
@@ -1013,15 +1009,12 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/dedup.py:connected_components_star) — driver-level
     # evidence that both algorithms produce identical components on
     # the real near-dup graph.
-    cl: list = []
-    pairs = _dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
-        threshold=0.1, cleanup=cl)
-    out = (_dedup.connected_components_star(pairs)
-           .select(F.col("node").alias("doc"), "cluster"))
-    for f in cl:
-        f.unpersist()
-    return out
+    with _dedup.released() as cl:
+        pairs = _dedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+            threshold=0.1, cleanup=cl)
+        return (_dedup.connected_components_star(pairs)
+                .select(F.col("node").alias("doc"), "cluster"))
 
 
 @register(

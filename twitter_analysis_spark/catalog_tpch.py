@@ -599,14 +599,16 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality gate -> near-dup removal -> benchmark decontamination ->
     # PII scrub -> content-addressed train/val split -> fixed-budget
     # sequence packing (per-split token stream, budget 512). Every
-    # stage is the already-verified operator; Catalyst fuses the
-    # filter/anti-join cascade into one pass over documents plus the
-    # bounded pair/shingle side plans. At 100 TB the same composition
-    # holds: the anti-join right sides are the (small) violator sets,
-    # the benchmark side broadcasts, and packing windows per split
-    # shard — swap ngram_jaccard_pairs for minhash_lsh_pairs to make
-    # the near-dup stage sub-quadratic with identical survivor
-    # semantics.
+    # stage is the already-verified operator. The near-dup violator
+    # set materializes as its own up-front job (an RDD leaf in this
+    # row's plan — its internals are cap-plan-pinned on the
+    # dedup_ngram_jaccard row instead); Catalyst fuses the remaining
+    # filter/anti-join cascade into one pass over documents. At
+    # 100 TB the same composition holds: the anti-join right sides
+    # are the (small) violator sets, the benchmark side broadcasts,
+    # and packing windows per split shard — swap ngram_jaccard_pairs
+    # for minhash_lsh_pairs to make the near-dup stage sub-quadratic
+    # with identical survivor semantics.
     from .operators.sampling import split_assign
 
     docs = _t(spark, sf_dir, "documents")
@@ -617,14 +619,14 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The violator-id set is tiny; checkpoint it so the persisted
     # shingle index can be released now instead of leaking per call
     # (the downstream anti-join plan the pipeline pin asserts sits
-    # ABOVE this leaf, so the pin is unaffected).
-    _cl: list = []
-    dups = (_dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
-                                       n=3, threshold=0.1, cleanup=_cl)
-            .select(F.col("id2").alias("doc_id")).distinct()
-            .localCheckpoint())
-    for _f in _cl:
-        _f.unpersist()
+    # ABOVE this leaf, so the pin is unaffected; exception-safe via
+    # the released() contextmanager).
+    with _dedup.released() as _cl:
+        dups = (_dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                           n=3, threshold=0.1,
+                                           cleanup=_cl)
+                .select(F.col("id2").alias("doc_id")).distinct()
+                .localCheckpoint())
     contam = _cur.decontaminate(
         corpus, docs.where(F.col("doc_id") % 97 == 0),
         "doc_id", "text", n=4).select("doc_id")

@@ -27,6 +27,8 @@ Scale notes (why these shapes survive 100 TB):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -68,6 +70,25 @@ def km_constants(num_hashes: int) -> list[tuple[int, int]]:
 
     return [(c(f"minhash-a-{j}"), c(f"minhash-b-{j}"))
             for j in range(num_hashes)]
+
+
+@contextmanager
+def released(cleanup: list | None = None):
+    """Exception-safe release for the ``cleanup``-list persist
+    contract (``ngram_jaccard_pairs``, ``minhash_lsh_pairs``,
+    ``set_similarity_join``, ...): yields the list to pass as
+    ``cleanup=`` and unpersists everything in it on exit, including
+    when the consumer raises (e.g. a CC non-convergence RuntimeError)
+    — a bare post-hoc unpersist loop strands the corpus-sized index
+    in cache for the session exactly when something went wrong.
+    ``tests/helpers.py:collect_with_cleanup`` is the test-side twin.
+    """
+    cleanup = [] if cleanup is None else cleanup
+    try:
+        yield cleanup
+    finally:
+        for f in cleanup:
+            f.unpersist()
 
 
 def tokens(col):
