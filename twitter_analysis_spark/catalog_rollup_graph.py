@@ -562,12 +562,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as _graph
 
     events = _t(spark, sf_dir, "events")
-    cleanup: list = []
-    out = _graph.triangle_counts(_graph.interaction_edges(events),
-                                 cleanup=cleanup).localCheckpoint()
-    for frame in cleanup:
-        frame.unpersist()
-    return out
+    with _dedup.released() as cleanup:
+        return _graph.triangle_counts(
+            _graph.interaction_edges(events),
+            cleanup=cleanup).localCheckpoint()
 
 
 ORACLE_CMS = f"""
@@ -1004,13 +1002,10 @@ def j10_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted sets table once the (pair-list-sized) result is
     # materialized — otherwise every invocation leaks a corpus-sized
     # cached frame for the life of the session.
-    cleanup: list = []
-    out = _lk.set_similarity_join(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        threshold=0.5, n=3, cleanup=cleanup).localCheckpoint()
-    for frame in cleanup:
-        frame.unpersist()
-    return out
+    with _dedup.released() as cleanup:
+        return _lk.set_similarity_join(
+            _t(spark, sf_dir, "documents"), "doc_id", "text",
+            threshold=0.5, n=3, cleanup=cleanup).localCheckpoint()
 
 
 @register(

@@ -323,13 +323,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # certifies the one-sided prefix drops nothing.
     # cleanup contract as in j10: materialize the pair list eagerly,
     # then release the internally persisted sets table.
-    cleanup: list = []
-    out = _lk.containment_join(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        threshold=0.8, n=3, cleanup=cleanup).localCheckpoint()
-    for frame in cleanup:
-        frame.unpersist()
-    return out
+    with _dedup.released() as cleanup:
+        return _lk.containment_join(
+            _t(spark, sf_dir, "documents"), "doc_id", "text",
+            threshold=0.8, n=3, cleanup=cleanup).localCheckpoint()
 
 
 @register(
@@ -1000,15 +997,13 @@ def j13_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # block plus its successor per left row — exactly-once meeting).
     from .operators.linkage import sorted_neighborhood_pairs
 
-    cleanup: list = []
-    out = sorted_neighborhood_pairs(
-        _t(spark, sf_dir, "part"), "p_name",
-        window=5, max_dist=3, cleanup=cleanup)
-    if cleanup:     # two-phase rank path: materialize, then release
-        out = out.localCheckpoint()
-        for frame in cleanup:
-            frame.unpersist()
-    return out
+    with _dedup.released() as cleanup:
+        out = sorted_neighborhood_pairs(
+            _t(spark, sf_dir, "part"), "p_name",
+            window=5, max_dist=3, cleanup=cleanup)
+        if cleanup:  # two-phase rank path: materialize before release
+            out = out.localCheckpoint()
+        return out
 
 
 @register(
@@ -1332,24 +1327,22 @@ def a18_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * (1 - F.col("l_discount")) * 100)
                       .cast("bigint")).alias("v")))
     tot = rev.agg(F.sum(F.col("v").cast(dec)).alias("t"))
-    cleanup: list = []
-    ranked = ranked_cumsum(rev, [F.desc("v"), F.asc("l_partkey")],
-                           value_col=F.col("v").cast(dec),
-                           cum_col="cum", cleanup=cleanup) \
-        .crossJoin(F.broadcast(tot))
-    cls = (F.when(F.col("cum") * 100 <= F.col("t") * 80, "A")
-           .when(F.col("cum") * 100 <= F.col("t") * 95, "B")
-           .otherwise("C"))
-    out = (ranked.groupBy(cls.alias("abc_class"))
-           .agg(F.count(F.lit(1)).alias("n_parts"),
-                F.sum("v").cast("bigint").alias("revenue_cents"),
-                (F.sum("v").cast("double")
-                 / F.any_value("t").cast("double")).alias("share")))
-    if cleanup:     # two-phase path: materialize, then release
-        out = out.localCheckpoint()
-        for frame in cleanup:
-            frame.unpersist()
-    return out
+    with _dedup.released() as cleanup:
+        ranked = ranked_cumsum(rev, [F.desc("v"), F.asc("l_partkey")],
+                               value_col=F.col("v").cast(dec),
+                               cum_col="cum", cleanup=cleanup) \
+            .crossJoin(F.broadcast(tot))
+        cls = (F.when(F.col("cum") * 100 <= F.col("t") * 80, "A")
+               .when(F.col("cum") * 100 <= F.col("t") * 95, "B")
+               .otherwise("C"))
+        out = (ranked.groupBy(cls.alias("abc_class"))
+               .agg(F.count(F.lit(1)).alias("n_parts"),
+                    F.sum("v").cast("bigint").alias("revenue_cents"),
+                    (F.sum("v").cast("double")
+                     / F.any_value("t").cast("double")).alias("share")))
+        if cleanup:  # two-phase path: materialize before release
+            out = out.localCheckpoint()
+        return out
 
 
 @register(
@@ -1472,29 +1465,27 @@ def a20_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # larger dimensions") is now the operator's own large-input path.
     # Identical ranks on both paths (total order; equivalence-tested),
     # so the oracle's row_number() spelling is unchanged.
-    cleanup: list = []
-    ranked = ranked_cumsum(rev, [F.asc("v"), F.asc("l_partkey")],
-                           rank_col="i", cleanup=cleanup)
-    dec = "decimal(38,0)"
-    # sv/siv accumulate in decimal(38,0): rank x cents products sum
-    # past long range at scale, and a LongType sum wraps silently
-    # with ANSI off while DuckDB's goes through HUGEINT (judge-advice
-    # round 6) — cast the operands BEFORE the sum, not after.
-    out = (ranked.agg(F.count(F.lit(1)).alias("n"),
-                      F.sum(F.col("v").cast(dec)).alias("sv"),
-                      F.sum(F.col("i").cast(dec) * F.col("v"))
-                      .alias("siv"))
-           .select(F.col("n").cast("bigint").alias("n_parts"),
-                   F.col("sv").cast("bigint").alias("revenue_cents"),
-                   ((2 * F.col("siv") - (F.col("n") + 1) * F.col("sv"))
-                    .cast("double")
-                    / (F.col("n") * F.col("sv")).cast("double"))
-                   .alias("gini")))
-    if cleanup:     # two-phase path: materialize, then release
-        out = out.localCheckpoint()
-        for frame in cleanup:
-            frame.unpersist()
-    return out
+    with _dedup.released() as cleanup:
+        ranked = ranked_cumsum(rev, [F.asc("v"), F.asc("l_partkey")],
+                               rank_col="i", cleanup=cleanup)
+        dec = "decimal(38,0)"
+        # sv/siv accumulate in decimal(38,0): rank x cents products
+        # sum past long range at scale, and a LongType sum wraps
+        # silently with ANSI off while DuckDB's goes through HUGEINT
+        # (judge-advice round 6) — cast operands BEFORE the sum.
+        out = (ranked.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum(F.col("v").cast(dec)).alias("sv"),
+                          F.sum(F.col("i").cast(dec) * F.col("v"))
+                          .alias("siv"))
+               .select(F.col("n").cast("bigint").alias("n_parts"),
+                       F.col("sv").cast("bigint").alias("revenue_cents"),
+                       ((2 * F.col("siv") - (F.col("n") + 1) * F.col("sv"))
+                        .cast("double")
+                        / (F.col("n") * F.col("sv")).cast("double"))
+                       .alias("gini")))
+        if cleanup:  # two-phase path: materialize before release
+            out = out.localCheckpoint()
+        return out
 
 
 @register(

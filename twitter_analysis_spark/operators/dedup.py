@@ -73,17 +73,18 @@ def km_constants(num_hashes: int) -> list[tuple[int, int]]:
 
 
 @contextmanager
-def released(cleanup: list | None = None):
+def released():
     """Exception-safe release for the ``cleanup``-list persist
     contract (``ngram_jaccard_pairs``, ``minhash_lsh_pairs``,
-    ``set_similarity_join``, ...): yields the list to pass as
-    ``cleanup=`` and unpersists everything in it on exit, including
-    when the consumer raises (e.g. a CC non-convergence RuntimeError)
-    — a bare post-hoc unpersist loop strands the corpus-sized index
-    in cache for the session exactly when something went wrong.
+    ``set_similarity_join``, ``triangle_counts``, ...): yields a
+    fresh list to pass as ``cleanup=`` and unpersists everything in
+    it on exit, including when the consumer raises (e.g. a CC
+    non-convergence RuntimeError) — a bare post-hoc unpersist loop
+    strands the corpus-sized index in cache for the session exactly
+    when something went wrong.
     ``tests/helpers.py:collect_with_cleanup`` is the test-side twin.
     """
-    cleanup = [] if cleanup is None else cleanup
+    cleanup: list = []
     try:
         yield cleanup
     finally:
