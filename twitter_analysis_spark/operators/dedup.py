@@ -354,11 +354,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     to the shared inverted index, so signatures, candidates and
     verification all see the same capped shingle sets.
 
-    ``cleanup``: optional list the two internally persisted DataFrames
-    (shingle index, candidate pairs) are appended to; the caller can
-    ``unpersist()`` them once the result is materialized. Without it,
-    repeated calls in a long-lived session accumulate cached storage
-    (bench clears via ``spark.catalog.clearCache()``).
+    ``cleanup``: optional list the four internally persisted
+    DataFrames (shingle index, banded keys, candidate pairs, pruned
+    verify set) are appended to; the caller can ``unpersist()`` them
+    once the result is materialized — ``released()`` does it
+    exception-safely. Without it, repeated calls in a long-lived
+    session accumulate cached storage (bench clears via
+    ``spark.catalog.clearCache()``).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -434,8 +436,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .unionByName(cand.select(F.col("id2").alias("doc")))
         .distinct()
     )
-    exact = _jaccard_pairs_from(ds.join(cand_docs, "doc", "left_semi"),
-                                threshold)
+    # The pruned verify set is _jaccard_pairs_from's input, which it
+    # consumes on three plan branches; unpersisted, the semi-join and
+    # set-size aggregations each re-prune over the cached index
+    # (measured ~20% of pipeline wall clock at sf0.1). Same release
+    # contract as the other three persists above.
+    pruned = ds.join(cand_docs, "doc", "left_semi").persist()
+    if cleanup is not None:
+        cleanup.append(pruned)
+    exact = _jaccard_pairs_from(pruned, threshold)
     # Keep only verified-above-threshold candidate pairs.
     return exact.join(cand, ["id1", "id2"], "left_semi")
 
