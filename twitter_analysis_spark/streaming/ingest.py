@@ -717,8 +717,18 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
             .join(partners, "doc_id", "left_semi"))
         vdocs = batch_df.select("doc_id", "text").unionByName(
             corpus_part.select("doc_id", "text"))
+        # Persisted: _jaccard_pairs_from consumes its input on three
+        # plan branches, and the expensive subtree here is the
+        # corpus-partner read (semi-joined corpus scan) — unpersisted
+        # it re-ran per branch, tripling the drain's only
+        # partner-proportional term. At sf0.1 the drains are fixed
+        # stage overhead and the sweep could not separate this from
+        # box drift (same verdict as the banded-recompute A/B note
+        # below); kept on the structural argument — at deploy scale
+        # the partner read is the term that grows. Released with the
+        # batch's other persists below.
         vset = doc_shingle_pairs(vdocs, "doc_id", "text", n,
-                                 max_shingle_df=None)
+                                 max_shingle_df=None).persist()
         pair_keys = cand.select(
             F.least("bdoc", "pdoc").alias("id1"),
             F.greatest("bdoc", "pdoc").alias("id2")).distinct()
@@ -763,7 +773,7 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
         # where signature CPU could dominate exchange overhead.
         _replace_batch_partition(banded_of(new_docs), band_index_path,
                                  token)
-        for d in (new_docs, cand, banded, batch_df):
+        for d in (new_docs, vset, cand, banded, batch_df):
             d.unpersist()
         if marker:
             fsmeta.touch(marker)              # recompute-skip fast path
