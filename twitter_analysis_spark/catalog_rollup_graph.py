@@ -615,14 +615,21 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     occ = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
     occ = occ.persist()
-    sketch = _sk.cms_build(occ, "token")
-    exact = (occ.groupBy("token")
-             .agg(F.count(F.lit(1)).alias("exact_cnt"))
-             .orderBy(F.desc("exact_cnt"), F.asc("token")).limit(30))
-    est = _sk.cms_estimate(sketch, exact.select("token"), "token")
-    out = exact.join(est, "token")
-    occ.unpersist()
-    return out
+    try:
+        sketch = _sk.cms_build(occ, "token")
+        exact = (occ.groupBy("token")
+                 .agg(F.count(F.lit(1)).alias("exact_cnt"))
+                 .orderBy(F.desc("exact_cnt"), F.asc("token")).limit(30))
+        est = _sk.cms_estimate(sketch, exact.select("token"), "token")
+        # Materialize the 30-row result BEFORE releasing occ: the
+        # plan reads the token stream on three branches (sketch,
+        # exact, probe), and the previous unpersist-then-return
+        # ordering dropped the cache before the caller's action ever
+        # ran — the persist helped nothing and every branch re-ran
+        # the explode.
+        return exact.join(est, "token").localCheckpoint()
+    finally:
+        occ.unpersist()
 
 
 ORACLE_PMI = f"""

@@ -854,27 +854,29 @@ def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: p != "")
     occ = docs.select(F.explode(phrases_col).alias("phrase"))
     occ = occ.persist()
-    occw = occ.select(
+    # exception-safe release: the 20-row result materializes inside
+    # the try, the persisted phrase-occurrence frame drops either way
+    try:
+        occw = occ.select(
         "phrase", F.size(F.split("phrase", " ")).alias("plen"),
-        F.explode(F.split("phrase", " ")).alias("w"))
-    ws = occw.groupBy("w").agg(F.count(F.lit(1)).alias("freq"),
-                               F.sum("plen").alias("deg"))
-    ptypes = occ.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
-    pw = ptypes.select("phrase", "n_occ",
-                       F.explode(F.split("phrase", " ")).alias("w"))
-    out = (pw.join(maybe_broadcast(ws), "w")
-           .groupBy("phrase")
-           .agg(F.any_value("n_occ").alias("n_occ"),
-                F.sum("deg").cast("bigint").alias("deg_sum"),
-                F.sum("freq").cast("bigint").alias("freq_sum"))
-           .orderBy(F.desc("deg_sum"), F.desc("freq_sum"), F.asc("phrase"))
-           .limit(20)
-           # materialize the 20-row result, then release the persisted
-           # phrase-occurrence frame — it must not outlive the query
-           # in a long-lived session.
-           .localCheckpoint())
-    occ.unpersist()
-    return out
+            F.explode(F.split("phrase", " ")).alias("w"))
+        ws = occw.groupBy("w").agg(F.count(F.lit(1)).alias("freq"),
+                                   F.sum("plen").alias("deg"))
+        ptypes = occ.groupBy("phrase").agg(
+            F.count(F.lit(1)).alias("n_occ"))
+        pw = ptypes.select("phrase", "n_occ",
+                           F.explode(F.split("phrase", " ")).alias("w"))
+        return (pw.join(maybe_broadcast(ws), "w")
+                .groupBy("phrase")
+                .agg(F.any_value("n_occ").alias("n_occ"),
+                     F.sum("deg").cast("bigint").alias("deg_sum"),
+                     F.sum("freq").cast("bigint").alias("freq_sum"))
+                .orderBy(F.desc("deg_sum"), F.desc("freq_sum"),
+                         F.asc("phrase"))
+                .limit(20)
+                .localCheckpoint())
+    finally:
+        occ.unpersist()
 
 
 @register(
