@@ -711,42 +711,49 @@ def connected_components(pairs: DataFrame, id1: str = "id1",
     edges = (edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct().persist())
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint())
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src").agg(F.min("label").alias("nbr_min"))
-        )
-        # The convergence check rides the checkpoint job: the old
-        # label is already in this round's plan, so an observe node
-        # counts label changes WHILE the new table materializes — no
-        # separate compare-join action per round (F.count, not sum:
-        # count is 0 on an empty label table, where a null sum would
-        # read as "not converged" forever).
-        obs = Observation()
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select("node", F.col("label").alias("_old"),
-                    F.least("label", F.coalesce("nbr_min", "label"))
-                    .alias("label"))
-            .observe(obs, F.count(
-                F.when(F.col("label") != F.col("_old"), 1))
-                .alias("n_changed"))
-            .select("node", "label")
-            .localCheckpoint()
-        )
-        labels = new_labels
-        if obs.get["n_changed"] == 0:
-            break
-    else:
+    try:
+        labels = (edges.select(F.col("src").alias("node")).distinct()
+                  .withColumn("label", F.col("node")).localCheckpoint())
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src").agg(F.min("label").alias("nbr_min"))
+            )
+            # The convergence check rides the checkpoint job: the old
+            # label is already in this round's plan, so an observe
+            # node counts label changes WHILE the new table
+            # materializes — no separate compare-join action per
+            # round (F.count, not sum: count is 0 on an empty label
+            # table, where a null sum would read as "not converged"
+            # forever).
+            obs = Observation()
+            new_labels = (
+                labels.join(nbr_min, labels["node"] == nbr_min["src"],
+                            "left")
+                .select("node", F.col("label").alias("_old"),
+                        F.least("label", F.coalesce("nbr_min", "label"))
+                        .alias("label"))
+                .observe(obs, F.count(
+                    F.when(F.col("label") != F.col("_old"), 1))
+                    .alias("n_changed"))
+                .select("node", "label")
+                .localCheckpoint()
+            )
+            labels = new_labels
+            if obs.get["n_changed"] == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} "
+                "rounds (graph diameter exceeds max_iter — raise it, "
+                "or use connected_components_star, whose round count "
+                "is O(log n))")
+        return labels.select(F.col("node"),
+                             F.col("label").alias("cluster"))
+    finally:
+        # normal exit, non-convergence raise, or a failed round — the
+        # symmetrized edge cache never outlives the call
         edges.unpersist()
-        raise RuntimeError(
-            f"connected_components: no convergence in {max_iter} rounds "
-            "(graph diameter exceeds max_iter — raise it, or use "
-            "connected_components_star, whose round count is O(log n))")
-    edges.unpersist()
-    return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
 def keep_one_per_cluster(df: DataFrame, pairs: DataFrame,
@@ -960,26 +967,33 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
     _SIG_METRICS = (F.count(F.lit(1)).alias("n"),
                     F.expr("bit_xor(xxhash64(u, v))").alias("h"))
 
-    r = e.agg(*_SIG_METRICS).first()
-    sig = (r["n"], r["h"])
-    for _ in range(max_iter):
-        obs = Observation()
-        new_e = (_sym(_star(_star(e, large=True), large=False))
-                 .observe(obs, *_SIG_METRICS)
-                 .localCheckpoint())
-        got = obs.get
-        new_sig = (got["n"], got["h"])
+    try:
+        r = e.agg(*_SIG_METRICS).first()
+        sig = (r["n"], r["h"])
+        for _ in range(max_iter):
+            obs = Observation()
+            new_e = (_sym(_star(_star(e, large=True), large=False))
+                     .observe(obs, *_SIG_METRICS)
+                     .localCheckpoint())
+            got = obs.get
+            new_sig = (got["n"], got["h"])
+            e.unpersist()
+            e = new_e.persist()
+            if new_sig == sig:
+                break
+            sig = new_sig
+        else:
+            raise RuntimeError(
+                f"connected_components_star: no convergence in "
+                f"{max_iter} rounds (theoretical bound ~2 log n — the "
+                "input edge list is pathological or max_iter is set "
+                "too low)")
+    except BaseException:
+        # a failed round (or the non-convergence raise) must not
+        # strand the current round's edge cache; the success path
+        # releases it after materializing the result below
         e.unpersist()
-        e = new_e.persist()
-        if new_sig == sig:
-            break
-        sig = new_sig
-    else:
-        e.unpersist()
-        raise RuntimeError(
-            f"connected_components_star: no convergence in {max_iter} "
-            "rounds (theoretical bound ~2 log n — the input edge list "
-            "is pathological or max_iter is set too low)")
+        raise
     # Materialize the (|V|-sized) result and release the persisted
     # edge set now — the lazy form left the FINAL round's |E|-sized
     # cache registered for the life of the session on every bare

@@ -107,30 +107,36 @@ def pagerank_exact(edges: DataFrame, iters: int = 6) -> DataFrame:
 
     # Eager localCheckpoint: materializes AND truncates the plan to a
     # leaf, so iteration i's plan does not nest iteration i-1's twice.
-    ranks = nd.select("node", "out_deg",
-                      F.lit(SCALE // n).alias("rank_q")) \
-        .localCheckpoint()
-    for _ in range(iters):
-        contrib = (
-            ranks.where(F.col("out_deg").isNotNull())
-            .join(ed, ranks.node == ed.src)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.expr("rank_q DIV out_deg")).alias("contrib_q")))
-        dang = (ranks.where(F.col("out_deg").isNull())
-                .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).alias("dang_q")))
-        ranks = (
-            nd.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang))  # one-row frame: safe hint
-            .select(
-                "node", "out_deg",
-                (F.lit(teleport)
-                 + F.expr(f"({DAMP_NUM} * (coalesce(contrib_q, 0L)"
-                          f" + dang_q DIV {n})) DIV {DAMP_DEN}"))
-                .alias("rank_q"))
-            .localCheckpoint())
-    ed.unpersist()
-    nd.unpersist()
-    return ranks.select("node", "rank_q")
+    try:
+        ranks = nd.select("node", "out_deg",
+                          F.lit(SCALE // n).alias("rank_q")) \
+            .localCheckpoint()
+        for _ in range(iters):
+            contrib = (
+                ranks.where(F.col("out_deg").isNotNull())
+                .join(ed, ranks.node == ed.src)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.expr("rank_q DIV out_deg"))
+                     .alias("contrib_q")))
+            dang = (ranks.where(F.col("out_deg").isNull())
+                    .agg(F.coalesce(F.sum("rank_q"), F.lit(0))
+                         .alias("dang_q")))
+            ranks = (
+                nd.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dang))  # one-row frame: safe
+                .select(
+                    "node", "out_deg",
+                    (F.lit(teleport)
+                     + F.expr(f"({DAMP_NUM} * (coalesce(contrib_q, 0L)"
+                              f" + dang_q DIV {n})) DIV {DAMP_DEN}"))
+                    .alias("rank_q"))
+                .localCheckpoint())
+        return ranks.select("node", "rank_q")
+    finally:
+        # also on a failed iteration — a raising checkpoint must not
+        # strand the |E|-sized edge cache for the session
+        ed.unpersist()
+        nd.unpersist()
 
 
 def triangle_counts(edges: DataFrame,
@@ -237,21 +243,26 @@ def bfs_khop(edges: DataFrame, source: int, max_hops: int) -> DataFrame:
            .union(edges.select(F.col("dst").alias("a"),
                                F.col("src").alias("b")))
            .distinct().persist())
-    reached = sess.createDataFrame([(source, 0)], "node LONG, depth INT") \
-        .localCheckpoint()
-    for d in range(1, max_hops + 1):
-        frontier = reached.where(F.col("depth") == d - 1).select("node")
-        nxt = (frontier.join(und, frontier["node"] == und["a"])
-               .select(F.col("b").alias("node")).distinct()
-               .join(reached, "node", "left_anti")
-               .withColumn("depth", F.lit(d)))
-        obs = Observation()
-        # The checkpointed union no longer references the previous
-        # round's blocks, and it is the round's ONLY materialization.
-        reached = (reached.unionByName(
-            nxt.observe(obs, F.count(F.lit(1)).alias("n_new")))
-            .localCheckpoint())
-        if obs.get["n_new"] == 0:
-            break
-    und.unpersist()
-    return reached
+    try:
+        reached = sess.createDataFrame([(source, 0)],
+                                       "node LONG, depth INT") \
+            .localCheckpoint()
+        for d in range(1, max_hops + 1):
+            frontier = reached.where(F.col("depth") == d - 1) \
+                .select("node")
+            nxt = (frontier.join(und, frontier["node"] == und["a"])
+                   .select(F.col("b").alias("node")).distinct()
+                   .join(reached, "node", "left_anti")
+                   .withColumn("depth", F.lit(d)))
+            obs = Observation()
+            # The checkpointed union no longer references the previous
+            # round's blocks, and it is the round's ONLY
+            # materialization.
+            reached = (reached.unionByName(
+                nxt.observe(obs, F.count(F.lit(1)).alias("n_new")))
+                .localCheckpoint())
+            if obs.get["n_new"] == 0:
+                break
+        return reached
+    finally:
+        und.unpersist()
