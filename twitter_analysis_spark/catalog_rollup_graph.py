@@ -613,23 +613,24 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import tokens as _tokens
 
     docs = _t(spark, sf_dir, "documents")
-    occ = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
-    occ = occ.persist()
-    try:
-        sketch = _sk.cms_build(occ, "token")
-        exact = (occ.groupBy("token")
-                 .agg(F.count(F.lit(1)).alias("exact_cnt"))
-                 .orderBy(F.desc("exact_cnt"), F.asc("token")).limit(30))
-        est = _sk.cms_estimate(sketch, exact.select("token"), "token")
-        # Materialize the 30-row result BEFORE releasing occ: the
-        # plan reads the token stream on three branches (sketch,
-        # exact, probe), and the previous unpersist-then-return
-        # ordering dropped the cache before the caller's action ever
-        # ran — the persist helped nothing and every branch re-ran
-        # the explode.
-        return exact.join(est, "token").localCheckpoint()
-    finally:
-        occ.unpersist()
+    # Persisted with NO unpersist, like the cap-pinned jaccard rows:
+    # this row is plan-pinned (the probe's BroadcastHashJoin), so the
+    # result must stay LAZY — an eager checkpoint collapses the plan
+    # to an RDD leaf and reds the pin. The previous
+    # unpersist-before-return ordering was strictly worse: it dropped
+    # the cache before the caller's action, so all three branches
+    # (sketch, exact top-30, probe) re-ran the explode AND the frame
+    # still showed as "cached" in the UI until then. Leak contract as
+    # documented on ngram_jaccard_pairs (bench clears per row; a
+    # sweep session's driver exits).
+    occ = docs.select(F.explode(_tokens(F.col("text"))).alias("token")) \
+        .persist()
+    sketch = _sk.cms_build(occ, "token")
+    exact = (occ.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), F.asc("token")).limit(30))
+    est = _sk.cms_estimate(sketch, exact.select("token"), "token")
+    return exact.join(est, "token")
 
 
 ORACLE_PMI = f"""

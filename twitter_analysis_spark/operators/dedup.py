@@ -988,23 +988,21 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
                 f"{max_iter} rounds (theoretical bound ~2 log n — the "
                 "input edge list is pathological or max_iter is set "
                 "too low)")
-    except BaseException:
-        # a failed round (or the non-convergence raise) must not
-        # strand the current round's edge cache; the success path
-        # releases it after materializing the result below
+        # Materialize the (|V|-sized) result inside the protected
+        # region — the lazy form left the FINAL round's |E|-sized
+        # cache registered for the session on every bare call
+        # (triangle_counts' no-cleanup contract; the labels table
+        # min-label returns is already a checkpoint leaf), and a
+        # failure of THIS checkpoint job must release it too.
+        return (e.groupBy("u").agg(F.min("v").alias("_mn"))
+                .select(F.col("u").alias("node"),
+                        F.least("_mn", F.col("u")).alias("cluster"))
+                .localCheckpoint())
+    finally:
+        # whichever round's edge cache is current: success, a failed
+        # round, the non-convergence raise, or the final
+        # materialization failing
         e.unpersist()
-        raise
-    # Materialize the (|V|-sized) result and release the persisted
-    # edge set now — the lazy form left the FINAL round's |E|-sized
-    # cache registered for the life of the session on every bare
-    # call (triangle_counts' no-cleanup contract; the labels table
-    # min-label returns is already a checkpoint leaf).
-    out = (e.groupBy("u").agg(F.min("v").alias("_mn"))
-           .select(F.col("u").alias("node"),
-                   F.least("_mn", F.col("u")).alias("cluster"))
-           .localCheckpoint())
-    e.unpersist()
-    return out
 
 
 def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",

@@ -102,12 +102,13 @@ def pagerank_exact(edges: DataFrame, iters: int = 6) -> DataFrame:
     nd = (nodes.join(deg, nodes.node == deg.src, "left")
           .select("node", "out_deg").persist())
     ed = edges.repartition("src").persist()
-    n = nd.count()  # bounded driver scalar (a single long)
-    teleport = (15 * SCALE) // (100 * n)
-
     # Eager localCheckpoint: materializes AND truncates the plan to a
     # leaf, so iteration i's plan does not nest iteration i-1's twice.
+    # The try opens BEFORE the first action (nd.count) — a failure
+    # there must release the caches too.
     try:
+        n = nd.count()  # bounded driver scalar (a single long)
+        teleport = (15 * SCALE) // (100 * n)
         ranks = nd.select("node", "out_deg",
                           F.lit(SCALE // n).alias("rank_q")) \
             .localCheckpoint()

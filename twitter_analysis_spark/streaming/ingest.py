@@ -620,8 +620,8 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     loss (corpus partition without its band-index partition) needs
     :func:`reconcile_replace_by_batch` before the re-drain.
     """
-    from ..operators.dedup import (_jaccard_pairs_from, _signatures_from,
-                                   doc_shingle_pairs)
+    from ..operators.dedup import (_signatures_from, doc_shingle_pairs,
+                                   ngram_jaccard_pairs)
 
     r = num_hashes // bands
     assert num_hashes % bands == 0
@@ -677,106 +677,119 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
         marker = _marker(checkpoint, "__ingest_batches", token)
         if marker and fsmeta.exists(marker):  # re-delivered after crash
             return
-        batch_df = batch_df.persist()
-        banded = banded_of(batch_df).persist()
-        index = _read_excluding_batch(spark, band_index_path, token,
-                                      _empty_band_index(spark))
+        # Every per-batch persist registers in `held` and is released
+        # in the finally: a failed verify job or batch write must not
+        # leak five cached frames per retry in a long-lived session.
+        held: list = []
 
-        # candidate pairs, normalized to (batch doc, partner doc).
-        # The early .distinct() on each branch is deliberate: a pair
-        # colliding in k <= 8 bands arrives k times, and cand feeds
-        # THREE consumers (partners, pair_keys, dropped) — deduping
-        # once at the source keeps the k-fold inflation out of all
-        # three (a round-8 A/B of removing these was inconclusive
-        # under box drift; the dedup-at-source shape is kept on the
-        # fan-out argument).
-        vs_corpus = (
-            banded.alias("b")
-            .join(index.alias("i"), ["band", "bh"])
-            .select(F.col("b.doc").alias("bdoc"),
-                    F.col("i.doc").alias("pdoc"))
-            .distinct())
-        in_batch = (
-            banded.alias("l").join(banded.alias("r"), ["band", "bh"])
-            .where(F.col("l.doc") > F.col("r.doc"))
-            .select(F.col("l.doc").alias("bdoc"),
-                    F.col("r.doc").alias("pdoc"))
-            .distinct())
-        cand = vs_corpus.unionByName(in_batch).persist()
+        def hold(df):
+            df = df.persist()
+            held.append(df)
+            return df
 
-        # exact-Jaccard verify over batch docs + candidate partners
-        # only (uncapped shingle sets: band collision is the recall
-        # device, the verify is the truth)
-        partners = cand.select(F.col("pdoc").alias("doc_id")).distinct()
-        # partner ids come from the (self-excluded) index, so they
-        # never name the current batch's own partial first-attempt
-        # rows; reading the corpus whole is therefore replay-safe
-        corpus_part = (
-            _read_batched(spark, corpus_path, batch_df.limit(0))
-            .select("doc_id", "text")
-            .join(partners, "doc_id", "left_semi"))
-        vdocs = batch_df.select("doc_id", "text").unionByName(
-            corpus_part.select("doc_id", "text"))
-        # Persisted: _jaccard_pairs_from consumes its input on three
-        # plan branches, and the expensive subtree here is the
-        # corpus-partner read (semi-joined corpus scan) — unpersisted
-        # it re-ran per branch, tripling the drain's only
-        # partner-proportional term. At sf0.1 the drains are fixed
-        # stage overhead and the sweep could not separate this from
-        # box drift (same verdict as the banded-recompute A/B note
-        # below); kept on the structural argument — at deploy scale
-        # the partner read is the term that grows. Released with the
-        # batch's other persists below.
-        vset = doc_shingle_pairs(vdocs, "doc_id", "text", n,
-                                 max_shingle_df=None).persist()
-        pair_keys = cand.select(
-            F.least("bdoc", "pdoc").alias("id1"),
-            F.greatest("bdoc", "pdoc").alias("id2")).distinct()
-        verified = (_jaccard_pairs_from(vset, threshold)
-                    .join(pair_keys, ["id1", "id2"], "left_semi"))
-        dropped = (
-            cand.select("bdoc",
-                        F.least("bdoc", "pdoc").alias("id1"),
-                        F.greatest("bdoc", "pdoc").alias("id2"))
-            .join(verified.select("id1", "id2"), ["id1", "id2"],
-                  "left_semi")
-            .select(F.col("bdoc").alias("doc_id")).distinct())
-        # Replay identity guard: after CHECKPOINT LOSS the whole drop
-        # redelivers as batch 0 of a NEW lineage with the markers
-        # gone, and the verify path would re-append every replayed
-        # doc (pair generation is id1 < id2, so a doc never
-        # Jaccard-matches itself). But a replayed doc X's index rows
-        # live in the OLD lineage's partitions — which the new
-        # lineage's self-excluded read keeps visible — so X collides
-        # with its own rows in every band and the bdoc == pdoc
-        # candidates already name exactly the replayed ids — doc_ids
-        # are globally unique by this function's contract, same id =
-        # same doc, drop without verification. Zero extra index
-        # contact: the probe join already ran. (Within a lineage, a
-        # TORN batch's own partial rows are instead invisible to its
-        # re-run and get overwritten — replace-by-batch.)
-        replayed = (cand.where(F.col("bdoc") == F.col("pdoc"))
-                    .select(F.col("bdoc").alias("doc_id")).distinct())
+        try:
+            batch_df = hold(batch_df)
+            banded = hold(banded_of(batch_df))
+            index = _read_excluding_batch(spark, band_index_path, token,
+                                          _empty_band_index(spark))
 
-        new_docs = (batch_df
-                    .join(dropped, "doc_id", "left_anti")
-                    .join(replayed, "doc_id", "left_anti")
-                    .persist())
-        _replace_batch_partition(new_docs, corpus_path, token)
-        # Recomputing the survivors' band rows looks wasteful next to
-        # a semi-join against the persisted `banded`; a round-8 A/B
-        # could not separate the variants from box noise (drain cost
-        # at sf0.1 is fixed stage overhead either way, and the box
-        # drifts ~1.3x within an hour). Kept as the recompute: one
-        # fewer exchange pair, and the map-side shingle+hash is
-        # batch-proportional. Revisit with cluster-scale batches
-        # where signature CPU could dominate exchange overhead.
-        _replace_batch_partition(banded_of(new_docs), band_index_path,
-                                 token)
-        for d in (new_docs, vset, cand, banded, batch_df):
-            d.unpersist()
-        if marker:
-            fsmeta.touch(marker)              # recompute-skip fast path
+            # candidate pairs, normalized to (batch doc, partner doc).
+            # The early .distinct() on each branch is deliberate: a pair
+            # colliding in k <= 8 bands arrives k times, and cand feeds
+            # THREE consumers (partners, pair_keys, dropped) — deduping
+            # once at the source keeps the k-fold inflation out of all
+            # three (a round-8 A/B of removing these was inconclusive
+            # under box drift; the dedup-at-source shape is kept on the
+            # fan-out argument).
+            vs_corpus = (
+                banded.alias("b")
+                .join(index.alias("i"), ["band", "bh"])
+                .select(F.col("b.doc").alias("bdoc"),
+                        F.col("i.doc").alias("pdoc"))
+                .distinct())
+            in_batch = (
+                banded.alias("l").join(banded.alias("r"), ["band", "bh"])
+                .where(F.col("l.doc") > F.col("r.doc"))
+                .select(F.col("l.doc").alias("bdoc"),
+                        F.col("r.doc").alias("pdoc"))
+                .distinct())
+            cand = hold(vs_corpus.unionByName(in_batch))
+
+            # exact-Jaccard verify over batch docs + candidate partners
+            # only (uncapped shingle sets: band collision is the recall
+            # device, the verify is the truth)
+            partners = cand.select(F.col("pdoc").alias("doc_id")).distinct()
+            # partner ids come from the (self-excluded) index, so they
+            # never name the current batch's own partial first-attempt
+            # rows; reading the corpus whole is therefore replay-safe
+            corpus_part = (
+                _read_batched(spark, corpus_path, batch_df.limit(0))
+                .select("doc_id", "text")
+                .join(partners, "doc_id", "left_semi"))
+            vdocs = batch_df.select("doc_id", "text").unionByName(
+                corpus_part.select("doc_id", "text"))
+            pair_keys = cand.select(
+                F.least("bdoc", "pdoc").alias("id1"),
+                F.greatest("bdoc", "pdoc").alias("id2")).distinct()
+            # The public pairs operator, uncapped (band collision is the
+            # recall device, the verify is the truth). Its internal
+            # shingle-index persist matters here: the index's expensive
+            # subtree is the corpus-partner read (semi-joined corpus
+            # scan), which the three verify branches would otherwise each
+            # re-run — the drain's only partner-proportional term,
+            # tripled. At sf0.1 the drains are fixed stage overhead and
+            # the sweep could not separate this from box drift (same
+            # verdict as the banded-recompute A/B note below); kept on
+            # the structural argument — at deploy scale the partner read
+            # is the term that grows.
+            verified = (ngram_jaccard_pairs(vdocs, "doc_id", "text", n=n,
+                                            threshold=threshold,
+                                            max_shingle_df=None,
+                                            cleanup=held)
+                        .join(pair_keys, ["id1", "id2"], "left_semi"))
+            dropped = (
+                cand.select("bdoc",
+                            F.least("bdoc", "pdoc").alias("id1"),
+                            F.greatest("bdoc", "pdoc").alias("id2"))
+                .join(verified.select("id1", "id2"), ["id1", "id2"],
+                      "left_semi")
+                .select(F.col("bdoc").alias("doc_id")).distinct())
+            # Replay identity guard: after CHECKPOINT LOSS the whole drop
+            # redelivers as batch 0 of a NEW lineage with the markers
+            # gone, and the verify path would re-append every replayed
+            # doc (pair generation is id1 < id2, so a doc never
+            # Jaccard-matches itself). But a replayed doc X's index rows
+            # live in the OLD lineage's partitions — which the new
+            # lineage's self-excluded read keeps visible — so X collides
+            # with its own rows in every band and the bdoc == pdoc
+            # candidates already name exactly the replayed ids — doc_ids
+            # are globally unique by this function's contract, same id =
+            # same doc, drop without verification. Zero extra index
+            # contact: the probe join already ran. (Within a lineage, a
+            # TORN batch's own partial rows are instead invisible to its
+            # re-run and get overwritten — replace-by-batch.)
+            replayed = (cand.where(F.col("bdoc") == F.col("pdoc"))
+                        .select(F.col("bdoc").alias("doc_id")).distinct())
+
+            new_docs = hold(batch_df
+                            .join(dropped, "doc_id", "left_anti")
+                            .join(replayed, "doc_id", "left_anti"))
+            _replace_batch_partition(new_docs, corpus_path, token)
+            # Recomputing the survivors' band rows looks wasteful next to
+            # a semi-join against the persisted `banded`; a round-8 A/B
+            # could not separate the variants from box noise (drain cost
+            # at sf0.1 is fixed stage overhead either way, and the box
+            # drifts ~1.3x within an hour). Kept as the recompute: one
+            # fewer exchange pair, and the map-side shingle+hash is
+            # batch-proportional. Revisit with cluster-scale batches
+            # where signature CPU could dominate exchange overhead.
+            _replace_batch_partition(banded_of(new_docs), band_index_path,
+                                     token)
+            if marker:
+                fsmeta.touch(marker)              # recompute-skip fast path
+        finally:
+            for d in held:
+                d.unpersist()
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
