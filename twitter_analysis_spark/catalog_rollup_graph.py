@@ -615,12 +615,11 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # Persisted with NO unpersist, like the cap-pinned jaccard rows:
     # this row is plan-pinned (the probe's BroadcastHashJoin), so the
-    # result must stay LAZY — an eager checkpoint collapses the plan
-    # to an RDD leaf and reds the pin. The previous
-    # unpersist-before-return ordering was strictly worse: it dropped
-    # the cache before the caller's action, so all three branches
-    # (sketch, exact top-30, probe) re-ran the explode AND the frame
-    # still showed as "cached" in the UI until then. Leak contract as
+    # result must stay LAZY — the leak-free alternative (eager
+    # checkpoint + finally-release, fine for unpinned rows) collapses
+    # the plan to an RDD leaf and reds the pin. The cache is what
+    # keeps the three branches (sketch, exact top-30, probe) from
+    # each re-running the explode at evaluation. Leak contract as
     # documented on ngram_jaccard_pairs (bench clears per row; a
     # sweep session's driver exits).
     occ = docs.select(F.explode(_tokens(F.col("text"))).alias("token")) \

@@ -621,7 +621,7 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     :func:`reconcile_replace_by_batch` before the re-drain.
     """
     from ..operators.dedup import (_signatures_from, doc_shingle_pairs,
-                                   ngram_jaccard_pairs)
+                                   ngram_jaccard_pairs, released)
 
     r = num_hashes // bands
     assert num_hashes % bands == 0
@@ -677,17 +677,16 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
         marker = _marker(checkpoint, "__ingest_batches", token)
         if marker and fsmeta.exists(marker):  # re-delivered after crash
             return
-        # Every per-batch persist registers in `held` and is released
-        # in the finally: a failed verify job or batch write must not
-        # leak five cached frames per retry in a long-lived session.
-        held: list = []
+        # Every per-batch persist registers in `held` (the
+        # dedup.released() contract) and is dropped on exit: a failed
+        # verify job or batch write must not leak five cached frames
+        # per retry in a long-lived session.
+        with released() as held:
+            def hold(df):
+                df = df.persist()
+                held.append(df)
+                return df
 
-        def hold(df):
-            df = df.persist()
-            held.append(df)
-            return df
-
-        try:
             batch_df = hold(batch_df)
             banded = hold(banded_of(batch_df))
             index = _read_excluding_batch(spark, band_index_path, token,
@@ -787,9 +786,6 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                                      token)
             if marker:
                 fsmeta.touch(marker)              # recompute-skip fast path
-        finally:
-            for d in held:
-                d.unpersist()
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
