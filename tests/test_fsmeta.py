@@ -236,3 +236,26 @@ def test_batch_token_lenient_degrades_instead_of_failing(tmp_path, caplog):
     with open(os.path.join(ckpt2, "metadata"), "w") as f:
         json.dump({"id": "q-7"}, f)
     assert _batch_token_lenient(ckpt2, 2, {}) == "q-7_2"
+
+
+def test_streaming_entry_refuses_object_store_paths(spark, tmp_path):
+    """Integration slice of the seam: a drain pointed at an
+    object-store URI must die with the typed refusal SYNCHRONOUSLY
+    at entry (the sink layout check runs before the stream starts) —
+    not wrapped in STREAM_FAILED from the first micro-batch, and
+    never as a FileNotFoundError-shaped 'no batches yet' misread
+    deep inside the crash protocols."""
+    from twitter_analysis_spark.streaming.ingest import (
+        streaming_ingest_dedup)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "a.jsonl", "w") as f:
+        f.write('{"doc_id": 1, "text": "x"}\n')
+    with pytest.raises(fsmeta.UnsupportedFilesystemError,
+                       match="transactional format"):
+        streaming_ingest_dedup(
+            spark, str(drop),
+            corpus_path="s3://bucket/corpus",
+            index_path=str(tmp_path / "idx"),
+            checkpoint=str(tmp_path / "ckpt"))

@@ -512,6 +512,13 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
             "check the spelling: silently probing without this tier "
             "would re-ingest every document whose key it holds.")
 
+    # Entry-time sink validation: remote-store URIs and stale layouts
+    # fail HERE, synchronously, with the typed error — not wrapped in
+    # STREAM_FAILED from the first micro-batch. The same checks still
+    # run per batch inside the write/read helpers.
+    _check_batch_layout(corpus_path)
+    _check_batch_layout(index_path)
+
     stream = (
         spark.readStream.schema(schema)
         .option("mode", "PERMISSIVE")
@@ -662,6 +669,13 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                              F.lit(-1).alias("band"),
                              F.xxhash64(F.col("doc_id")).alias("bh"))
         return banded.unionByName(sentinel)
+
+    # Entry-time sink validation: remote-store URIs and stale layouts
+    # fail HERE, synchronously, with the typed error — not wrapped in
+    # STREAM_FAILED from the first micro-batch. The same checks still
+    # run per batch inside the write/read helpers.
+    _check_batch_layout(corpus_path)
+    _check_batch_layout(band_index_path)
 
     stream = (
         spark.readStream.schema(schema)
@@ -836,6 +850,13 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
     bench_sh, words = build_decontamination_filter(benchmark, "text", n)
     bench_sh = bench_sh.persist()
     bench_sh.count()                       # materialize once, up front
+
+    # Entry-time sink validation: remote-store URIs and stale layouts
+    # fail HERE, synchronously, with the typed error — not wrapped in
+    # STREAM_FAILED from the first micro-batch. The same checks still
+    # run per batch inside the write/read helpers.
+    _check_batch_layout(corpus_path)
+    _check_batch_layout(quarantine_path)
 
     stream = (
         spark.readStream.schema(schema)
