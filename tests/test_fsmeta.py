@@ -239,23 +239,57 @@ def test_batch_token_lenient_degrades_instead_of_failing(tmp_path, caplog):
 
 
 def test_streaming_entry_refuses_object_store_paths(spark, tmp_path):
-    """Integration slice of the seam: a drain pointed at an
+    """Integration slice of the seam: a pipeline pointed at an
     object-store URI must die with the typed refusal SYNCHRONOUSLY
-    at entry (the sink layout check runs before the stream starts) —
-    not wrapped in STREAM_FAILED from the first micro-batch, and
-    never as a FileNotFoundError-shaped 'no batches yet' misread
-    deep inside the crash protocols."""
+    at entry (before any stream start or benchmark job) — not
+    wrapped in STREAM_FAILED from the first micro-batch, and never
+    as a FileNotFoundError-shaped 'no batches yet' misread deep
+    inside the crash protocols. Covers all three pipelines, the
+    checkpoint argument, and the stale-layout ValueError (which must
+    also surface synchronously)."""
     from twitter_analysis_spark.streaming.ingest import (
-        streaming_ingest_dedup)
+        streaming_ingest_decontaminate, streaming_ingest_dedup,
+        streaming_ingest_neardup)
 
     drop = tmp_path / "drop"
     drop.mkdir()
     with open(drop / "a.jsonl", "w") as f:
         f.write('{"doc_id": 1, "text": "x"}\n')
+    ok = dict(index_path=str(tmp_path / "idx"),
+              checkpoint=str(tmp_path / "ckpt"))
     with pytest.raises(fsmeta.UnsupportedFilesystemError,
                        match="transactional format"):
-        streaming_ingest_dedup(
-            spark, str(drop),
-            corpus_path="s3://bucket/corpus",
-            index_path=str(tmp_path / "idx"),
-            checkpoint=str(tmp_path / "ckpt"))
+        streaming_ingest_dedup(spark, str(drop),
+                               corpus_path="s3://bucket/corpus", **ok)
+    with pytest.raises(fsmeta.UnsupportedFilesystemError):
+        streaming_ingest_dedup(spark, str(drop),
+                               corpus_path=str(tmp_path / "c"),
+                               index_path=str(tmp_path / "idx"),
+                               checkpoint="s3://bucket/ckpt")
+    with pytest.raises(fsmeta.UnsupportedFilesystemError):
+        streaming_ingest_neardup(
+            spark, str(drop), corpus_path=str(tmp_path / "c"),
+            band_index_path="gs://bucket/bands",
+            checkpoint=str(tmp_path / "ckpt2"))
+    # decontaminate validates BEFORE building the benchmark filter —
+    # a bad sink must not cost a benchmark job or strand its persist
+    n_cached_before = len(
+        spark.sparkContext._jsc.getPersistentRDDs())
+    bench = spark.createDataFrame([(1, "benchmark text")],
+                                  "doc_id LONG, text STRING")
+    with pytest.raises(fsmeta.UnsupportedFilesystemError):
+        streaming_ingest_decontaminate(
+            spark, str(drop), bench,
+            corpus_path="abfss://c@a.dfs.core.windows.net/corpus",
+            quarantine_path=str(tmp_path / "q"),
+            checkpoint=str(tmp_path / "ckpt3"))
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) \
+        == n_cached_before
+    # stale sink layout (flat parquet at the root) also raises at
+    # entry, before the stream starts
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    (legacy / "part-0000.parquet").touch()
+    with pytest.raises(ValueError, match="one-time migration"):
+        streaming_ingest_dedup(spark, str(drop),
+                               corpus_path=str(legacy), **ok)

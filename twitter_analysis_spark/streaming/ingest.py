@@ -124,6 +124,20 @@ def _check_batch_layout(path: str) -> None:
             ".write.partitionBy('_batch_id').parquet(new_path)")
 
 
+def _validate_entry_paths(sinks: tuple, checkpoint: str | None) -> None:
+    """Entry-time validation for a pipeline's driver-side paths:
+    remote-store URIs and stale sink layouts fail HERE, synchronously,
+    with the typed error — not wrapped in STREAM_FAILED /
+    FOREACH_BATCH_USER_FUNCTION_ERROR from the first micro-batch. The
+    same sink checks still run per batch inside the write/read
+    helpers; the checkpoint gets the fsmeta scheme guard only (its
+    internal layout belongs to Spark)."""
+    for p in sinks:
+        _check_batch_layout(p)
+    if checkpoint is not None:
+        fsmeta.exists(checkpoint)   # raises on remote-store URIs
+
+
 def _has_batches(path: str) -> bool:
     return fsmeta.isdir(path) and any(
         e.startswith("_batch_id=") for e in fsmeta.listdir(path))
@@ -512,12 +526,7 @@ def streaming_ingest_dedup(spark: SparkSession, drop_dir: str,
             "check the spelling: silently probing without this tier "
             "would re-ingest every document whose key it holds.")
 
-    # Entry-time sink validation: remote-store URIs and stale layouts
-    # fail HERE, synchronously, with the typed error — not wrapped in
-    # STREAM_FAILED from the first micro-batch. The same checks still
-    # run per batch inside the write/read helpers.
-    _check_batch_layout(corpus_path)
-    _check_batch_layout(index_path)
+    _validate_entry_paths((corpus_path, index_path), checkpoint)
 
     stream = (
         spark.readStream.schema(schema)
@@ -670,12 +679,7 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                              F.xxhash64(F.col("doc_id")).alias("bh"))
         return banded.unionByName(sentinel)
 
-    # Entry-time sink validation: remote-store URIs and stale layouts
-    # fail HERE, synchronously, with the typed error — not wrapped in
-    # STREAM_FAILED from the first micro-batch. The same checks still
-    # run per batch inside the write/read helpers.
-    _check_batch_layout(corpus_path)
-    _check_batch_layout(band_index_path)
+    _validate_entry_paths((corpus_path, band_index_path), checkpoint)
 
     stream = (
         spark.readStream.schema(schema)
@@ -847,16 +851,14 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
                                       decontaminate_probe)
 
 
+    # validate BEFORE the benchmark filter build: a bad sink path
+    # must not cost a full Spark job nor strand the persisted
+    # benchmark shingles
+    _validate_entry_paths((corpus_path, quarantine_path), checkpoint)
+
     bench_sh, words = build_decontamination_filter(benchmark, "text", n)
     bench_sh = bench_sh.persist()
     bench_sh.count()                       # materialize once, up front
-
-    # Entry-time sink validation: remote-store URIs and stale layouts
-    # fail HERE, synchronously, with the typed error — not wrapped in
-    # STREAM_FAILED from the first micro-batch. The same checks still
-    # run per batch inside the write/read helpers.
-    _check_batch_layout(corpus_path)
-    _check_batch_layout(quarantine_path)
 
     stream = (
         spark.readStream.schema(schema)
