@@ -293,3 +293,16 @@ def test_streaming_entry_refuses_object_store_paths(spark, tmp_path):
     with pytest.raises(ValueError, match="one-time migration"):
         streaming_ingest_dedup(spark, str(drop),
                                corpus_path=str(legacy), **ok)
+    # a file: URI checkpoint WORKS end-to-end: the token helper
+    # resolves it through the scheme gate to the same local path
+    # Spark uses, so the lineage read no longer dies as a wrapped
+    # FileNotFoundError at batch 0
+    streaming_ingest_dedup(
+        spark, str(drop),
+        corpus_path=str(tmp_path / "c2"),
+        index_path=str(tmp_path / "idx2"),
+        checkpoint=f"file://{tmp_path}/ckpt_uri")
+    import os as _os
+    assert _os.path.isdir(str(tmp_path / "ckpt_uri" / "__ingest_batches"))
+    out = spark.read.parquet(str(tmp_path / "c2"))
+    assert out.count() == 1

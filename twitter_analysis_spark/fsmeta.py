@@ -125,6 +125,18 @@ def _local(path: str) -> str:
         "assumption itself holds on rename-capable remote FSes).")
 
 
+def local_path(path: str) -> str:
+    """PUBLIC scheme gate: resolve ``path`` to the OS path the local
+    API will use, raising the typed refusal on remote-store URIs and
+    unwrapping ``file:`` forms. For callers that hand the path to
+    builtin ``open``/``os`` functions themselves (the streaming
+    token/marker helpers) — routing through this is the EXPLICIT
+    validation contract; relying on another fsmeta call's incidental
+    raise would silently stop validating if this module's
+    implementation were swapped for a remote-capable one."""
+    return _local(path)
+
+
 def listdir(path: str) -> list[str]:
     return os.listdir(_local(path))
 

@@ -71,7 +71,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fsmeta
-from ..operators.dedup import content_index, incremental_exact_dedup
+from ..operators.dedup import (content_index, incremental_exact_dedup,
+                               released)
 
 #: content_key dtype per hash family (xxhash64 → 8-byte long,
 #: md5/text → string).
@@ -135,7 +136,7 @@ def _validate_entry_paths(sinks: tuple, checkpoint: str | None) -> None:
     for p in sinks:
         _check_batch_layout(p)
     if checkpoint is not None:
-        fsmeta.exists(checkpoint)   # raises on remote-store URIs
+        fsmeta.local_path(checkpoint)   # the explicit scheme gate
 
 
 def _has_batches(path: str) -> bool:
@@ -177,6 +178,12 @@ def _batch_token(checkpoint: str | None, batch_id: int,
     local path Spark resolves it to."""
     if "lineage" not in cache:
         if checkpoint:
+            # Resolve through the explicit scheme gate: a file: URI
+            # unwraps to the same local path Spark resolves it to (so
+            # the metadata read just works), a remote-store URI
+            # raises the typed refusal instead of a misleading
+            # metadata-not-found error from builtin open().
+            checkpoint = fsmeta.local_path(checkpoint)
             meta = os.path.join(checkpoint, "metadata")
             if not fsmeta.exists(meta):
                 raise RuntimeError(
@@ -234,7 +241,7 @@ def _batch_token_lenient(checkpoint: str | None, batch_id: int,
     partitions must keep using the strict form."""
     try:
         return _batch_token(checkpoint, batch_id, cache)
-    except (RuntimeError, OSError) as exc:
+    except (RuntimeError, OSError, fsmeta.UnsupportedFilesystemError) as exc:
         if not cache.get("warned"):
             import logging
             logging.getLogger(__name__).warning(
@@ -261,7 +268,10 @@ def _marker(checkpoint: str | None, subdir: str, token) -> str | None:
         # every later batch of every drain silently skips, the exact
         # swallowed-batch class this module documents.
         return None
-    d = os.path.join(checkpoint, subdir)
+    # reached only with a resolvable token, so the checkpoint already
+    # passed _batch_token's scheme gate; unwrap file: forms the same
+    # way so the marker tree lands where the metadata was read
+    d = os.path.join(fsmeta.local_path(checkpoint), subdir)
     fsmeta.makedirs(d)
     return os.path.join(d, f"batch_{token}")
 
@@ -637,7 +647,7 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
     :func:`reconcile_replace_by_batch` before the re-drain.
     """
     from ..operators.dedup import (_signatures_from, doc_shingle_pairs,
-                                   ngram_jaccard_pairs, released)
+                                   ngram_jaccard_pairs)
 
     r = num_hashes // bands
     assert num_hashes % bands == 0
@@ -874,24 +884,30 @@ def streaming_ingest_decontaminate(spark: SparkSession, drop_dir: str,
         marker = _marker(checkpoint, "__decon_batches", token)
         if marker and fsmeta.exists(marker):  # re-delivered after crash
             return
-        batch = batch_df.persist()
-        hits = decontaminate_probe(batch, bench_sh, words,
-                                   "doc_id", "text", n).persist()
-        _replace_batch_partition(batch.join(hits, "doc_id"),
-                                 quarantine_path, token)
-        _replace_batch_partition(
-            batch.join(hits.select("doc_id"), "doc_id", "left_anti"),
-            corpus_path, token)
-        hits.unpersist()
-        batch.unpersist()
-        if marker:
-            fsmeta.touch(marker)              # recompute-skip fast path
+        with released() as held:
+            batch = batch_df.persist()
+            held.append(batch)
+            hits = decontaminate_probe(batch, bench_sh, words,
+                                       "doc_id", "text", n).persist()
+            held.append(hits)
+            _replace_batch_partition(batch.join(hits, "doc_id"),
+                                     quarantine_path, token)
+            _replace_batch_partition(
+                batch.join(hits.select("doc_id"), "doc_id",
+                           "left_anti"),
+                corpus_path, token)
+            if marker:
+                fsmeta.touch(marker)          # recompute-skip fast path
 
     writer = stream.writeStream.foreachBatch(ingest) \
         .trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
-    bench_sh.unpersist()
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        # a failed drain must not strand the materialized benchmark
+        # shingles in executor storage for the session
+        bench_sh.unpersist()
     return q
