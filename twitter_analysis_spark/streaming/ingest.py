@@ -169,22 +169,24 @@ def _batch_token(checkpoint: str | None, batch_id: int,
     ``<checkpoint>/metadata`` at query start, before the first
     ``foreachBatch`` call, so by the time this runs the file exists
     at the checkpoint's real location. If it is missing or
-    unparseable AT THE LITERAL PATH given (a ``file://`` URI, a
-    path Spark's Hadoop FS resolves differently than ``os.path``),
-    minting a one-off lineage would stamp this drain's partitions
-    with tokens the real lineage's replay never addresses — exactly
-    the stranded-partitions hazard the token exists to prevent — so
-    the drain fails loudly instead: pass the checkpoint as the plain
-    local path Spark resolves it to."""
+    unparseable AT THE RESOLVED PATH (``file:`` URIs unwrap through
+    ``fsmeta.local_path`` to the same local path Spark resolves;
+    remote-store URIs raise the typed refusal there), minting a
+    one-off lineage would stamp this drain's partitions with tokens
+    the real lineage's replay never addresses — exactly the
+    stranded-partitions hazard the token exists to prevent — so the
+    drain fails loudly instead."""
     if "lineage" not in cache:
         if checkpoint:
             # Resolve through the explicit scheme gate: a file: URI
             # unwraps to the same local path Spark resolves it to (so
             # the metadata read just works), a remote-store URI
             # raises the typed refusal instead of a misleading
-            # metadata-not-found error from builtin open().
-            checkpoint = fsmeta.local_path(checkpoint)
-            meta = os.path.join(checkpoint, "metadata")
+            # metadata-not-found error from builtin open(). The
+            # original form stays in the error messages — it is what
+            # the operator actually configured.
+            meta = os.path.join(fsmeta.local_path(checkpoint),
+                                "metadata")
             if not fsmeta.exists(meta):
                 raise RuntimeError(
                     f"streaming checkpoint metadata not found at "
@@ -192,7 +194,7 @@ def _batch_token(checkpoint: str | None, batch_id: int,
                     f"checkpointLocation={checkpoint!r}. Spark writes "
                     "it at query start, so the checkpoint path as "
                     "passed here does not resolve to the location "
-                    "Spark is using (file:// URI? relative path?). "
+                    "Spark is using (relative path? wrong mount?). "
                     "Refusing to mint a one-off lineage for a live "
                     "checkpoint — its partitions would be stranded "
                     "where the lineage's replay never overwrites "
@@ -233,15 +235,16 @@ def _batch_token_lenient(checkpoint: str | None, batch_id: int,
     None rather than minting a throwaway lineage matters: a fallback
     token would still create and stamp never-matching marker files
     at the LITERAL unresolvable path every drain — unbounded orphan
-    accumulation, and for a ``file://`` URI a bogus relative
-    ``file:/...`` tree under the driver cwd. OSError degrades here
+    accumulation. OSError degrades here
     too (a metadata file the driver cannot read is the same
     marker-only non-hazard), where the strict form deliberately
     propagates it. Pipelines that stamp the token into sink
     partitions must keep using the strict form."""
     try:
         return _batch_token(checkpoint, batch_id, cache)
-    except (RuntimeError, OSError, fsmeta.UnsupportedFilesystemError) as exc:
+    except (RuntimeError, OSError) as exc:
+        # (fsmeta.UnsupportedFilesystemError subclasses RuntimeError,
+        # so a remote-store checkpoint URI degrades here too)
         if not cache.get("warned"):
             import logging
             logging.getLogger(__name__).warning(

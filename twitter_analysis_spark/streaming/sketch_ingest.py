@@ -134,15 +134,19 @@ def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
             # minting a per-drain run id would flip the lineage guard
             # into rebuild-per-drain (transient undercounts) or a
             # spurious artifact-loss refusal one drain later.
-            meta = os.path.join(checkpoint, "metadata")
+            # the explicit scheme gate: file: URIs unwrap to the
+            # local path Spark resolves (so builtin open() below
+            # works), remote-store URIs raise typed instead of a
+            # misleading FileNotFoundError
+            meta = os.path.join(fsmeta.local_path(checkpoint),
+                                "metadata")
             if not fsmeta.exists(meta):
                 raise RuntimeError(
                     f"streaming checkpoint metadata not found at "
                     f"{meta!r} although checkpointLocation="
-                    f"{checkpoint!r} is in use (file:// URI? relative "
-                    "path?); refusing to mint a per-drain run id for "
-                    "a live checkpoint — pass the checkpoint as the "
-                    "plain local path Spark resolves it to.")
+                    f"{checkpoint!r} is in use (relative path? wrong "
+                    "mount?); refusing to mint a per-drain run id "
+                    "for a live checkpoint.")
             with open(meta) as fh:
                 rid = str(json.load(fh)["id"])
         run_cache["id"] = rid
