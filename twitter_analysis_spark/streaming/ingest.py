@@ -178,49 +178,50 @@ def _batch_token(checkpoint: str | None, batch_id: int,
     drain fails loudly instead."""
     if "lineage" not in cache:
         if checkpoint:
-            # Resolve through the explicit scheme gate: a file: URI
-            # unwraps to the same local path Spark resolves it to (so
-            # the metadata read just works), a remote-store URI
-            # raises the typed refusal instead of a misleading
-            # metadata-not-found error from builtin open(). The
-            # original form stays in the error messages — it is what
-            # the operator actually configured.
-            meta = os.path.join(fsmeta.local_path(checkpoint),
-                                "metadata")
-            if not fsmeta.exists(meta):
-                raise RuntimeError(
-                    f"streaming checkpoint metadata not found at "
-                    f"{meta!r} although the query is running with "
-                    f"checkpointLocation={checkpoint!r}. Spark writes "
-                    "it at query start, so the checkpoint path as "
-                    "passed here does not resolve to the location "
-                    "Spark is using (relative path? wrong mount?). "
-                    "Refusing to mint a one-off lineage for a live "
-                    "checkpoint — its partitions would be stranded "
-                    "where the lineage's replay never overwrites "
-                    "them. Pass the checkpoint as the plain local "
-                    "path Spark resolves it to.")
-            import json
-            try:
-                with open(meta) as fh:
-                    lineage = str(json.load(fh)["id"])
-            except (ValueError, KeyError, TypeError) as exc:
-                # Spark itself wrote (and can read) this file, so a
-                # parse failure here means we are reading a DIFFERENT
-                # file than Spark's metadata — same path-resolution
-                # hazard as the missing-file case, same loud refusal.
-                raise RuntimeError(
-                    f"streaming checkpoint metadata at {meta!r} is "
-                    f"not Spark query metadata ({exc!r}); the "
-                    "checkpoint path as passed here does not resolve "
-                    "to the location Spark is using. Refusing to "
-                    "mint a one-off lineage for a live checkpoint."
-                ) from exc
+            cache["lineage"] = read_checkpoint_lineage(checkpoint)
         else:
             import uuid
-            lineage = f"nockpt-{uuid.uuid4().hex}"
-        cache["lineage"] = lineage
+            cache["lineage"] = f"nockpt-{uuid.uuid4().hex}"
     return f"{cache['lineage']}_{int(batch_id)}"
+
+
+def read_checkpoint_lineage(checkpoint: str) -> str:
+    """The ONE checkpoint-lineage read (query id from
+    ``<checkpoint>/metadata``) shared by the replace-by-batch token
+    and sketch_ingest's run-id guard. Resolves the path through the
+    explicit scheme gate — a ``file:`` URI unwraps to the same local
+    path Spark resolves it to (so the builtin ``open`` works), a
+    remote-store URI raises the typed refusal instead of a misleading
+    metadata-not-found error. The operator's ORIGINAL form stays in
+    the error messages. Raises RuntimeError when the metadata is
+    missing or unparseable at the resolved path: Spark wrote (and can
+    read) that file at query start, so either case means we are not
+    looking where Spark is — and minting a fallback identity for a
+    live checkpoint is the stranded-state hazard the callers exist
+    to prevent."""
+    import json
+
+    meta = os.path.join(fsmeta.local_path(checkpoint), "metadata")
+    if not fsmeta.exists(meta):
+        raise RuntimeError(
+            f"streaming checkpoint metadata not found at {meta!r} "
+            f"although the query is running with checkpointLocation="
+            f"{checkpoint!r}. Spark writes it at query start, so the "
+            "checkpoint path as passed here does not resolve to the "
+            "location Spark is using (relative path? wrong mount?). "
+            "Refusing to mint a one-off identity for a live "
+            "checkpoint — its state would be stranded where the "
+            "lineage's replay never addresses it.")
+    try:
+        with open(meta) as fh:
+            return str(json.load(fh)["id"])
+    except (ValueError, KeyError, TypeError) as exc:
+        raise RuntimeError(
+            f"streaming checkpoint metadata at {meta!r} is not Spark "
+            f"query metadata ({exc!r}); the checkpoint path as passed "
+            "here does not resolve to the location Spark is using. "
+            "Refusing to mint a one-off identity for a live "
+            "checkpoint.") from exc
 
 
 
@@ -248,9 +249,9 @@ def _batch_token_lenient(checkpoint: str | None, batch_id: int,
         if not cache.get("warned"):
             import logging
             logging.getLogger(__name__).warning(
-                "checkpoint metadata unresolvable at the literal "
-                "path; recompute-skip markers are disabled for this "
-                "drain (batches recompute idempotently): %s", exc)
+                "checkpoint metadata unresolvable; recompute-skip "
+                "markers are disabled for this drain (batches "
+                "recompute idempotently): %s", exc)
             cache["warned"] = True
         return None
 

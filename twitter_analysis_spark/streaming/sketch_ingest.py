@@ -45,6 +45,7 @@ from .. import fsmeta
 from ..operators.dedup import tokens
 from ..operators.sketches import DEFAULT_DEPTH, DEFAULT_WIDTH, cms_build
 from ..sources.maintenance import _swap_in
+from .ingest import read_checkpoint_lineage
 
 
 def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
@@ -87,6 +88,15 @@ def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
     rebuilding from the partial redelivery; remediation is to delete
     the checkpoint too (forcing full redelivery + clean rebuild) or
     restore the artifact from a replica."""
+    # Resolve the artifact path through the explicit scheme gate at
+    # ENTRY: the sidecar files inside it are read/written with
+    # builtin open(), so a file: URI must unwrap to the local path
+    # Spark resolves, and a remote-store URI must fail HERE,
+    # synchronously and typed — not as STREAM_FAILED from the first
+    # micro-batch (the other pipelines' _validate_entry_paths
+    # contract).
+    sketch_path = fsmeta.local_path(sketch_path)
+
     stream = (
         spark.readStream.schema(schema)
         .option("mode", "PERMISSIVE")
@@ -134,21 +144,9 @@ def streaming_sketch_ingest(spark: SparkSession, drop_dir: str,
             # minting a per-drain run id would flip the lineage guard
             # into rebuild-per-drain (transient undercounts) or a
             # spurious artifact-loss refusal one drain later.
-            # the explicit scheme gate: file: URIs unwrap to the
-            # local path Spark resolves (so builtin open() below
-            # works), remote-store URIs raise typed instead of a
-            # misleading FileNotFoundError
-            meta = os.path.join(fsmeta.local_path(checkpoint),
-                                "metadata")
-            if not fsmeta.exists(meta):
-                raise RuntimeError(
-                    f"streaming checkpoint metadata not found at "
-                    f"{meta!r} although checkpointLocation="
-                    f"{checkpoint!r} is in use (relative path? wrong "
-                    "mount?); refusing to mint a per-drain run id "
-                    "for a live checkpoint.")
-            with open(meta) as fh:
-                rid = str(json.load(fh)["id"])
+            # the shared lineage read: scheme-gated resolution,
+            # explanatory refusals on missing/unparseable metadata
+            rid = read_checkpoint_lineage(checkpoint)
         run_cache["id"] = rid
         return rid
 
