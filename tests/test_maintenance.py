@@ -457,6 +457,43 @@ def test_upsert_full_rewrite_heals_cross_partition_dups(spark, tmp_path):
     assert not any(e.endswith(".parquet") for e in entries)
 
 
+def test_upsert_duplicate_winner_is_layout_deterministic(spark, tmp_path):
+    """Duplicate keys WITHIN one side whose copies DIFFER (the round-10
+    ADVICE case: replayed copies carrying different ``_batch_id``
+    values) must resolve to the SAME winner on every run —
+    ``_winner_per_key`` breaks those ties by a stable hash of the
+    row's remaining columns, not by shuffle order. Pins: two merges
+    from the same logical state but OPPOSITE physical layouts
+    (1-partition vs 8-partition writes, reversed input order) produce
+    byte-identical survivors, and the survivor is one of the planted
+    candidate rows (not a mixed row)."""
+    from twitter_analysis_spark.sources.maintenance import upsert_by_key
+
+    dup_rows = [(2, "replay_a", 0), (2, "replay_b", 1)]
+    base_rows = [(1, "a", 0), (3, "c", 1)] + dup_rows
+    updates = spark.createDataFrame(
+        [(4, "d", 2)], "k long, v string, _batch_id long")
+
+    def merge_with_layout(name: str, n_parts: int,
+                          reverse: bool) -> dict[int, tuple]:
+        path = str(tmp_path / name)
+        rows = list(reversed(base_rows)) if reverse else base_rows
+        (spark.createDataFrame(rows, "k long, v string, _batch_id long")
+         .repartition(n_parts)
+         .write.partitionBy("_batch_id").parquet(path))
+        upsert_by_key(spark, path, updates, key="k",
+                      partition_by=["_batch_id"], full_rewrite=True)
+        return {r["k"]: (r["v"], r["_batch_id"])
+                for r in spark.read.parquet(path).collect()}
+
+    got1 = merge_with_layout("lay1", 1, reverse=False)
+    got2 = merge_with_layout("lay2", 8, reverse=True)
+    assert got1 == got2
+    assert set(got1) == {1, 2, 3, 4}
+    # the survivor for the duplicated key is one intact planted row
+    assert got1[2] in {("replay_a", 0), ("replay_b", 1)}
+
+
 def test_upsert_partition_type_skew_refuses_loudly(spark, tmp_path):
     """Partition-type agreement is enforced, not assumed (round-10
     review finding): a table partitioned by string month '01' reads
