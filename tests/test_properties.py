@@ -135,3 +135,86 @@ def test_ranked_cumsum_two_phase_invariants(sc_spark, vals, n_parts):
     for r in ordered:
         running += r["v"]
         assert int(r["cum"]) == running
+
+
+@given(
+    batch=st.lists(st.tuples(st.integers(0, 40),
+                             st.text(alphabet="xy", min_size=1,
+                                     max_size=3)),
+                   min_size=1, max_size=15, unique_by=lambda t: t[0]),
+    index=st.lists(st.tuples(st.text(alphabet="xy", min_size=1,
+                                     max_size=3),
+                             st.integers(100, 140)),
+                   min_size=0, max_size=8,
+                   unique_by=lambda t: t[0]),
+)
+@settings(max_examples=20, deadline=None)
+def test_incremental_dedup_status_algebra(sc_spark, batch, index):
+    """On ANY (batch, index) pair the classification is a partition of
+    the batch obeying the daily-ingest contract: content present in
+    the index is 'dup_of_corpus' pointing at the corpus holder;
+    otherwise the batch's lowest id per content is the unique 'new'
+    row and every later copy is 'dup_in_batch' pointing at it — the
+    invariants the streaming ingest's replay math builds on, here on
+    inputs the fixture corpus never exercises (hash_fn='text' keys
+    the raw content so the expected sets are computable exactly)."""
+    bdf = sc_spark.createDataFrame(batch, "doc_id long, text string")
+    idf = sc_spark.createDataFrame(
+        [(t, h) for t, h in index], "content_key string, holder_id long")
+    got = {r["doc_id"]: (r["status"], r["dup_of"])
+           for r in D.incremental_exact_dedup(
+               bdf, idf, "doc_id", "text", hash_fn="text").collect()}
+    assert set(got) == {i for i, _ in batch}
+
+    corpus = dict(index)
+    first = {}
+    for i, t in sorted(batch):
+        first.setdefault(t, i)
+    for i, t in batch:
+        status, dup_of = got[i]
+        if t in corpus:
+            assert (status, dup_of) == ("dup_of_corpus", corpus[t]), (i, t)
+        elif first[t] != i:
+            assert (status, dup_of) == ("dup_in_batch", first[t]), (i, t)
+        else:
+            assert (status, dup_of) == ("new", None), (i, t)
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)),
+                      min_size=1, max_size=25))
+@settings(max_examples=15, deadline=None)
+def test_star_cc_matches_union_find(sc_spark, edges):
+    """connected_components_star equals a driver-side union-find on ANY
+    edge list (duplicate edges, both orientations, arbitrary shapes):
+    every PAIRED node appears exactly once, labeled by its component's
+    minimum — the ground-truth check behind using the O(log n) star
+    variant interchangeably with min-label propagation. Self-loops
+    carry no linkage and are dropped on both sides (the dedup pair
+    generators never emit id1 == id2; the operator filters them)."""
+    df = sc_spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {r["node"]: r["cluster"]
+           for r in D.connected_components_star(df).collect()}
+
+    edges = [(u, v) for u, v in edges if u != v]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp: dict[int, list[int]] = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    expect = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            expect[x] = m
+    assert got == expect
