@@ -191,11 +191,14 @@ def test_connected_components_merges_chains(spark):
 def test_connected_components_deep_chain_converges(spark):
     from twitter_analysis_spark.operators.dedup import connected_components
 
-    # a 12-hop path exercises multi-round propagation + checkpointing
+    # a 12-hop path exercises multi-round propagation + checkpointing;
+    # local_threshold=0 forces the distributed loop (the size gate
+    # would otherwise route a graph this small to driver union-find)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["id1", "id2"])
     got = {r["node"]: r["cluster"]
-           for r in connected_components(pairs).collect()}
+           for r in connected_components(pairs,
+                                         local_threshold=0).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 13
 
@@ -501,15 +504,20 @@ def test_star_cc_matches_min_label(spark):
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
     edges = [(a, b) for a, b in edges if a != b]
     pairs = spark.createDataFrame(edges, "id1 LONG, id2 LONG")
+    # local_threshold=0 everywhere below: this test exists to compare
+    # the two DISTRIBUTED algorithms, so the size gate must not route
+    # either to the driver-side union-find
     a = sorted(map(tuple,
-                   connected_components(pairs, max_iter=60).collect()))
-    b = sorted(map(tuple, connected_components_star(pairs).collect()))
+                   connected_components(pairs, max_iter=60,
+                                        local_threshold=0).collect()))
+    b = sorted(map(tuple, connected_components_star(
+        pairs, local_threshold=0).collect()))
     assert a == b
 
     # deep chain: star converges well inside its O(log n) budget
     chain = spark.createDataFrame([(i, i + 1) for i in range(120)],
                                   "id1 LONG, id2 LONG")
-    got = connected_components_star(chain).collect()
+    got = connected_components_star(chain, local_threshold=0).collect()
     assert all(r["cluster"] == 0 for r in got)
     assert len(got) == 121
 
@@ -517,7 +525,7 @@ def test_star_cc_matches_min_label(spark):
     # diameter exceeds its round budget
     import pytest
     with pytest.raises(RuntimeError, match="no convergence"):
-        connected_components(chain, max_iter=5)
+        connected_components(chain, max_iter=5, local_threshold=0)
 
 
 def test_semantic_dedup_invariants(spark, sf_dir):

@@ -190,10 +190,13 @@ def test_star_cc_matches_union_find(sc_spark, edges):
     minimum — the ground-truth check behind using the O(log n) star
     variant interchangeably with min-label propagation. Self-loops
     carry no linkage and are dropped on both sides (the dedup pair
-    generators never emit id1 == id2; the operator filters them)."""
+    generators never emit id1 == id2; the operator filters them).
+    local_threshold=0 forces the DISTRIBUTED star loop — the size
+    gate's local path is the companion test below."""
     df = sc_spark.createDataFrame(edges, "id1 long, id2 long")
     got = {r["node"]: r["cluster"]
-           for r in D.connected_components_star(df).collect()}
+           for r in D.connected_components_star(
+               df, local_threshold=0).collect()}
 
     edges = [(u, v) for u, v in edges if u != v]
     parent: dict[int, int] = {}
@@ -218,3 +221,13 @@ def test_star_cc_matches_union_find(sc_spark, edges):
         for x in members:
             expect[x] = m
     assert got == expect
+
+    # the size-gated LOCAL paths (default threshold) must agree with
+    # the distributed result on the same graph — both variants
+    if edges:
+        gated_star = {r["node"]: r["cluster"]
+                      for r in D.connected_components_star(df).collect()}
+        gated_min = {r["node"]: r["cluster"]
+                     for r in D.connected_components(df).collect()}
+        assert gated_star == expect
+        assert gated_min == expect

@@ -944,11 +944,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The CC loop runs eagerly and its result is a checkpoint leaf,
     # so the shingle index is fully consumed by the time it returns —
     # released (even if CC raises) rather than leaking per call.
+    # local_threshold=0: this row EXISTS as driver-level evidence for
+    # the distributed min-label loop, so the size gate that would
+    # route a graph this small to the driver-side union-find is
+    # disabled here (compositions like canonicalize keep the default).
     with _dedup.released() as cl:
         pairs = _dedup.ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
             threshold=0.1, cleanup=cl)
-        return (_dedup.connected_components(pairs)
+        return (_dedup.connected_components(pairs, local_threshold=0)
                 .select(F.col("node").alias("doc"), "cluster"))
 
 
@@ -1008,12 +1012,15 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but clustered by the O(log n) large-star/small-star algorithm
     # (operators/dedup.py:connected_components_star) — driver-level
     # evidence that both algorithms produce identical components on
-    # the real near-dup graph.
+    # the real near-dup graph. local_threshold=0 keeps that evidence
+    # honest: the star loop itself must run here, not the size-gated
+    # local fast path.
     with _dedup.released() as cl:
         pairs = _dedup.ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
             threshold=0.1, cleanup=cl)
-        return (_dedup.connected_components_star(pairs)
+        return (_dedup.connected_components_star(pairs,
+                                                 local_threshold=0)
                 .select(F.col("node").alias("doc"), "cluster"))
 
 

@@ -686,10 +686,65 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     )
 
 
+#: Size gate for the local connected-components fast path, counted in
+#: SYMMETRIZED edge rows (2x the undirected pair count). Under the
+#: gate the whole pair graph is collected (bounded by construction:
+#: ~100k pairs, tens of MB) and solved by driver-side union-find in
+#: one pass — the iterative loops cost 4-6 shuffle rounds of pure
+#: fixed overhead on a graph this size, the same runtime size-gating
+#: philosophy as AQE's broadcast conversion and layout.ranked_cumsum's
+#: window gate. Above the gate the distributed loop runs untouched.
+DEFAULT_CC_LOCAL_EDGES = 200_000
+
+
+def _cc_local(e: DataFrame) -> DataFrame:
+    """Driver-side union-find over an already-BOUNDED symmetrized edge
+    set (callers gate on the edge count first — this function must
+    never see an ungated frame): returns the same (node, cluster =
+    component minimum) contract as the distributed loops, with the
+    node type preserved. Collects only the ``u < v`` orientation —
+    half the symmetrized rows."""
+    node_t = dict(e.dtypes)["u"]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in e.where(F.col("u") < F.col("v")).collect():
+        ru, rv = find(r["u"]), find(r["v"])
+        if ru != rv:
+            parent[ru] = rv
+    comp: dict = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    out = []
+    for members in comp.values():
+        m = min(members)
+        out.extend((x, m) for x in members)
+    return e.sparkSession.createDataFrame(
+        out, f"node {node_t}, cluster {node_t}")
+
+
 def connected_components(pairs: DataFrame, id1: str = "id1",
-                         id2: str = "id2", max_iter: int = 50) -> DataFrame:
+                         id2: str = "id2", max_iter: int = 50,
+                         local_threshold: int = DEFAULT_CC_LOCAL_EDGES,
+                         ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (node, cluster) where cluster is the minimum node id reachable.
+
+    ``local_threshold`` gates a driver-side union-find fast path on
+    the symmetrized edge count (see DEFAULT_CC_LOCAL_EDGES): the
+    count is one aggregate over the persisted edge set the loop
+    would scan anyway, and under the gate the whole clustering is
+    one bounded collect instead of diameter-many shuffle rounds —
+    identical output either way (pinned by the property suite's
+    union-find ground truth). Pass 0 to force the distributed loop.
 
     Min-label propagation: each round every node takes the minimum of
     its own label and its neighbors' labels — a join + hash aggregate,
@@ -712,6 +767,9 @@ def connected_components(pairs: DataFrame, id1: str = "id1",
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct().persist())
     try:
+        if local_threshold and edges.count() <= local_threshold:
+            return _cc_local(edges.select(F.col("src").alias("u"),
+                                          F.col("dst").alias("v")))
         labels = (edges.select(F.col("src").alias("node")).distinct()
                   .withColumn("label", F.col("node")).localCheckpoint())
         for _ in range(max_iter):
@@ -918,7 +976,9 @@ def incremental_exact_dedup(batch: DataFrame, index: DataFrame,
 
 def connected_components_star(pairs: DataFrame, id1: str = "id1",
                               id2: str = "id2",
-                              max_iter: int = 25) -> DataFrame:
+                              max_iter: int = 25,
+                              local_threshold: int =
+                              DEFAULT_CC_LOCAL_EDGES) -> DataFrame:
     """Connected components via alternating large-star / small-star
     rounds (Kiveris et al. 2014): converges in O(log n) rounds on ANY
     graph, where min-label propagation needs O(diameter) — the variant
@@ -931,6 +991,14 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
     the edge set hasn't stabilized within ``max_iter`` rounds — an
     honest failure instead of silently wrong clusters (25 rounds
     covers graphs beyond 2^25 nodes at the proven 2·log n bound).
+
+    ``local_threshold`` gates the driver-side union-find fast path on
+    the symmetrized edge count (see DEFAULT_CC_LOCAL_EDGES) — the
+    count comes free off the loop's initial convergence-signature
+    aggregate, so the gate costs nothing above the threshold and
+    replaces 4-6 shuffle rounds of fixed overhead below it; identical
+    output either way (union-find ground truth in the property
+    suite). Pass 0 to force the distributed star loop.
     """
     e = pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
     e = (e.unionByName(e.select(F.col("v").alias("u"),
@@ -970,6 +1038,8 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
     try:
         r = e.agg(*_SIG_METRICS).first()
         sig = (r["n"], r["h"])
+        if local_threshold and sig[0] <= local_threshold:
+            return _cc_local(e)
         for _ in range(max_iter):
             obs = Observation()
             new_e = (_sym(_star(_star(e, large=True), large=False))
