@@ -189,10 +189,11 @@ def test_star_cc_matches_union_find(sc_spark, edges):
     every PAIRED node appears exactly once, labeled by its component's
     minimum — the ground-truth check behind using the O(log n) star
     variant interchangeably with min-label propagation. Self-loops
-    carry no linkage and are dropped on both sides (the dedup pair
-    generators never emit id1 == id2; the operator filters them).
-    local_threshold=0 forces the DISTRIBUTED star loop — the size
-    gate's local path is the companion test below."""
+    carry no linkage and are dropped on all four paths checked here
+    (the dedup pair generators never emit id1 == id2; both operators
+    filter them in their edge builds). local_threshold=0 forces the
+    DISTRIBUTED loops; the default-threshold calls pin the size
+    gate's local path against the same ground truth."""
     df = sc_spark.createDataFrame(edges, "id1 long, id2 long")
     got = {r["node"]: r["cluster"]
            for r in D.connected_components_star(
@@ -222,12 +223,17 @@ def test_star_cc_matches_union_find(sc_spark, edges):
             expect[x] = m
     assert got == expect
 
-    # the size-gated LOCAL paths (default threshold) must agree with
-    # the distributed result on the same graph — both variants
+    # the size-gated LOCAL paths (default threshold) AND the
+    # distributed min-label loop must all agree with the same ground
+    # truth — four paths, one contract
     if edges:
         gated_star = {r["node"]: r["cluster"]
                       for r in D.connected_components_star(df).collect()}
         gated_min = {r["node"]: r["cluster"]
                      for r in D.connected_components(df).collect()}
+        dist_min = {r["node"]: r["cluster"]
+                    for r in D.connected_components(
+                        df, local_threshold=0).collect()}
         assert gated_star == expect
         assert gated_min == expect
+        assert dist_min == expect

@@ -763,9 +763,15 @@ def connected_components(pairs: DataFrame, id1: str = "id1",
     actually needs.
     """
     edges = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    # src != dst: self-loops carry no linkage (the pair generators
+    # never emit them) and dropping them here keeps both CC variants
+    # AND both physical paths (distributed loop / gated union-find)
+    # on one contract — without the filter, the min-label loop would
+    # emit a label row for a self-loop-only node that the star
+    # variant and the local path both drop.
     edges = (edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct().persist())
+        .where(F.col("src") != F.col("dst")).distinct().persist())
     try:
         if local_threshold and edges.count() <= local_threshold:
             return _cc_local(edges.select(F.col("src").alias("u"),
