@@ -182,7 +182,7 @@ def test_incremental_dedup_status_algebra(sc_spark, batch, index):
 
 @given(edges=st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)),
                       min_size=1, max_size=25))
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_star_cc_matches_union_find(sc_spark, edges):
     """connected_components_star equals a driver-side union-find on ANY
     edge list (duplicate edges, both orientations, arbitrary shapes):
