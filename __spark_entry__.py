@@ -49,9 +49,16 @@ from twitter_analysis_spark import catalog  # noqa: E402
 #: retires to age-based ordering. Kept deliberately tiny (each slot
 #: here displaces an age-rotation slot).
 _FRESH_HEAD = {
-    # round 9: oracle converted rows-only -> a11-style
-    # tolerance-boolean hash row (round-8 verdict directive 2)
-    "a7_percentiles_approx": 9,
+    # round 11 (post-sweep changes; the r11 driver evidence for these
+    # rows predates the code below, so the r12 sweep must re-validate):
+    # PageRank dropped the per-iteration dangling anti-join and pinned
+    # a src-partitioned zero-exchange edge cache
+    "graph_pagerank": 11,
+    # both CC variants gained the size-gated driver union-find fast
+    # path + unified self-loop handling; dedup_canonical rides CC
+    "dedup_canonical": 11,
+    "dedup_clusters_star": 11,
+    "dedup_clusters": 11,
 }
 
 _STATIC_FALLBACK = [

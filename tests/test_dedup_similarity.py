@@ -188,6 +188,45 @@ def test_connected_components_merges_chains(spark):
                    20: 20, 21: 20}
 
 
+def test_cc_size_gate_refuses_non_whitelisted_id_types(spark, monkeypatch):
+    """Ids whose Python ordering is unproven against Spark's (floats:
+    NaN) must route BOTH variants to the distributed loop even under
+    the size threshold — the gated union-find compares with Python
+    ``min`` and would silently emit divergent labels otherwise."""
+    import twitter_analysis_spark.operators.dedup as dd
+
+    def _boom(*_a, **_k):
+        raise AssertionError("driver union-find took a float-id graph")
+
+    monkeypatch.setattr(dd, "_cc_local", _boom)
+    pairs = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 3.0), (10.0, 11.0)], "id1 double, id2 double")
+    want = {1.0: 1.0, 2.0: 1.0, 3.0: 1.0, 10.0: 10.0, 11.0: 10.0}
+    got = {r["node"]: r["cluster"]
+           for r in dd.connected_components(pairs).collect()}
+    assert got == want
+    got_star = {r["node"]: r["cluster"]
+                for r in dd.connected_components_star(pairs).collect()}
+    assert got_star == want
+
+
+def test_cc_size_gate_takes_local_path_for_whitelisted_ids(spark,
+                                                           monkeypatch):
+    """Long/string ids under the threshold DO take the union-find fast
+    path (pin the gate stays live after the dtype check landed)."""
+    import twitter_analysis_spark.operators.dedup as dd
+
+    calls = []
+    real = dd._cc_local
+    monkeypatch.setattr(
+        dd, "_cc_local", lambda e: calls.append(1) or real(e))
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id1", "id2"])
+    got = {r["node"]: r["cluster"]
+           for r in dd.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    assert calls == [1]
+
+
 def test_connected_components_deep_chain_converges(spark):
     from twitter_analysis_spark.operators.dedup import connected_components
 

@@ -87,21 +87,33 @@ def test_rotation_auto_advances_when_a_sweep_lands(monkeypatch):
 def test_fresh_head_auto_retires_once_swept(monkeypatch):
     """A _FRESH_HEAD exemption spends a rotation slot only while the
     row's evidence predates its change round; once the driver records
-    it, age-based ordering resumes without anyone editing the dict."""
+    it, age-based ordering resumes without anyone editing the dict.
+
+    Built on a SYNTHETIC evidence board (every row carries identical
+    fresh evidence) — the r11 incarnation asserted the victim falls
+    out of the head against the LIVE board, which is false whenever
+    the 50-slot head legitimately reaches the victim's evidence tier
+    by age (exactly what the r11 sweep's tier retirement caused)."""
     if not entry_mod._FRESH_HEAD:
         return
     name, changed = next(iter(entry_mod._FRESH_HEAD.items()))
-    latest = dict(_latest_evidence())
-
-    latest[name] = changed - 1
+    # Same fresh evidence everywhere: no exemption in the dict stays
+    # active (latest >= its change round) and age ordering alone
+    # reduces to catalog registration order.
+    fresh = max(entry_mod._FRESH_HEAD.values())
+    latest = {n: fresh for n in catalog.QUERIES}
     monkeypatch.setattr(entry_mod, "_latest_evidence", lambda: latest)
+
+    # evidence predates the change -> the exemption pins the victim
+    # at the head regardless of age
+    latest[name] = changed - 1
     assert entry_mod._compute_rotation()[0] == name
 
-    latest[name] = changed
-    head = entry_mod._compute_rotation()
-    # with evidence as fresh as the change, the row competes by age
-    # and (having near-newest evidence) falls out of the head
-    assert name not in head
+    # a sweep records the row -> the exemption is inert and the
+    # rotation is EXACTLY the pure age ordering (registration order
+    # on an all-equal board): the victim is no longer pinned
+    latest[name] = fresh
+    assert entry_mod._compute_rotation() == list(catalog.QUERIES)[:50]
 
 
 def test_never_swept_rows_outrank_everything_but_fresh_head(monkeypatch):

@@ -696,6 +696,18 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
 #: window gate. Above the gate the distributed loop runs untouched.
 DEFAULT_CC_LOCAL_EDGES = 200_000
 
+#: Node-id types for which Python's ``<``/``min`` (what the gated
+#: driver-side union-find compares with) provably agrees with Spark's
+#: ``F.least``/``F.min`` ordering, so both physical paths emit
+#: byte-identical cluster labels. Floats are excluded (a NaN id sorts
+#: LAST under Spark's total order but poisons Python comparisons) and
+#: so are binary/decimal/date (collected as bytearray/Decimal/date —
+#: orderings exist but are unproven against Spark's). Outside this
+#: list the size gate is skipped entirely and the distributed loop
+#: runs, keeping one contract instead of silently diverging labels.
+_CC_LOCAL_ID_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "string"})
+
 
 def _cc_local(e: DataFrame) -> DataFrame:
     """Driver-side union-find over an already-BOUNDED symmetrized edge
@@ -703,7 +715,9 @@ def _cc_local(e: DataFrame) -> DataFrame:
     never see an ungated frame): returns the same (node, cluster =
     component minimum) contract as the distributed loops, with the
     node type preserved. Collects only the ``u < v`` orientation —
-    half the symmetrized rows."""
+    half the symmetrized rows. Precondition (enforced at the callers'
+    gates): the id dtype is in ``_CC_LOCAL_ID_TYPES``, where Python's
+    ``min`` agrees with Spark's."""
     node_t = dict(e.dtypes)["u"]
     parent: dict = {}
 
@@ -740,11 +754,15 @@ def connected_components(pairs: DataFrame, id1: str = "id1",
 
     ``local_threshold`` gates a driver-side union-find fast path on
     the symmetrized edge count (see DEFAULT_CC_LOCAL_EDGES): the
-    count is one aggregate over the persisted edge set the loop
-    would scan anyway, and under the gate the whole clustering is
-    one bounded collect instead of diameter-many shuffle rounds —
-    identical output either way (pinned by the property suite's
-    union-find ground truth). Pass 0 to force the distributed loop.
+    count is one extra action this variant didn't previously run, but
+    it doubles as the cache-warming job for the persisted edge set —
+    above the gate the loop's rounds then hit a materialized cache
+    instead of paying the scan inside round 1. Under the gate the
+    whole clustering is one bounded collect instead of diameter-many
+    shuffle rounds — identical output either way (pinned by the
+    property suite's union-find ground truth). Pass 0 to force the
+    distributed loop; id dtypes outside ``_CC_LOCAL_ID_TYPES`` also
+    force it (Python/Spark ordering parity is unproven there).
 
     Min-label propagation: each round every node takes the minimum of
     its own label and its neighbors' labels — a join + hash aggregate,
@@ -773,7 +791,12 @@ def connected_components(pairs: DataFrame, id1: str = "id1",
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst")).distinct().persist())
     try:
-        if local_threshold and edges.count() <= local_threshold:
+        # dtype check first (free, driver-side): an ineligible id type
+        # skips the count too — the loop's first round then warms the
+        # cache, exactly the pre-gate behavior of this variant.
+        if (local_threshold
+                and dict(edges.dtypes)["src"] in _CC_LOCAL_ID_TYPES
+                and edges.count() <= local_threshold):
             return _cc_local(edges.select(F.col("src").alias("u"),
                                           F.col("dst").alias("v")))
         labels = (edges.select(F.col("src").alias("node")).distinct()
@@ -1004,7 +1027,8 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
     aggregate, so the gate costs nothing above the threshold and
     replaces 4-6 shuffle rounds of fixed overhead below it; identical
     output either way (union-find ground truth in the property
-    suite). Pass 0 to force the distributed star loop.
+    suite). Pass 0 to force the distributed star loop; id dtypes
+    outside ``_CC_LOCAL_ID_TYPES`` also force it.
     """
     e = pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
     e = (e.unionByName(e.select(F.col("v").alias("u"),
@@ -1044,7 +1068,8 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
     try:
         r = e.agg(*_SIG_METRICS).first()
         sig = (r["n"], r["h"])
-        if local_threshold and sig[0] <= local_threshold:
+        if (local_threshold and sig[0] <= local_threshold
+                and dict(e.dtypes)["u"] in _CC_LOCAL_ID_TYPES):
             return _cc_local(e)
         for _ in range(max_iter):
             obs = Observation()
