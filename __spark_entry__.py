@@ -59,6 +59,10 @@ _FRESH_HEAD = {
     "dedup_canonical": 11,
     "dedup_clusters_star": 11,
     "dedup_clusters": 11,
+    # round 12: the near-dup violator branch went back to a fully
+    # lazy unpersisted sub-plan (the r11 eager checkpoint + index
+    # persist cost the composite +54% at sf0.1)
+    "corpus_training_set": 12,
 }
 
 _STATIC_FALLBACK = [

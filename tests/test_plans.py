@@ -156,9 +156,10 @@ def test_jaccard_paths_carry_shingle_cap(spark, sf_dir):
     These three rows are deliberately kept LAZY (their catalog
     comments say so) so this pin can see the whole shingle pipeline —
     which also makes them the place to assert the self-join never
-    degenerates to a cross join (the rows that materialize the pairs
-    branch eagerly, e.g. corpus_training_set, hide it behind an RDD
-    leaf)."""
+    degenerates to a cross join (rows that materialize the pairs
+    branch eagerly, e.g. the CC-consuming cluster rows, hide it
+    behind an RDD leaf; corpus_training_set is lazy too since r12 and
+    its cap filter is asserted in its own pipeline pin)."""
     import re
 
     for name in ("dedup_ngram_jaccard", "corpus_curation", "dedup_minhash_lsh"):
@@ -222,12 +223,19 @@ def test_pack_sequences_windows_per_shard(spark, sf_dir):
 
 def test_training_set_pipeline_plan(spark, sf_dir):
     # end-to-end assembly: violator sets anti-joined, benchmark side
-    # broadcast, packing windowed per split — and never a cross join
+    # broadcast, packing windowed per split — and never a cross join.
+    # Since r12 the near-dup violator branch is a lazy sub-plan
+    # (persist_index=False), so the shingle-cap guard and its
+    # non-degenerate self-join are visible and asserted HERE too.
+    import re
+
     plan = plan_of(spark, sf_dir, "corpus_training_set")
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(split" in plan
+    assert re.search(r"size\(_docs#\d+[^)]*\)[^<>]{0,20}<= 256", plan)
 
 
 def test_q4_semi_join_on_pruned_orders(spark, sf_dir):

@@ -599,15 +599,17 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality gate -> near-dup removal -> benchmark decontamination ->
     # PII scrub -> content-addressed train/val split -> fixed-budget
     # sequence packing (per-split token stream, budget 512). Every
-    # stage is the already-verified operator. The near-dup violator
-    # set materializes as its own up-front job (an RDD leaf in this
-    # row's plan — its internals are cap-plan-pinned on the
-    # dedup_ngram_jaccard row instead); Catalyst fuses the remaining
-    # filter/anti-join cascade into one pass over documents. At
-    # 100 TB the same composition holds: the anti-join right sides
-    # are the (small) violator sets, the benchmark side broadcasts,
-    # and packing windows per split shard — swap ngram_jaccard_pairs
-    # for minhash_lsh_pairs to make the near-dup stage sub-quadratic
+    # stage is the already-verified operator, and the WHOLE thing is
+    # one lazy DAG: the near-dup stage runs with persist_index=False
+    # because its pairs feed exactly one anti-join here (the r11
+    # eager-checkpoint + persisted-index shape cost this row +54% at
+    # sf0.1 — A/B 4.9 -> 3.2 s — and a storage barrier AQE can't see
+    # through; the index persist pays only on the multi-branch
+    # dedup_ngram_jaccard row, which keeps it). At 100 TB the same
+    # composition holds: the anti-join right sides are the (small)
+    # violator sets, the benchmark side broadcasts, and packing
+    # windows per split shard — swap ngram_jaccard_pairs for
+    # minhash_lsh_pairs to make the near-dup stage sub-quadratic
     # with identical survivor semantics.
     from .operators.sampling import split_assign
 
@@ -616,17 +618,13 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = _ts.quality_features(docs.select("doc_id", "text")).drop("text")
     good = (feat.where((F.col("quality_score") >= 0.4)
                        & (F.col("n_tokens") >= 5)).select("doc_id"))
-    # The violator-id set is tiny; checkpoint it so the persisted
-    # shingle index can be released now instead of leaking per call
-    # (the downstream anti-join plan the pipeline pin asserts sits
-    # ABOVE this leaf, so the pin is unaffected; exception-safe via
-    # the released() contextmanager).
-    with _dedup.released() as _cl:
-        dups = (_dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
-                                           n=3, threshold=0.1,
-                                           cleanup=_cl)
-                .select(F.col("id2").alias("doc_id")).distinct()
-                .localCheckpoint())
+    # Nothing persisted, nothing to release: the violator set stays a
+    # lazy sub-plan of the composite (the shingle-cap filter is
+    # therefore visible in THIS row's executed plan too).
+    dups = (_dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                       n=3, threshold=0.1,
+                                       persist_index=False)
+            .select(F.col("id2").alias("doc_id")).distinct())
     contam = _cur.decontaminate(
         corpus, docs.where(F.col("doc_id") % 97 == 0),
         "doc_id", "text", n=4).select("doc_id")

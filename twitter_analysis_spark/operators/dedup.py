@@ -196,7 +196,8 @@ def shingle_cap_report(df: DataFrame, id_col: str, text_col: str, n: int,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8,
                         max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
-                        cleanup: list | None = None) -> DataFrame:
+                        cleanup: list | None = None,
+                        persist_index: bool = True) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id1 < id2, jaccard >= t).
 
     Inverted-index plan: distinct (doc, shingle) → self-join on shingle
@@ -219,9 +220,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     index for unpersisting after your action; without it, repeated
     calls in a long-lived session accumulate cached storage (bench
     clears via ``spark.catalog.clearCache()``).
+
+    ``persist_index=False`` skips the persist entirely (``cleanup`` is
+    then moot): the right call when the pairs feed ONE downstream
+    consumer inside a larger composite plan, where recomputing the
+    index per branch is cheaper than materializing it — A/B at sf0.1
+    on the corpus_training_set composite: 3.2 s unpersisted vs 3.7 s
+    persisted vs 4.9 s persisted+eagerly-checkpointed. It also keeps
+    the whole pipeline one declarative DAG (no storage barrier), which
+    is what AQE wants at scale.
     """
-    ds = doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df) \
-        .persist()
+    ds = doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df)
+    if not persist_index:
+        return _jaccard_pairs_from(ds, threshold)
+    ds = ds.persist()
     if cleanup is not None:
         cleanup.append(ds)
     return _jaccard_pairs_from(ds, threshold)
