@@ -84,6 +84,21 @@ def main() -> None:
                                   "spark.sql.ui.retainedExecutions": "2"})
     spark.sparkContext.setLogLevel("ERROR")
 
+    jvm_system = spark.sparkContext._jvm.System
+
+    def scrub() -> None:
+        # Same session hygiene as bench.py, OUTSIDE every timer: drop
+        # stray cached blocks and force a driver GC so each drain pays
+        # its own garbage, not earlier shapes'. Without this the
+        # late-running heavy rows (rollup family, neardup steady
+        # drains) read 2-3x their isolated cost in-sweep — the r12
+        # false-breach signature (in-sweep 18.0/22.3 vs isolated
+        # 12.5/10.9 on an idle box). Disk state (lakes, indexes,
+        # checkpoints) is untouched, so the steady-state sections
+        # still measure exactly the incremental economics.
+        spark.catalog.clearCache()
+        jvm_system.gc()
+
     root = tempfile.mkdtemp(prefix="bench_streaming_")
     ev_drop = _prep_event_drop(spark, root)
     tw_drop = _prep_tweet_drop(root)
@@ -228,6 +243,7 @@ def main() -> None:
     for name, fn in shapes.items():
         fn(f"{name}_warm")                         # untimed warmup
         for p in range(2):
+            scrub()
             t0 = time.perf_counter()
             fn(f"{name}_t{p}")
             el = round(time.perf_counter() - t0, 3)
@@ -274,6 +290,7 @@ def main() -> None:
             with open(os.path.join(ss_drop, f"late{n_drain}.json"),
                       "w") as fh:
                 fh.write("\n".join(late) + "\n")
+        scrub()
         t0 = time.perf_counter()
         streaming_rollup_ingest(spark, ss_drop, **ss_kwargs)
         timings[f"stream_rollup_steady_drain{n_drain}"] = round(
@@ -307,6 +324,7 @@ def main() -> None:
             with open(os.path.join(nd_drop, f"late{n_drain}.json"),
                       "w") as fh:
                 fh.write("\n".join(late) + "\n")
+        scrub()
         t0 = time.perf_counter()
         streaming_ingest_neardup(spark, nd_drop, **nd_kwargs)
         timings[f"stream_neardup_steady_drain{n_drain}"] = round(
@@ -344,10 +362,12 @@ def main() -> None:
     # drain 1 = the full single-tier build (same workload class as
     # stream_ingest_dedup, re-timed here so the triplet is
     # self-contained like the other steady-state triplets)
+    scrub()
     t0 = time.perf_counter()
     streaming_ingest_dedup(spark, tt_drop, **tt_kwargs)
     timings["stream_ingest_twotier_drain1"] = round(
         time.perf_counter() - t0, 3)
+    scrub()
     t0 = time.perf_counter()
     fold_index_bucketed(spark, tt_kwargs["index_path"], "bench_fold_base")
     timings["stream_ingest_fold"] = round(time.perf_counter() - t0, 3)
@@ -359,6 +379,7 @@ def main() -> None:
         with open(os.path.join(tt_drop, f"late{n_drain}.json"),
                   "w") as fh:
             fh.write("\n".join(late) + "\n")
+        scrub()
         t0 = time.perf_counter()
         streaming_ingest_dedup(spark, tt_drop,
                                base_index_table="bench_fold_base",
@@ -380,6 +401,7 @@ def main() -> None:
     # is pinned in tests/test_maintenance.py; this records the cost.
     from twitter_analysis_spark.sources.maintenance import compact_parquet
     lake = ss_kwargs["lake_path"]
+    scrub()
     t0 = time.perf_counter()
     compact_parquet(spark, lake, target_file_mb=128,
                     partition_by=["event_date"])
@@ -396,6 +418,7 @@ def main() -> None:
             fh.write("\n".join(late) + "\n")
         streaming_rollup_ingest(spark, ss_drop, **ss_kwargs)  # untimed
         part_dir = os.path.join(lake, f"event_date={last_day}")
+        scrub()
         t0 = time.perf_counter()
         compact_parquet(spark, part_dir, target_file_mb=128)
         timings[f"stream_compaction_steady_drain{n_drain}"] = round(
