@@ -96,11 +96,22 @@ def _absorb_into_lake(spark: SparkSession, batch: DataFrame,
     # and the anti then runs against the batch-sized hit set.
     hits = index.join(batch.select("event_id").distinct(),
                       "event_id", "left_semi")
-    new = batch.join(hits, "event_id", "left_anti").persist()
-    (new.withColumn("event_date", F.to_date("ts"))
+    new = (batch.join(hits, "event_id", "left_anti")
+           .withColumn("event_date", F.to_date("ts")).persist())
+    # REBALANCE by the partition column before each partitioned
+    # append: without it every one of the writer's input partitions
+    # holds rows of every touched date, so one micro-batch creates
+    # tasks x dates files (measured at sf0.1: 32 x 30 = 960 per sink
+    # per drain — ~1.9k file commits dominated the drain). The AQE
+    # rebalance clusters rows by date into ~one file per date AND
+    # splits an oversized date back up (a backfill batch hammering
+    # one hot date still parallelizes), which a plain
+    # repartition("event_date") would not.
+    (new.hint("rebalance", "event_date")
      .write.partitionBy("event_date")
      .mode("append").parquet(lake_path))
-    (new.select("event_id", F.to_date("ts").alias("event_date"))
+    (new.select("event_id", "event_date")
+     .hint("rebalance", "event_date")
      .write.partitionBy("event_date").mode("append").parquet(index_path))
     new.unpersist()
 
