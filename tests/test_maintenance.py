@@ -1007,3 +1007,40 @@ def test_fold_temporary_remnant_and_foreign_files(spark, tmp_path):
     finally:
         for t in (tbl, f"{tbl}__folding", f"{tbl}__prefold"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rollup_ingest_writes_one_file_per_touched_date(spark, tmp_path):
+    """SCALE.md hazard 18: a date-partitioned append whose input
+    partitioning is uncorrelated with event_date writes tasks x dates
+    files per batch (measured pre-guard at sf0.1: 32 x 30 = 960 per
+    sink per drain). With the rebalance-by-date guard, one micro-batch
+    touching k dates leaves each sink with ~one file per date — pin a
+    small constant bound per partition dir, not an exact 1, so an AQE
+    skew-split of a genuinely hot date stays legal."""
+    import json
+
+    from twitter_analysis_spark.streaming.rollup_ingest import (
+        streaming_rollup_ingest)
+
+    drop = tmp_path / "ff_drop"
+    drop.mkdir()
+    lake = str(tmp_path / "ff_lake")
+    index = str(tmp_path / "ff_index")
+    # one batch spanning 6 dates x 40 events, written from several
+    # input slices so the pre-guard writer would fan out per task
+    with open(drop / "d1.json", "w") as f:
+        for i in range(240):
+            f.write(json.dumps({
+                "event_id": i, "ts": f"2024-03-{(i % 6) + 1:02d} 10:00:00",
+                "user_id": i % 7, "event_type": "click",
+                "value": 1.0}) + "\n")
+    streaming_rollup_ingest(
+        spark, str(drop), lake, index, str(tmp_path / "ff_rollup"),
+        grain="hour", checkpoint=str(tmp_path / "ff_ckpt"))
+    for sink in (lake, index):
+        parts = [d for d in os.listdir(sink) if d.startswith("event_date=")]
+        assert len(parts) == 6, sink
+        for d in parts:
+            n = len(_parquet_files(os.path.join(sink, d)))
+            assert 1 <= n <= 2, (sink, d, n)
+    assert spark.read.parquet(lake).count() == 240
