@@ -211,7 +211,13 @@ def refresh_rollup(spark: SparkSession, events: DataFrame, path: str,
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
     try:
-        (rolled.write.mode("overwrite")
+        # Rebalance by the partition column before the partitioned
+        # write (SCALE.md hazard 18): the aggregate's output is hashed
+        # on (bucket_ts, event_type) — uncorrelated with grain_date —
+        # so at cluster scale every task would otherwise write into
+        # every refreshed date (tasks x dates files per refresh).
+        (rolled.hint("rebalance", "grain_date")
+         .write.mode("overwrite")
          .partitionBy("grain_date").parquet(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -640,7 +640,12 @@ def save_lsh_index(emb: DataFrame, planes: list[list[float]], path: str,
     storage layout that turns the docstring's "probe is a
     partition-pruned read" into physical reality: each bucket is its
     own directory, so a probe opens (1+p) directories out of 2^p."""
+    # Rebalance by bucket before the partitioned write (SCALE.md
+    # hazard 18): the assignment is map-only over emb's input splits,
+    # so every task would otherwise write a sliver into every bucket
+    # directory — tasks x 2^p files per build.
     (random_hyperplane_lsh(emb, planes, id_col, vec_col)
+     .hint("rebalance", "bucket")
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
 
 
@@ -674,7 +679,11 @@ def save_ivf_index(emb: DataFrame, centroids: list[tuple[int, list[float]]],
                    vec_col: str = "embedding") -> None:
     """Materialize the IVF assignment partitioned by cell (same
     partition-pruned-probe contract as ``save_lsh_index``)."""
+    # Rebalance by cell (SCALE.md hazard 18): map-only assignment
+    # would otherwise fan every input split into every cell directory
+    # — tasks x nlist files, and nlist grows with the corpus.
     (ivf_assign(emb, centroids, id_col, vec_col)
+     .hint("rebalance", "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
 
 
@@ -721,4 +730,5 @@ def append_to_ivf_index(emb_new: DataFrame,
     index); recall monitoring decides when, not this function.
     """
     (ivf_assign(emb_new, centroids, id_col, vec_col)
+     .hint("rebalance", "cell")   # SCALE.md hazard 18, as the builder
      .write.mode("append").partitionBy("cell").parquet(path))
