@@ -44,6 +44,16 @@ def test_exact_dedup_planted(planted):
     assert dup["doc_id"] == 0                  # lowest id wins
 
 
+def test_jaccard_unpersisted_warns_on_cleanup_list(planted):
+    """persist_index=False + a cleanup list is conflicting intent —
+    nothing will ever be appended — so the call must warn."""
+    sink: list = []
+    with pytest.warns(UserWarning, match="persist_index=False"):
+        dedup.ngram_jaccard_pairs(planted, "doc_id", "text",
+                                  cleanup=sink, persist_index=False)
+    assert sink == []
+
+
 def test_jaccard_finds_near_dups(planted):
     pairs = {(r["id1"], r["id2"]): r["jaccard"]
              for r in _jaccard_rows(

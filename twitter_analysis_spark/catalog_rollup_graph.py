@@ -431,29 +431,44 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cohort retention triangle: users grouped by first-seen date,
-    # activity counted per week offset. The raw log collapses to
-    # distinct (user, day) FIRST — at 100 TB that one projection+
-    # distinct is the only full-scan pass; cohorts, sizes, and the
-    # retention grid all derive from the (users x days)-sized frame.
+    # activity counted per week offset. One user-keyed aggregate
+    # collapses the raw log to per-user day SETS (map-side partial
+    # collect_set — the only full-scan pass at 100 TB; set size is
+    # bounded by the calendar, not the log). Cohort date, week
+    # offsets, and the per-user week dedup all derive from that
+    # array IN PLACE (array_min / transform / array_distinct), so
+    # the expensive count-DISTINCT expand and the act⋈cohort
+    # re-shuffle of the old shape disappear: each user contributes
+    # each (cohort, week) cell exactly once, making n_active a
+    # plain count. cohort_date = array_min(days) is itself a member
+    # of days, so EVERY user lands in week 0 — cohort_size is just
+    # n_active at offset 0, lifted across the grid by a window,
+    # replacing the separate sizes aggregate + join. 3 exchanges
+    # total (user agg, grid agg, grid window) vs 5, single lazy DAG.
     # Integer day arithmetic (datediff DIV 7) is engine-exact; the
     # rate is one IEEE division of exact counts.
-    act = (_t(spark, sf_dir, "events")
-           .select("user_id", F.to_date("ts").alias("d"))
-           .distinct())
-    cohort = act.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
-    sizes = (cohort.groupBy("cohort_date")
-             .agg(F.count(F.lit(1)).alias("cohort_size")))
-    ret = (act.join(cohort, "user_id")
-           .groupBy("cohort_date",
-                    F.expr("datediff(d, cohort_date) DIV 7")
-                    .alias("week_offset"))
-           .agg(F.countDistinct("user_id").alias("n_active")))
-    return (
-        ret.join(maybe_broadcast(sizes), "cohort_date")
-        .select("cohort_date", "week_offset", "n_active", "cohort_size",
-                (F.col("n_active").cast("double")
-                 / F.col("cohort_size").cast("double")).alias("retention"))
-    )
+    per_user = (_t(spark, sf_dir, "events")
+                .select("user_id", F.to_date("ts").alias("d"))
+                .groupBy("user_id")
+                .agg(F.collect_set("d").alias("days")))
+    offsets = (per_user
+               .select(F.array_min("days").alias("cohort_date"), "days")
+               .select("cohort_date",
+                       F.explode(F.array_distinct(F.expr(
+                           "transform(days, d ->"
+                           " datediff(d, cohort_date) DIV 7)")))
+                       .alias("week_offset")))
+    ret = (offsets.groupBy("cohort_date", "week_offset")
+           .agg(F.count(F.lit(1)).alias("n_active")))
+    w = Window.partitionBy("cohort_date")
+    return (ret
+            .withColumn("cohort_size",
+                        F.max(F.when(F.col("week_offset") == 0,
+                                     F.col("n_active"))).over(w))
+            .select("cohort_date", "week_offset", "n_active", "cohort_size",
+                    (F.col("n_active").cast("double")
+                     / F.col("cohort_size").cast("double"))
+                    .alias("retention")))
 
 
 @register(

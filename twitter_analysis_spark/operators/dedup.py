@@ -27,6 +27,7 @@ Scale notes (why these shapes survive 100 TB):
 
 from __future__ import annotations
 
+import warnings
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Observation
@@ -221,8 +222,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     calls in a long-lived session accumulate cached storage (bench
     clears via ``spark.catalog.clearCache()``).
 
-    ``persist_index=False`` skips the persist entirely (``cleanup`` is
-    then moot): the right call when the pairs feed ONE downstream
+    ``persist_index=False`` skips the persist entirely (passing
+    ``cleanup`` alongside it warns — the release protocol would be a
+    no-op): the right call when the pairs feed ONE downstream
     consumer inside a larger composite plan, where recomputing the
     index per branch is cheaper than materializing it — A/B at sf0.1
     on the corpus_training_set composite: 3.2 s unpersisted vs 3.7 s
@@ -232,6 +234,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     ds = doc_shingle_pairs(df, id_col, text_col, n, max_shingle_df)
     if not persist_index:
+        if cleanup is not None:
+            # A caller wiring up a release protocol while also opting
+            # out of the persist has conflicting intent — surface it
+            # instead of silently ignoring the cleanup list.
+            warnings.warn(
+                "ngram_jaccard_pairs: cleanup list supplied with "
+                "persist_index=False — nothing is persisted, so the "
+                "list will stay empty and the release protocol is a "
+                "no-op", stacklevel=2)
         return _jaccard_pairs_from(ds, threshold)
     ds = ds.persist()
     if cleanup is not None:
