@@ -759,9 +759,6 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
                 .join(partners, "doc_id", "left_semi"))
             vdocs = batch_df.select("doc_id", "text").unionByName(
                 corpus_part.select("doc_id", "text"))
-            pair_keys = cand.select(
-                F.least("bdoc", "pdoc").alias("id1"),
-                F.greatest("bdoc", "pdoc").alias("id2")).distinct()
             # The public pairs operator, uncapped (band collision is the
             # recall device, the verify is the truth). Its internal
             # shingle-index persist matters here: the index's expensive
@@ -772,19 +769,22 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
             # the sweep could not separate this from box drift (same
             # verdict as the banded-recompute A/B note below); kept on
             # the structural argument — at deploy scale the partner read
-            # is the term that grows.
-            verified = (ngram_jaccard_pairs(vdocs, "doc_id", "text", n=n,
-                                            threshold=threshold,
-                                            max_shingle_df=None,
-                                            cleanup=held)
-                        .join(pair_keys, ["id1", "id2"], "left_semi"))
+            # is the term that grows. Its output is NOT pre-filtered to
+            # candidate pairs (r13): `dropped` semi-joins cand against
+            # it on (id1, id2) anyway, so a verified pair outside cand
+            # can never match — the old pair_keys distinct + semi-join
+            # were two pure-overhead exchanges per drain.
+            verified = ngram_jaccard_pairs(vdocs, "doc_id", "text", n=n,
+                                           threshold=threshold,
+                                           max_shingle_df=None,
+                                           cleanup=held)
             dropped = (
                 cand.select("bdoc",
                             F.least("bdoc", "pdoc").alias("id1"),
                             F.greatest("bdoc", "pdoc").alias("id2"))
                 .join(verified.select("id1", "id2"), ["id1", "id2"],
                       "left_semi")
-                .select(F.col("bdoc").alias("doc_id")).distinct())
+                .select(F.col("bdoc").alias("doc_id")))
             # Replay identity guard: after CHECKPOINT LOSS the whole drop
             # redelivers as batch 0 of a NEW lineage with the markers
             # gone, and the verify path would re-append every replayed
@@ -800,11 +800,14 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
             # TORN batch's own partial rows are instead invisible to its
             # re-run and get overwritten — replace-by-batch.)
             replayed = (cand.where(F.col("bdoc") == F.col("pdoc"))
-                        .select(F.col("bdoc").alias("doc_id")).distinct())
+                        .select(F.col("bdoc").alias("doc_id")))
 
+            # ONE anti-join against the union (r13 — was two chained
+            # anti-joins); no distinct on either branch — anti-join
+            # semantics ignore duplicate right-side keys.
             new_docs = hold(batch_df
-                            .join(dropped, "doc_id", "left_anti")
-                            .join(replayed, "doc_id", "left_anti"))
+                            .join(dropped.unionByName(replayed),
+                                  "doc_id", "left_anti"))
             _replace_batch_partition(new_docs, corpus_path, token)
             # Recomputing the survivors' band rows looks wasteful next to
             # a semi-join against the persisted `banded`; a round-8 A/B
