@@ -49,20 +49,16 @@ from twitter_analysis_spark import catalog  # noqa: E402
 #: retires to age-based ordering. Kept deliberately tiny (each slot
 #: here displaces an age-rotation slot).
 _FRESH_HEAD = {
-    # round 11 (post-sweep changes; the r11 driver evidence for these
-    # rows predates the code below, so the r12 sweep must re-validate):
-    # PageRank dropped the per-iteration dangling anti-join and pinned
-    # a src-partitioned zero-exchange edge cache
-    "graph_pagerank": 11,
-    # both CC variants gained the size-gated driver union-find fast
-    # path + unified self-loop handling; dedup_canonical rides CC
-    "dedup_canonical": 11,
-    "dedup_clusters_star": 11,
-    "dedup_clusters": 11,
-    # round 12: the near-dup violator branch went back to a fully
-    # lazy unpersisted sub-plan (the r11 eager checkpoint + index
-    # persist cost the composite +54% at sf0.1)
-    "corpus_training_set": 12,
+    # round 13: rebuilt from per-user day SETS — one collect_set
+    # aggregate, week offsets deduped in-array (no countDistinct
+    # expand), cohort_size lifted from the week-0 row by a window
+    # (3 exchanges, was 5). The r12 evidence predates the rewrite,
+    # so the r13 sweep must re-validate.
+    "cohort_retention": 13,
+    # (r11/r12 entries — graph_pagerank, dedup_canonical,
+    # dedup_clusters_star, dedup_clusters, corpus_training_set —
+    # auto-retired once the r12 sweep recorded them, and were pruned
+    # here in r13 to free slots under the 5-entry cap.)
 }
 
 _STATIC_FALLBACK = [
