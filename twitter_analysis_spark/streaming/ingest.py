@@ -727,7 +727,7 @@ def streaming_ingest_neardup(spark: SparkSession, drop_dir: str,
             # candidate pairs, normalized to (batch doc, partner doc).
             # The early .distinct() on each branch is deliberate: a pair
             # colliding in k <= 8 bands arrives k times, and cand feeds
-            # THREE consumers (partners, pair_keys, dropped) — deduping
+            # THREE consumers (partners, dropped, replayed) — deduping
             # once at the source keeps the k-fold inflation out of all
             # three (a round-8 A/B of removing these was inconclusive
             # under box drift; the dedup-at-source shape is kept on the
