@@ -132,6 +132,18 @@ def test_multi_distinct_is_expand_not_selfjoin(spark, sf_dir):
     assert "Expand" in plan and "Join" not in plan
 
 
+def test_cohort_retention_is_three_exchanges_no_expand(spark, sf_dir):
+    # r13 shape: one collect_set aggregate by user, one grid aggregate,
+    # one grid window — and NO countDistinct Expand and NO join (the
+    # old 5-exchange shape re-shuffled act against cohort and paid the
+    # count-DISTINCT expand; cohort_size now lifts off the week-0 grid
+    # row via the window).
+    plan = plan_of(spark, sf_dir, "cohort_retention")
+    assert plan.count("Exchange") <= 3
+    assert "Expand" not in plan and "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_embedding_dedup_has_no_cartesian_product(spark, sf_dir):
     """The default embedding near-dup path must be the cell equi-join,
     not the all-pairs cross join (the 100 TB scale-killer)."""
