@@ -75,6 +75,22 @@ def test_cohort_week_offsets(spark, tmp_path):
     assert len(got) == 5
 
 
+def test_cohort_week_zero_is_complete(spark, sf_dir):
+    # The invariant the r13 rewrite's window trick rests on: a user's
+    # cohort_date is one of their own active days, so EVERY cohort has
+    # a week-0 row and its n_active equals the cohort size (which the
+    # window then lifts across the grid). Checked on real data, not a
+    # plant.
+    df = catalog.QUERIES["cohort_retention"](spark, sf_dir)
+    rows = df.collect()
+    week0 = {r["cohort_date"]: r for r in rows if r["week_offset"] == 0}
+    cohorts = {r["cohort_date"] for r in rows}
+    assert set(week0) == cohorts
+    assert all(r["n_active"] == r["cohort_size"]
+               for r in week0.values())
+    assert all(0 < r["retention"] <= 1.0 for r in rows)
+
+
 def test_scd2_collapse_and_chaining(spark, tmp_path):
     rows = [
         # user 1: value 5 -> 5 (collapsed) -> 7 -> 7 -> 5 again
