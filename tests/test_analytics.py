@@ -13,7 +13,7 @@ from twitter_analysis_spark import catalog
 def _events(spark, rows, tmp_path, name):
     """(event_id, ts, user_id, event_type, value) -> sf_dir fixture."""
     df = spark.createDataFrame(
-        [(i, datetime.fromisoformat(ts), u, et, float(v))
+        [(i, datetime.fromisoformat(ts) if ts else None, u, et, float(v))
          for i, (ts, u, et, v) in enumerate(rows)],
         "event_id long, ts timestamp, user_id long, "
         "event_type string, value double")
@@ -62,6 +62,13 @@ def test_cohort_week_offsets(spark, tmp_path):
         # user 3: its own cohort on Jan 10
         ("2024-01-10 09:00:00", 3, "view", 0),
         ("2024-01-17 09:00:00", 3, "view", 0),
+        # NULL user and NULL ts: excluded by contract — activity
+        # requires an identified user and a timestamp (without the
+        # explicit filter a NULL user would count toward cohort_size
+        # but never n_active under SQL join semantics; pinned here so
+        # the Spark path and the oracle stay total together)
+        ("2024-01-01 13:00:00", None, "view", 0),
+        (None, 1, "view", 0),
     ]
     sf = _events(spark, rows, tmp_path, "cohort")
     got = {(str(r["cohort_date"]), r["week_offset"]):

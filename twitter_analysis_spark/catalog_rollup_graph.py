@@ -413,7 +413,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cohort_retention",
     """
-    WITH act AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+    WITH act AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL),
     cohort AS (SELECT user_id, min(d) AS cohort_date FROM act
                GROUP BY user_id),
     sizes AS (SELECT cohort_date, count(*) AS cohort_size FROM cohort
@@ -446,8 +447,16 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replacing the separate sizes aggregate + join. 3 exchanges
     # total (user agg, grid agg, grid window) vs 5, single lazy DAG.
     # Integer day arithmetic (datediff DIV 7) is engine-exact; the
-    # rate is one IEEE division of exact counts.
+    # rate is one IEEE division of exact counts. Activity REQUIRES an
+    # identified user and a timestamp — the NOT-NULL filters (pushed
+    # to the scan, mirrored in the oracle) make the contract total:
+    # without them a NULL user would count toward cohort_size but
+    # never n_active under SQL join semantics, breaking the week-0
+    # invariant the window trick rests on, and collect_set would
+    # silently drop NULL days the oracle emits as NULL-week rows.
     per_user = (_t(spark, sf_dir, "events")
+                .where(F.col("user_id").isNotNull()
+                       & F.col("ts").isNotNull())
                 .select("user_id", F.to_date("ts").alias("d"))
                 .groupBy("user_id")
                 .agg(F.collect_set("d").alias("days")))
