@@ -142,6 +142,8 @@ def test_cohort_retention_is_three_exchanges_no_expand(spark, sf_dir):
     assert plan.count("Exchange") <= 3
     assert "Expand" not in plan and "Join" not in plan
     assert plan.count("FileScan parquet") == 1
+    # the NULL-contract filters must reach the scan, not a Filter node
+    assert "IsNotNull(user_id)" in plan and "IsNotNull(ts)" in plan
 
 
 def test_embedding_dedup_has_no_cartesian_product(spark, sf_dir):
