@@ -1,0 +1,95 @@
+"""Null-robustness audit: re-run the full catalog's Spark-vs-DuckDB
+parity on a NULL-injected copy of a test scale factor.
+
+Method (round 13, see artifacts/NULL_AUDIT_r13.json for the first
+run's triage and docs/SCALE.md hazard 20 for the class): copy every
+table of $SPARK_GRAFT_NULL_SRC (default sf0.001), deterministically
+NULL ~2% of the cells in EVERY column, and run all registered
+(query, oracle) pairs against the copy. Both engines read the same
+files, so any divergence is a latent NULL-semantics gap — a JOIN
+rewritten as an aggregate (NULL keys: join drops, groupBy keeps),
+default null ordering (Spark ASC = NULLS FIRST, ANSI = NULLS LAST),
+concat_ws('') standing in for string_agg(NULL), or a hash key built
+from nullable columns — invisible on the null-free driver testdata.
+
+Run: python tools/null_audit.py            (~6 min at sf0.001)
+Exit code 0 always; the report is the output. Rows fixed to be
+null-total should move from the triage classes to the ok count on
+the next run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_NULL_SRC", "/root/testdata/sf0.001")
+RATE = 50  # 1-in-50 cells nulled per column
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    import __spark_entry__ as E
+    from tests.parity import compare
+    from twitter_analysis_spark.sources.io import load_table
+
+    dst = tempfile.mkdtemp(prefix="nulldata_")
+    for t in TABLES:
+        df = load_table(spark, SRC, t)
+        out = df
+        for i, c in enumerate(df.columns):
+            # deterministic per (row, column): hash the row's string
+            # form with the column index
+            key = F.xxhash64(F.concat_ws("\x00", *[
+                F.col(x).cast("string") for x in df.columns]), F.lit(i))
+            out = out.withColumn(
+                c, F.when(F.pmod(key, F.lit(RATE)) == 0,
+                          F.lit(None)).otherwise(F.col(c)))
+        tmp_dir = os.path.join(dst, f"_{t}_dir")
+        out.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = next(f for f in os.listdir(tmp_dir)
+                    if f.endswith(".parquet"))
+        # the oracle layer expects FLAT <table>.parquet files like the
+        # real testdata, not spark output directories
+        shutil.move(os.path.join(tmp_dir, part),
+                    os.path.join(dst, f"{t}.parquet"))
+        shutil.rmtree(tmp_dir)
+
+    qs = E.queries()
+    osql = E.oracle_sql()
+    diverged, errored, ok = [], [], 0
+    for name in qs:
+        try:
+            probs = compare(spark, dst, name, qs[name], osql.get(name))
+        except Exception as exc:  # noqa: BLE001 — the report IS the point
+            errored.append((name, str(exc).splitlines()[0][:160]))
+            continue
+        if probs:
+            diverged.append((name, probs[0][:160]))
+        else:
+            ok += 1
+    print(f"null audit: {ok} ok / {len(diverged)} diverged / "
+          f"{len(errored)} errored of {len(qs)}")
+    for n, p in diverged:
+        print("  DIVERGE", n, "--", p)
+    for n, e in errored:
+        print("  ERROR  ", n, "--", e)
+    shutil.rmtree(dst, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
