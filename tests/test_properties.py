@@ -43,6 +43,60 @@ def test_shingle_count_invariant(sc_spark, words):
     assert row["s"] == expect
 
 
+_COHORT_EVENTS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 4)),      # user_id
+        st.one_of(st.none(), st.integers(0, 40)),     # day offset
+    ),
+    min_size=0, max_size=25,
+)
+
+
+@given(evs=_COHORT_EVENTS)
+@settings(max_examples=10, deadline=None)
+def test_cohort_retention_matches_oracle_on_null_bearing_logs(
+        sc_spark, evs):
+    """Pin the r13 join→aggregate rewrite against its DuckDB oracle on
+    arbitrary event logs INCLUDING null user_id / null ts — the exact
+    class the round-13 review experiment caught (a JOIN drops NULL
+    keys; a groupBy keeps them; the contract must be total on both
+    sides)."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from twitter_analysis_spark import catalog
+
+    rows = [
+        (i,
+         (datetime(2024, 1, 1, 10) + timedelta(days=d))
+         if d is not None else None,
+         u, "view", 0.0)
+        for i, (u, d) in enumerate(evs)
+    ]
+    df = sc_spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with tempfile.TemporaryDirectory() as sf:
+        df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+        got = sorted(
+            (str(r["cohort_date"]), r["week_offset"], r["n_active"],
+             r["cohort_size"], round(r["retention"], 9))
+            for r in catalog.QUERIES["cohort_retention"](
+                sc_spark, sf).collect())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet/*.parquet')")
+        want = sorted(
+            (str(d), w, n, s, round(rt, 9))
+            for d, w, n, s, rt in con.execute(
+                catalog.ORACLES["cohort_retention"]).fetchall())
+        con.close()
+    assert got == want
+
+
 @given(a=WORDS, b=WORDS)
 @settings(max_examples=15, deadline=None)
 def test_jaccard_symmetric_and_bounded(sc_spark, a, b):
