@@ -55,6 +55,13 @@ _FRESH_HEAD = {
     # (3 exchanges, was 5). The r12 evidence predates the rewrite,
     # so the r13 sweep must re-validate.
     "cohort_retention": 13,
+    # round 13, null-audit class-C fixes (results unchanged on the
+    # null-free driver testdata; the guards only fire on NULL inputs):
+    # j3 gained nullif('') so the all-NULL group matches string_agg;
+    # c14's first3 passes NULL text through as NULL like
+    # array_to_string
+    "j3_collect_assembly": 13,
+    "c14_array_hof_suite": 13,
     # (r11/r12 entries — graph_pagerank, dedup_canonical,
     # dedup_clusters_star, dedup_clusters, corpus_training_set —
     # auto-retired once the r12 sweep recorded them, and were pruned

@@ -310,12 +310,21 @@ def j3_collect_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list("l_linenumber")),
-                    lambda x: x.cast("string"),
+            # nullif('') aligns the all-NULL group with SQL semantics:
+            # string_agg over zero non-null values returns NULL, while
+            # concat_ws over the empty collect_list returns '' — and ''
+            # cannot arise any other way here (linenumbers are ints, so
+            # every element string is non-empty). Null-total per the
+            # r13 audit (artifacts/NULL_AUDIT_r13.json class C).
+            F.nullif(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("l_linenumber")),
+                        lambda x: x.cast("string"),
+                    ),
                 ),
+                F.lit(""),
             ).alias("linenumbers"),
         )
     )

@@ -838,7 +838,12 @@ def c14_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, x: acc + F.length(x)).alias("tok_len_sum"),
         # Space-joined string (not array) so the driver canonicalizer can
         # hash the column; the slice/sort/distinct HOF chain is unchanged.
-        F.concat_ws(" ", F.slice(F.array_sort(F.array_distinct("w")), 1, 3))
+        # NULL text passes through as NULL (array_to_string(NULL) is
+        # NULL in SQL, concat_ws never is) — while ''-text stays '' on
+        # both sides; null-total per the r13 audit class C.
+        F.when(F.col("w").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(
+            " ", F.slice(F.array_sort(F.array_distinct("w")), 1, 3)))
         .alias("first3"),
     )
 
