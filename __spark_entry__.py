@@ -62,6 +62,9 @@ _FRESH_HEAD = {
     # array_to_string
     "j3_collect_assembly": 13,
     "c14_array_hof_suite": 13,
+    # t8's oracle window now pins NULLS FIRST (Spark's ASC default),
+    # closing its null-ordering divergence; Spark side untouched
+    "t8_moving_avg": 13,
     # (r11/r12 entries — graph_pagerank, dedup_canonical,
     # dedup_clusters_star, dedup_clusters, corpus_training_set —
     # auto-retired once the r12 sweep recorded them, and were pruned

@@ -1163,7 +1163,9 @@ def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t8_moving_avg",
     """
     SELECT user_id, event_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts NULLS FIRST,
+                                           event_id NULLS FIRST
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
                AS mov_avg
     FROM events WHERE user_id < 100
