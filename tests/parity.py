@@ -35,6 +35,45 @@ def _norm(v):
     return v
 
 
+def inject_nulls(spark, src: str, dst: str, rate: int = 50,
+                 tables=TESTDATA_TABLES) -> None:
+    """Write a NULL-injected copy of a testdata dir (hazard-20 probe).
+
+    Deterministically NULLs ~1/rate of the cells in EVERY column of
+    every table. Each cell's fate is a pure function of the SOURCE
+    row's string form and its own column index — all replacement
+    expressions are built against the original frame in one select, so
+    nulling column i never perturbs columns i+1… . Shared by
+    tools/null_audit.py (full-catalog sweep) and
+    tests/test_null_contracts.py (the per-row planted-NULL pins).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from twitter_analysis_spark.sources.io import load_table
+
+    for t in tables:
+        df = load_table(spark, src, t)
+        row_str = F.concat_ws("\x00", *[
+            F.col(x).cast("string") for x in df.columns])
+        out = df.select(*[
+            F.when(F.pmod(F.xxhash64(row_str, F.lit(i)),
+                          F.lit(rate)) == 0,
+                   F.lit(None)).otherwise(F.col(c)).alias(c)
+            for i, c in enumerate(df.columns)])
+        tmp_dir = os.path.join(dst, f"_{t}_dir")
+        out.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = next(f for f in os.listdir(tmp_dir)
+                    if f.endswith(".parquet"))
+        # the oracle layer expects FLAT <table>.parquet files like the
+        # real testdata, not spark output directories
+        shutil.move(os.path.join(tmp_dir, part),
+                    os.path.join(dst, f"{t}.parquet"))
+        shutil.rmtree(tmp_dir)
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TESTDATA_TABLES:

@@ -1,0 +1,54 @@
+"""Planted-NULL contract pins (null-audit hazard 20, docs/SCALE.md).
+
+The driver's correctness gate runs on null-free testdata, so a NULL-
+semantics gap (Spark's NULLS FIRST default vs ANSI NULLS LAST, NULL
+join/group keys, three-valued dominance/NOT-IN, kernels raising on
+NULL blobs) is invisible there — the r13 full-catalog audit
+(artifacts/NULL_AUDIT_r13.json) found 42 such rows. Every row fixed
+since then gets a pin HERE: full Spark-vs-DuckDB parity on a
+NULL-injected copy of sf0.001 (~2% of cells nulled in every column of
+every table, the same deterministic injection tools/null_audit.py
+sweeps the whole catalog with). A regression in any fixed row's NULL
+contract fails its pin without waiting for the next manual audit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parity import compare, inject_nulls
+
+#: Rows whose NULL contract is pinned (fix round noted). Grow this
+#: list as audit classes close; tools/null_audit.py remains the
+#: full-catalog sweep for rows not yet fixed.
+FIXED_ROWS = [
+    # r13 class C / ordering fixes
+    "j3_collect_assembly",
+    "c14_array_hof_suite",
+    "t8_moving_avg",
+    "cohort_retention",
+    # r14 class B: structural NOT-NULL contracts + ordering pins
+    "scd2_intervals",
+    "funnel_conversion",
+    "ts_anomaly_zscore",
+    "dq_constraint_report",
+    "layout_rank_bucketize",
+    "a15_skyline_pareto",
+    "j12_interval_overlap_join",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(spark, tmp_path_factory) -> str:
+    root = str(tmp_path_factory.mktemp("nulldata"))
+    inject_nulls(spark, "/root/testdata/sf0.001", root)
+    return root
+
+
+@pytest.mark.parametrize("name", FIXED_ROWS)
+def test_row_is_null_total(spark, null_sf_dir, name):
+    import __spark_entry__ as E
+
+    problems = compare(spark, null_sf_dir, name,
+                       E.queries()[name], E.oracle_sql()[name])
+    assert not problems, problems

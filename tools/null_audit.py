@@ -13,6 +13,7 @@ concat_ws('') standing in for string_agg(NULL), or a hash key built
 from nullable columns — invisible on the null-free driver testdata.
 
 Run: python tools/null_audit.py            (~6 min at sf0.001)
+     python tools/null_audit.py name1 name2  (only those rows)
 Exit code 0 always; the report is the output. Rows fixed to be
 null-total should move from the triage classes to the ok count on
 the next run.
@@ -35,7 +36,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main() -> None:
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
@@ -44,51 +44,47 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     import __spark_entry__ as E
-    from tests.parity import compare
-    from twitter_analysis_spark.sources.io import load_table
+    from tests.parity import compare, inject_nulls
 
     dst = tempfile.mkdtemp(prefix="nulldata_")
-    for t in TABLES:
-        df = load_table(spark, SRC, t)
-        out = df
-        for i, c in enumerate(df.columns):
-            # deterministic per (row, column): hash the row's string
-            # form with the column index
-            key = F.xxhash64(F.concat_ws("\x00", *[
-                F.col(x).cast("string") for x in df.columns]), F.lit(i))
-            out = out.withColumn(
-                c, F.when(F.pmod(key, F.lit(RATE)) == 0,
-                          F.lit(None)).otherwise(F.col(c)))
-        tmp_dir = os.path.join(dst, f"_{t}_dir")
-        out.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-        part = next(f for f in os.listdir(tmp_dir)
-                    if f.endswith(".parquet"))
-        # the oracle layer expects FLAT <table>.parquet files like the
-        # real testdata, not spark output directories
-        shutil.move(os.path.join(tmp_dir, part),
-                    os.path.join(dst, f"{t}.parquet"))
-        shutil.rmtree(tmp_dir)
+    try:
+        inject_nulls(spark, SRC, dst, rate=RATE, tables=TABLES)
 
-    qs = E.queries()
-    osql = E.oracle_sql()
-    diverged, errored, ok = [], [], 0
-    for name in qs:
-        try:
-            probs = compare(spark, dst, name, qs[name], osql.get(name))
-        except Exception as exc:  # noqa: BLE001 — the report IS the point
-            errored.append((name, str(exc).splitlines()[0][:160]))
-            continue
-        if probs:
-            diverged.append((name, probs[0][:160]))
-        else:
-            ok += 1
-    print(f"null audit: {ok} ok / {len(diverged)} diverged / "
-          f"{len(errored)} errored of {len(qs)}")
-    for n, p in diverged:
-        print("  DIVERGE", n, "--", p)
-    for n, e in errored:
-        print("  ERROR  ", n, "--", e)
-    shutil.rmtree(dst, ignore_errors=True)
+        qs = E.queries()
+        osql = E.oracle_sql()
+        only = set(sys.argv[1:])
+        if only:
+            unknown = only - set(qs)
+            if unknown:
+                print("unknown query names:", sorted(unknown))
+            qs = {n: q for n, q in qs.items() if n in only}
+        diverged, errored, no_oracle, ok = [], [], [], 0
+        for name in qs:
+            if name not in osql:
+                # rows-only queries have no DuckDB twin to diverge
+                # from — report them apart, not as errors
+                no_oracle.append(name)
+                continue
+            try:
+                probs = compare(spark, dst, name, qs[name], osql[name])
+            except Exception as exc:  # noqa: BLE001 — the report IS the point
+                errored.append((name, str(exc).splitlines()[0][:160]))
+                continue
+            if probs:
+                diverged.append((name, probs[0][:160]))
+            else:
+                ok += 1
+        print(f"null audit: {ok} ok / {len(diverged)} diverged / "
+              f"{len(errored)} errored / {len(no_oracle)} no-oracle "
+              f"of {len(qs)}")
+        for n, p in diverged:
+            print("  DIVERGE", n, "--", p)
+        for n, e in errored:
+            print("  ERROR  ", n, "--", e)
+        for n in no_oracle:
+            print("  NO-ORACLE (skipped)", n)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -352,7 +352,8 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_conversion",
     """
     WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts_sec,
-                       event_type FROM events),
+                       event_type FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
     t1 AS (SELECT user_id, min(ts_sec) AS t1 FROM ev
            WHERE event_type = 'signup' GROUP BY user_id),
     t2 AS (SELECT e.user_id, min(e.ts_sec) AS t2
@@ -385,7 +386,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window over the raw log). Seconds are the spec'd time axis: the
     # loader's micro-truncated ts (sources/io.py) and DuckDB's nano ts
     # agree after date_trunc, so step inequalities are engine-stable.
+    #
+    # NULL contract (r14, null-audit class B): a funnel step needs an
+    # actor and an instant — rows missing user_id or ts are excluded
+    # explicitly on both sides (the same contract cohort_retention
+    # pins). Without it the engines diverge: the Spark side counts the
+    # min-timestamp columns, the oracle counts user_id, and NULLs in
+    # either column split those two counts apart.
     ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
           .select("user_id",
                   F.date_trunc("second", F.col("ts")).alias("ts_sec"),
                   "event_type"))
@@ -485,7 +494,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ch AS (SELECT user_id, event_id,
                        date_trunc('second', ts) AS ts_sec, value
-                FROM events WHERE event_type = 'purchase'),
+                FROM events WHERE event_type = 'purchase'
+                  AND user_id IS NOT NULL AND event_id IS NOT NULL
+                  AND ts IS NOT NULL),
     dedup AS (SELECT *,
                      lag(value) OVER (PARTITION BY user_id
                                       ORDER BY ts_sec, event_id) AS prev
@@ -511,9 +522,22 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user-keyed partition, so the whole build is a single shuffle
     # and scales with the CHANGE log, not the fact table. event_id
     # breaks timestamp ties for a total order in both engines.
+    #
+    # NULL contract (r14, null-audit class B): an SCD2 change record
+    # is meaningless without its entity key, change time, and
+    # tie-breaker — and a NULL event_id breaks the total order that
+    # date_trunc's deliberate second-level ties rely on, making
+    # lag/lead nondeterministic across engines (no ordering pin can
+    # fix that). The three structural columns are therefore required
+    # NOT NULL, mirrored in the oracle; `value` stays nullable — the
+    # lag-dedup chain's 3-valued `value <> prev` evaluates identically
+    # in Spark and ANSI SQL, pinned by a planted-NULL test.
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     ch = (_t(spark, sf_dir, "events")
-          .where(F.col("event_type") == "purchase")
+          .where((F.col("event_type") == "purchase")
+                 & F.col("user_id").isNotNull()
+                 & F.col("event_id").isNotNull()
+                 & F.col("ts").isNotNull())
           .select("user_id", "event_id",
                   F.date_trunc("second", F.col("ts")).alias("ts_sec"),
                   "value"))
@@ -745,7 +769,7 @@ def text_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(n AS DECIMAL(38,0))) OVER w AS w_sum,
              sum(CAST(n AS DECIMAL(38,0)) * n) OVER w AS w_sq
       FROM daily
-      WINDOW w AS (PARTITION BY event_type ORDER BY d
+      WINDOW w AS (PARTITION BY event_type ORDER BY d NULLS FIRST
                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
     SELECT event_type, d, CAST(n AS BIGINT) AS n,
            CAST(w_sum AS DOUBLE) / CAST(w_n AS DOUBLE) AS mean7,
@@ -775,7 +799,11 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from exact integers with engine-identical float steps. The
     # z-test itself is cross-multiplied (n*w_n - w_sum vs 2*sqrt(...))
     # to avoid dividing before comparing — one sqrt, one division,
-    # identical in both engines.
+    # identical in both engines. The oracle window pins NULLS FIRST
+    # (Spark's ASC default; ANSI defaults NULLS LAST) so a NULL day —
+    # at most one per partition, it is a group key — sits in the same
+    # trailing frame in both engines (r14, null-audit class B, the
+    # t8_moving_avg pattern).
     daily = (_t(spark, sf_dir, "events")
              .groupBy("event_type", F.to_date("ts").alias("d"))
              .agg(F.count(F.lit(1)).alias("n")))
@@ -826,7 +854,9 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders),
     orph AS (
       SELECT count(*) AS v FROM orders
-      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_custkey IS NOT NULL))
     SELECT 'lineitem' AS table_name, 'quantity_in_[1,50]' AS rule,
            n AS n_rows, CAST(v_qty AS BIGINT) AS n_violations,
            CAST(v_qty AS DOUBLE) / CAST(n AS DOUBLE) AS rate FROM li
@@ -858,6 +888,18 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integrity into customer) is a left-anti count. At 100 TB this is
     # the nightly gate you run BEFORE publishing a snapshot; rates are
     # exact-count divisions, engine-identical.
+    #
+    # NULL contracts (r14, null-audit class B): (1) the key-uniqueness
+    # rule counts DISTINCT over a STRUCT of the key columns — a struct
+    # with NULL fields is itself non-null and NULL fields compare
+    # equal under grouping, exactly DuckDB's row-constructor DISTINCT;
+    # a bare multi-arg countDistinct would silently SKIP any row with
+    # a NULL key part, under-reporting duplicates. (2) the referential
+    # rule is scoped to non-null keys on BOTH sides — ANSI NOT IN goes
+    # three-valued the moment either side holds a NULL (reporting 0
+    # violations), while an anti-join counts NULL keys as orphans;
+    # null keys are the shipdate_not_null rule's territory, not this
+    # one's.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -871,13 +913,15 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_qty"),
         _s(F.col("l_extendedprice") <= 0).alias("v_price"),
         _s(F.col("l_shipdate").isNull()).alias("v_ship"),
-        (F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber"))
+        (F.count(F.lit(1))
+         - F.countDistinct(F.struct("l_orderkey", "l_linenumber")))
         .cast("bigint").alias("v_dupkey"))
     o_stats = orders.agg(
         F.count(F.lit(1)).alias("n"),
         _s(F.col("o_totalprice") <= 0).alias("v_tp"))
-    orphans = (orders.join(cust, orders.o_custkey == cust.c_custkey,
-                           "left_anti")
+    orphans = (orders.where(F.col("o_custkey").isNotNull())
+               .join(cust.where(F.col("c_custkey").isNotNull()),
+                     orders.o_custkey == cust.c_custkey, "left_anti")
                .agg(F.count(F.lit(1)).cast("bigint").alias("v")))
 
     li_rules = li_stats.selectExpr(
@@ -956,7 +1000,7 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM lineitem GROUP BY v),
     tot AS (SELECT sum(c) AS n FROM vc),
     cum AS (SELECT v, c,
-                   COALESCE(sum(c) OVER (ORDER BY v
+                   COALESCE(sum(c) OVER (ORDER BY v NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                      0) AS lt
             FROM vc)
@@ -974,7 +1018,10 @@ def layout_rank_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window runs over the DISTINCT-VALUE table (50 quantities here —
     # bounded by the domain, not the corpus), and rows map back through
     # a broadcast join. The row reports per-bucket occupancy + value
-    # ranges; the oracle replays rank_lt * B DIV n exactly.
+    # ranges; the oracle replays rank_lt * B DIV n exactly, pinning
+    # NULLS FIRST on the cumsum window (the operator's documented NULL
+    # contract: NULL is a value group that ranks first, landing in
+    # bucket 0; the map-back join is null-safe so no row drops).
     from .operators.layout import rank_bucketize
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1089,7 +1136,10 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pts AS (
       SELECT p_brand, p_retailprice, p_size, count(*) AS n_parts
-      FROM part GROUP BY 1, 2, 3)
+      FROM part
+      WHERE p_brand IS NOT NULL AND p_retailprice IS NOT NULL
+        AND p_size IS NOT NULL
+      GROUP BY 1, 2, 3)
     SELECT p_brand, p_retailprice, p_size, n_parts
     FROM pts p
     WHERE NOT EXISTS (
@@ -1108,7 +1158,11 @@ def a15_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordered by price. Work after the first (map-side-partial)
     # hash-agg is O(distinct points); the window partitions by brand,
     # so no global sort and no skew pileup. The oracle is the naive
-    # NOT EXISTS dominance predicate.
+    # NOT EXISTS dominance predicate, carrying the operator's NULL
+    # contract explicitly (dominance is undefined on a missing
+    # coordinate — NULL brand/price/size points are excluded in both
+    # engines rather than surviving the oracle's three-valued NOT
+    # EXISTS by accident while vanishing from the running-max sweep).
     from .operators.layout import skyline_2d
 
     return skyline_2d(_t(spark, sf_dir, "part"),

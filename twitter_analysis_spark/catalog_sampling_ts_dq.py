@@ -154,7 +154,10 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(l_shipdate AS DATE) AS d0,
              CAST(l_shipdate AS DATE)
                + CAST(FLOOR(l_quantity) AS INTEGER) AS d1
-      FROM lineitem)
+      FROM lineitem
+      WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+        AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        AND l_shipdate IS NOT NULL AND l_quantity IS NOT NULL)
     SELECT a.l_suppkey, a.l_partkey,
            a.l_orderkey AS ok_1, a.l_linenumber AS ln_1,
            b.l_orderkey AS ok_2, b.l_linenumber AS ln_2,
@@ -176,7 +179,20 @@ def j12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle is the naive inequality join. FLOOR() on quantity in both
     # engines (DuckDB CAST(DOUBLE AS INT) rounds, Spark truncates —
     # floor is the portable spelling).
+    #
+    # NULL contract (r14, null-audit class B): an interval needs both
+    # endpoints and a pair needs orderable ids — rows missing any of
+    # the six inputs are excluded explicitly on both sides. Without
+    # the guard the engines diverge on NULL-bearing ROW comparisons
+    # ((a,b) < (c,d)) and NULL endpoints silently vanish from the grid
+    # explode while going three-valued in the oracle's inequality.
     li = _t(spark, sf_dir, "lineitem")
+    li = li.where(F.col("l_suppkey").isNotNull()
+                  & F.col("l_partkey").isNotNull()
+                  & F.col("l_orderkey").isNotNull()
+                  & F.col("l_linenumber").isNotNull()
+                  & F.col("l_shipdate").isNotNull()
+                  & F.col("l_quantity").isNotNull())
     iv = li.select(
         "l_suppkey", "l_partkey", "l_orderkey", "l_linenumber",
         F.to_date("l_shipdate").alias("d0"),

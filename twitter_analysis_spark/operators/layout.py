@@ -152,6 +152,11 @@ def rank_bucketize(df: DataFrame, col: str, n_buckets: int,
     bounded (grades, quantities, categorical codes, pre-quantized
     floats); for unbounded columns pre-quantize first, or the
     value table itself becomes the problem.
+
+    NULL contract (total): NULL is one more value group that sorts
+    FIRST (Spark's ASC default — an oracle replay must pin NULLS
+    FIRST), so NULL rows land in bucket 0 and the map-back join is
+    null-SAFE equality; no input row is ever dropped.
     """
     from pyspark.sql import Window
 
@@ -164,7 +169,7 @@ def rank_bucketize(df: DataFrame, col: str, n_buckets: int,
         .crossJoin(F.broadcast(tot))
         .select("_v", F.expr(f"(_lt * {n_buckets}) DIV _n")
                 .cast("int").alias(out_col)))
-    return df.join(F.broadcast(mapping), df[col] == mapping["_v"]) \
+    return df.join(F.broadcast(mapping), df[col].eqNullSafe(mapping["_v"])) \
         .drop("_v")
 
 
@@ -189,8 +194,18 @@ def skyline_2d(df: DataFrame, group_col: str, min_col: str, max_col: str,
     single-partition funnel. For the ungrouped skyline at scale,
     range-partition by x and carry per-partition maxima, the same
     two-phase shape global_shuffle_order uses.
+
+    NULL contract: Pareto dominance is undefined on a missing
+    coordinate (every comparison against it is three-valued), so rows
+    with a NULL group or coordinate are EXCLUDED up front — the same
+    explicit predicate an oracle must carry. Without it a NULL-y point
+    silently vanishes from the running-max sweep while surviving a
+    NOT-EXISTS dominance check.
     """
-    pts = (df.groupBy(group_col, min_col, max_col)
+    pts = (df.where(F.col(group_col).isNotNull()
+                    & F.col(min_col).isNotNull()
+                    & F.col(max_col).isNotNull())
+           .groupBy(group_col, min_col, max_col)
            .agg(F.count(F.lit(1)).alias(count_col)))
     return _skyline_pass(pts, group_col, min_col, max_col, count_col) \
         .select(group_col, min_col, max_col, count_col)
@@ -210,9 +225,13 @@ def skyline_2d_global(df: DataFrame, min_col: str, max_col: str,
     the survivors (at most #partitions * |per-partition front|, tiny)
     take one final single-partition pass. Range partitioning on x
     makes phase-2 pruning effective (each partition sees a coherent x
-    band), but correctness never depends on it.
+    band), but correctness never depends on it. NULL-coordinate rows
+    are excluded up front (dominance is undefined on missing data —
+    see skyline_2d).
     """
-    pts = (df.groupBy(min_col, max_col)
+    pts = (df.where(F.col(min_col).isNotNull()
+                    & F.col(max_col).isNotNull())
+           .groupBy(min_col, max_col)
            .agg(F.count(F.lit(1)).alias(count_col))
            .repartitionByRange(n_parts, F.col(min_col)))
     pid = F.spark_partition_id()
