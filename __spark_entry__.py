@@ -49,26 +49,39 @@ from twitter_analysis_spark import catalog  # noqa: E402
 #: retires to age-based ordering. Kept deliberately tiny (each slot
 #: here displaces an age-rotation slot).
 _FRESH_HEAD = {
-    # round 13: rebuilt from per-user day SETS — one collect_set
-    # aggregate, week offsets deduped in-array (no countDistinct
-    # expand), cohort_size lifted from the week-0 row by a window
-    # (3 exchanges, was 5). The r12 evidence predates the rewrite,
-    # so the r13 sweep must re-validate.
-    "cohort_retention": 13,
-    # round 13, null-audit class-C fixes (results unchanged on the
-    # null-free driver testdata; the guards only fire on NULL inputs):
-    # j3 gained nullif('') so the all-NULL group matches string_agg;
-    # c14's first3 passes NULL text through as NULL like
-    # array_to_string
-    "j3_collect_assembly": 13,
-    "c14_array_hof_suite": 13,
-    # t8's oracle window now pins NULLS FIRST (Spark's ASC default),
-    # closing its null-ordering divergence; Spark side untouched
-    "t8_moving_avg": 13,
-    # (r11/r12 entries — graph_pagerank, dedup_canonical,
-    # dedup_clusters_star, dedup_clusters, corpus_training_set —
-    # auto-retired once the r12 sweep recorded them, and were pruned
-    # here in r13 to free slots under the 5-entry cap.)
+    # round 14, null-audit class-B fixes whose SPARK plan changed and
+    # whose evidence is too fresh (r11-r13) to re-enter the age head
+    # on its own. Results are unchanged on the null-free driver
+    # testdata (the guards/rewrites only fire on NULL inputs), but the
+    # plans changed, so the driver re-validates:
+    # - j6_asof_join: asof_join payload now travels as ONE struct
+    #   (NULL payload != no-match) and un-matchable right rows
+    #   (NULL key/time) are dropped up front;
+    # - s9_sessionization / ts_peak_concurrency: structural NOT-NULL
+    #   contracts (ts; interval endpoints), mirrored in the oracles;
+    # - corpus_pack_sequences: pack_sequences excludes NULL order
+    #   keys (no deterministic stream slot), oracle mirrored;
+    # - ts_changepoint_cusum: oracle-only NULLS FIRST pins on the
+    #   CUSUM trajectory and argmax tiebreak (the t8 pattern).
+    "j6_asof_join": 14,
+    "s9_sessionization": 14,
+    "corpus_pack_sequences": 14,
+    "ts_peak_concurrency": 14,
+    "ts_changepoint_cusum": 14,
+    # Not staged under the 5-slot cap, with the validation argument
+    # made explicit: rows whose ONLY change is an oracle edit that is
+    # a provable no-op on null-free input (q17's COUNT(*) ->
+    # COUNT(l_quantity) inside the avg replica — identical without
+    # NULLs) can't be distinguished by the driver's null-free sweep
+    # at all; their validation is tests/test_null_contracts.py, which
+    # runs full parity on a NULL-injected copy. The same applies to
+    # the r14 class-A/B rows already inside the age head (scd2,
+    # funnel, ts_anomaly, dq_constraint, layout_rank_bucketize, a15,
+    # j12, sim_*/mm_image_ahash, ...) — the r14 sweep records them
+    # by age without spending a slot.
+    # (r13 entries — cohort_retention, j3_collect_assembly,
+    # c14_array_hof_suite, t8_moving_avg — auto-retired once the r13
+    # sweep recorded them, pruned here to free slots under the cap.)
 }
 
 _STATIC_FALLBACK = [

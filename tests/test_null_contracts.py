@@ -35,6 +35,15 @@ FIXED_ROWS = [
     "layout_rank_bucketize",
     "a15_skyline_pareto",
     "j12_interval_overlap_join",
+    # r14 class B, out-of-rotation tier (staged in _FRESH_HEAD except
+    # q17, whose oracle-only fix is a provable no-op on null-free
+    # input — THIS pin is its validation)
+    "j6_asof_join",
+    "s9_sessionization",
+    "corpus_pack_sequences",
+    "ts_peak_concurrency",
+    "ts_changepoint_cusum",
+    "q17_small_quantity_revenue",
 ]
 
 

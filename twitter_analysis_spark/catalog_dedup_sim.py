@@ -721,7 +721,7 @@ def w1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), sess AS (
       SELECT user_id,
              sum(new_session) OVER (PARTITION BY user_id
@@ -739,7 +739,16 @@ def s9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assign session ids, then per-session aggregation. Two window
     # passes over ONE shuffle (both windows share the user_id
     # partitioning, so Catalyst reuses the exchange).
-    ev = _t(spark, sf_dir, "events")
+    #
+    # NULL contract (r14, null-audit class B): a session event without
+    # a timestamp has no position in the gap chain — excluded both
+    # sides (Spark sorts it FIRST and opens a session; ANSI sorts it
+    # LAST and absorbs it into the final one). NULL user_id stays: one
+    # anonymous actor partition, identical in both engines; NULL
+    # event_id is harmless (tied-ts rows share a gap of zero whatever
+    # their tie order).
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull()))
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     # TIMESTAMP_NTZ has no direct long cast; compare gaps in epoch
     # MICROseconds (session tz is UTC, so ntz->ltz is the identity
@@ -1274,13 +1283,20 @@ from .operators.asof import asof_join as _asof_join  # noqa: E402
     WITH o1 AS (
       SELECT o_custkey AS user_id, o_orderdate,
              max(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      GROUP BY o_custkey, o_orderdate
     )
     SELECT e.event_id, e.user_id,
            date_trunc('second', e.ts) AS ts_sec,
            o1.o_orderkey AS last_orderkey
-    FROM events e ASOF LEFT JOIN o1
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
+    ASOF LEFT JOIN o1
       ON e.user_id = o1.user_id AND e.ts >= o1.o_orderdate
+    UNION ALL
+    SELECT event_id, user_id, CAST(NULL AS TIMESTAMP) AS ts_sec,
+           CAST(NULL AS BIGINT) AS last_orderkey
+    FROM events WHERE ts IS NULL
     """,
 )
 def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1288,6 +1304,17 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # most recent order at-or-before the event time. Right side is
     # deduplicated to one order per (customer, date) so the as-of winner
     # is deterministic in both engines.
+    #
+    # The oracle spells out the operator's NULL contract (asof.py):
+    # rows with a NULL key or time on the RIGHT are un-matchable and
+    # excluded; LEFT rows with a NULL time keep their row with a NULL
+    # payload. DuckDB's ASOF alone would NOT give this — its
+    # binary-search implementation sorts NULL as +infinity, so a NULL
+    # event ts "matches" the customer's LATEST order and a NULL
+    # o_orderdate becomes greater than every event time, both
+    # violations of the three-valued `e.ts >= o1.o_orderdate` the
+    # clause claims to express (probed directly in r14; the explicit
+    # guards + union restore the 3VL reading).
     events = (
         _t(spark, sf_dir, "events")
         .select("event_id", "user_id", "ts",

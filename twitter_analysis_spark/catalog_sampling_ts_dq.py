@@ -908,13 +908,13 @@ def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     cus AS (
       SELECT daily.event_type, d,
              sum(CAST(tot.nd AS DECIMAL(38,0)) * daily.v - tot.t) OVER (
-               PARTITION BY daily.event_type ORDER BY d
+               PARTITION BY daily.event_type ORDER BY d NULLS FIRST
                ROWS UNBOUNDED PRECEDING) AS s
       FROM daily JOIN tot ON daily.event_type = tot.event_type),
     ranked AS (
       SELECT event_type, d, s,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY abs(s) DESC, d) AS rk
+                                ORDER BY abs(s) DESC, d NULLS FIRST) AS rk
       FROM cus)
     SELECT event_type, d AS changepoint_day,
            CAST(s AS BIGINT) AS s_scaled
@@ -932,6 +932,11 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window pass — the same agg-first discipline as t9/anomaly.
     # Daily totals accumulate in decimal(38,0) (same rationale as
     # ts_trend_slope: one day's micro-unit sum can pass long range).
+    # The oracle pins NULLS FIRST on the cumsum order and the argmax
+    # tiebreak (Spark's ASC default; ANSI defaults NULLS LAST) so the
+    # one possible NULL day per type — it is a group key — takes the
+    # same position in the CUSUM trajectory in both engines (r14,
+    # null-audit class B, the t8 pattern).
     daily = (_t(spark, sf_dir, "events")
              .groupBy("event_type", F.to_date("ts").alias("d"))
              .agg(F.sum(F.floor(F.col("value") * 1e6)
@@ -1031,7 +1036,8 @@ def j13_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_suppkey AS s, CAST(l_shipdate AS DATE) AS d0,
              CAST(l_shipdate AS DATE)
                + CAST(FLOOR(l_quantity) AS INTEGER) AS d1
-      FROM lineitem),
+      FROM lineitem
+      WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL),
     ev AS (
       SELECT s, d0 AS t, 1 AS dlt FROM iv
       UNION ALL
@@ -1055,7 +1061,17 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a group of identical (t, dlt) rows the prefix-sum MULTISET is
     # order-invariant, so the per-supplier max is deterministic even
     # though individual row attribution under ties is not.
-    li = _t(spark, sf_dir, "lineitem")
+    #
+    # NULL contract (r14, null-audit class B): the sweep needs BOTH
+    # endpoints — a NULL shipdate has no sweep position (and sorts at
+    # opposite ends per engine), and a NULL quantity would emit a +1
+    # with no matching -1, holding the interval open forever. Same
+    # interval contract as j12, mirrored in the oracle. NULL suppkey
+    # stays: one anonymous-supplier partition, identical grouping in
+    # both engines.
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate").isNotNull()
+                 & F.col("l_quantity").isNotNull()))
     iv = li.select(
         F.col("l_suppkey").alias("s"),
         F.to_date("l_shipdate").alias("d0"),

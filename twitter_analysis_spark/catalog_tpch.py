@@ -335,7 +335,7 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH d AS (
       SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     s AS (
       SELECT doc_id, source, n_tok,
@@ -354,7 +354,10 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Concatenate-then-chunk sequence packing
     # (operators/curation.py:pack_sequences): per-source token stream
     # cut every 512 tokens; each doc gets (seq_id, tok_offset). The
-    # window is per-source — no global single-task sort.
+    # window is per-source — no global single-task sort. The oracle
+    # carries the operator's NULL contract (order keys must be
+    # non-null — a NULL doc_id has no deterministic stream slot and
+    # would shift every other doc's offsets differently per engine).
     docs = _t(spark, sf_dir, "documents")
     out = _cur.pack_sequences(docs, "doc_id", "source", "doc_id",
                               budget=512, text_col="text")
@@ -969,10 +972,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- decimal(22,6) = round-half-up(sum*1e6/n)/1e6, and 0.2*avg is
       -- decimal(26,7). Comparing qty*1e7 < 2*round_half_up(sum*1e6/n)
       -- in HUGEINT reproduces that boundary bit-for-bit (quantities
-      -- are integral, so every cast below is exact).
+      -- are integral, so every cast below is exact). COUNT(l_quantity)
+      -- not COUNT(*): avg() divides by the NON-NULL count in both
+      -- engines, and the integer replica must too (r14 null audit).
       AND CAST(l.l_quantity AS HUGEINT) * 10000000 <
           (SELECT 2 * ((2 * CAST(SUM(l2.l_quantity) AS HUGEINT) * 1000000
-                        + COUNT(*)) // (2 * COUNT(*)))
+                        + COUNT(l2.l_quantity))
+                       // (2 * COUNT(l2.l_quantity)))
            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
     """,
 )

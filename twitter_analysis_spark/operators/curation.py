@@ -246,13 +246,25 @@ def pack_sequences(df: DataFrame, id_col: str, part_col: str,
     shard column; the window is ordered within shard only, so no
     single-task global sort at any scale — shard granularity (file,
     source, date) is the parallelism knob.
+
+    NULL contract (r14, null-audit class B): ``order_col`` must define
+    each document's slot in the stream, so NULL order keys are
+    EXCLUDED — they have no deterministic offset (two NULL-key docs
+    could land either way around), and Spark (NULLS FIRST) and ANSI
+    (NULLS LAST) would stream them through opposite ends of every
+    shard, shifting every other document's offsets. An oracle replay
+    must carry the same ``IS NOT NULL`` guard. A NULL ``part_col`` is
+    one more shard (identical grouping both engines) and a NULL text
+    yields NULL n_tok/seq_id for that row alone (sum() skips NULLs in
+    both engines).
     """
     w = (Window.partitionBy(part_col).orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     ntok = F.size(tokens(F.col(text_col)))
     return (
-        df.select(F.col(id_col), F.col(part_col), ntok.alias("n_tok"),
-                  F.col(order_col))
+        df.where(F.col(order_col).isNotNull())
+        .select(F.col(id_col), F.col(part_col), ntok.alias("n_tok"),
+                F.col(order_col))
         .withColumn("_start", F.sum("n_tok").over(w) - F.col("n_tok"))
         .select(id_col, part_col, "n_tok",
                 F.floor(F.col("_start") / budget).alias("seq_id"),
