@@ -44,6 +44,26 @@ FIXED_ROWS = [
     "ts_peak_concurrency",
     "ts_changepoint_cusum",
     "q17_small_quantity_revenue",
+    # r14 class A: required-input contracts (IS NOT NULL both sides)
+    # + null-total kernels (NULL blob/vector → excluded, never raise)
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "sim_knn_join",
+    "sim_kmeans_ivf",
+    "dedup_embedding_cosine",
+    "dedup_semantic",
+    "mm_media_metadata",
+    "mm_decode_features",
+    "mm_resize_images",
+    "mm_resample_audio",
+    "mm_frame_sample",
+    "mm_image_ahash",
+    "mm_audio_stats",
+    "text_nb_classifier",
+    "text_tfidf_topk",
+    "text_unit_dedup",
 ]
 
 

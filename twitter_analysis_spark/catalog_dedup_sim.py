@@ -237,7 +237,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            round(list_dot_product(a.v, b.v) /
                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
@@ -262,11 +262,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension suite 2: similarity search (operators/similarity.py)
 # ---------------------------------------------------------------------------
 
+
+def _qvec0(spark, emb):
+    """Driver-side fetch of the query vector (vec_id = 0), honoring the
+    similarity NULL contract: returns None when the row is absent or
+    its embedding is NULL — the oracle's q CTE is empty then, so the
+    caller must return zero rows rather than dereference a NULL blob
+    (r14, null-audit class A)."""
+    row = (emb.where((F.col("vec_id") == 0)
+                     & F.col("embedding").isNotNull())
+           .select("embedding").first())
+    return [float(x) for x in row[0]] if row else None
+
+
 @register(
     "sim_cosine_topk",
     """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
     SELECT vec_id,
            round(list_dot_product(v, qv) /
                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
@@ -279,8 +292,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Brute-force exact ANN baseline: one scan + TakeOrderedAndProject.
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in
-            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qvec = _qvec0(spark, emb)
+    if qvec is None:
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
     return _sim.cosine_topk(emb, qvec, k=10)
 
 
@@ -296,7 +310,7 @@ def _pq_dists_sql(vec: str) -> str:
 #: PQ ANN with seed (iters=0) codebooks: the entire
 #: normalize→codebook→encode→ADC-shortlist→exact-rerank chain in SQL.
 ORACLE_PQ = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     u AS (SELECT vec_id,
                  [x / sqrt(list_dot_product(v, v)) for x in v] AS uv
           FROM e),
@@ -357,8 +371,9 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by tests/test_pq.py: recall floors, exactness on
     # codebook-expressible corpora, and reconstruction-error descent.
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in
-            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qvec = _qvec0(spark, emb)
+    if qvec is None:
+        return spark.createDataFrame([], "vec_id bigint, adc_score double")
     books = _sim.pq_train(emb, m=8, ksub=16, iters=0)
     return _sim.pq_topk(emb, books, qvec, k=10, rerank=50)
 
@@ -366,7 +381,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_lsh_topk",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          pl AS (SELECT * FROM (VALUES (0, 31), (1, 37), (2, 41),
                                       (3, 43), (4, 47), (5, 53)) t(i, p)),
@@ -404,8 +419,9 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # just a rows-only run. Production indexes keep fixed_planes
     # (xorshift); recall tests cover that path.
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in
-            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qvec = _qvec0(spark, emb)
+    if qvec is None:
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
     planes = _sim.arith_planes(len(qvec), num_planes=6)
     return _sim.lsh_topk(emb, planes, qvec, k=10)
 
@@ -550,7 +566,7 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
              doc_id % 16 + 1 AS iw, doc_id % 12 + 1 AS ih,
              doc_id % 2000 + 1 AS ns,
              doc_id % 8 + 1 AS nf
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT doc_id,
            CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -987,8 +1003,8 @@ def a8_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_topk",
     """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
     SELECT vec_id,
            round(list_dot_product(v, qv) /
                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
@@ -1008,8 +1024,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB read-pruning path) keeps its recall-floor coverage in
     # tests/test_dedup_similarity.py.
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in
-            emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qvec = _qvec0(spark, emb)
+    if qvec is None:
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
     cents = _sim.ivf_centroids(emb, nlist=8)
     return _sim.ivf_topk(emb, cents, qvec, k=10, nprobe=8)
 

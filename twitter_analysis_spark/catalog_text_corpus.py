@@ -113,7 +113,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_split_regex(lower(replace(text, ' a ', '. ')),
                                   '\.\s+'),
                s -> trim(s)), s -> s <> '') AS us
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     units AS (
       SELECT doc_id,
@@ -145,7 +145,12 @@ def text_unit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # paragraph breaks directly (planted-fixture tests cover that
     # path). First-occurrence detection is a min(struct) aggregate,
     # not a window — the skew-safe 100 TB shape (see operator doc).
-    docs = _t(spark, sf_dir, "documents")
+    # NULL contract (r14, class A): first-occurrence order is keyed
+    # by (doc_id, pos), so a NULL doc id has no position in it (Spark's
+    # min(struct) ranks NULL smallest, ANSI row_number NULLS LAST ranks
+    # it last — opposite winners); NULL ids are excluded both sides.
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id").isNotNull()))
     adapted = docs.select(
         "doc_id", F.regexp_replace("text", " a ", ". ").alias("text"))
     return _cur.unit_dedup_stats(adapted, "doc_id", "text")
@@ -303,7 +308,8 @@ def _nb_classifier_oracle() -> str:
     WITH lab AS (
       SELECT f.doc_id, d.text,
              CASE WHEN f.quality_score >= 0.5 THEN 1 ELSE 0 END AS y
-      FROM ({feat}) f JOIN documents d USING (doc_id)),
+      FROM ({feat}) f JOIN documents d USING (doc_id)
+      WHERE f.doc_id IS NOT NULL),
     occ AS (SELECT doc_id, y, unnest({_TOKS_SQL}) AS tok FROM lab),
     cnt AS (SELECT tok, sum(y) AS c1, sum(1 - y) AS c0
             FROM occ GROUP BY tok),
@@ -329,8 +335,13 @@ def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # log-odds of "high quality". The oracle retrains from scratch —
     # labels, token-class counts, smoothing, prior — and replays the
     # identical ln arithmetic (rounded at 1e-6, far above cross-libm
-    # ulp noise).
-    docs = _t(spark, sf_dir, "documents")
+    # ulp noise). NULL contract (r14, class A): a training example
+    # needs a doc identity — the oracle's USING join silently drops
+    # NULL ids while the engine-side trainer (no join) kept them; the
+    # exclusion is now explicit on both sides. NULL text stays: it
+    # yields zero tokens and a label-0 prior row, identically.
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id").isNotNull())
     return _ts.nb_quality_classifier(docs, "doc_id", "text")
 
 
@@ -702,10 +713,11 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_topk",
     """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                  FROM documents),
+                  FROM documents WHERE doc_id IS NOT NULL),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+          WHERE doc_id IS NOT NULL),
     scored AS (
       SELECT tf.doc_id, tf.term,
              (CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
@@ -737,7 +749,15 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — self-join on an unpersisted subtree). The scoring-side tf
     # filters to the target docs BEFORE the explode, so its shuffle
     # is 20 documents, not the corpus.
-    docs = _t(spark, sf_dir, "documents")
+    #
+    # NULL contract (r14, null-audit class A): document frequency is
+    # "number of DOCUMENTS containing the term", which needs a doc
+    # identity — an oracle GROUP BY doc_id would collapse every
+    # NULL-id doc into one phantom document while the array-side
+    # explode counts each row, splitting df. NULL ids are excluded
+    # explicitly on both sides; NULL text stays (no tokens, no rows).
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id").isNotNull())
     dfreq = (
         docs.select(F.explode(F.array_distinct(F.split("text", " ")))
                     .alias("term"))
@@ -1141,7 +1161,7 @@ def a14_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_knn_join",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
     pairs AS (
       SELECT q.qid, e.vec_id AS cid,

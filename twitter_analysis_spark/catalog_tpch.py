@@ -411,7 +411,7 @@ def _kmeans_cos_sql(vec: str, cent: str) -> str:
 #: cosine with the mean ALSO routed through an integer sum so no float
 #: reduction anywhere is order-dependent.
 _KMEANS_ASSIGN_PREFIX = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
     seeds AS (
       SELECT list(v ORDER BY vec_id) AS s
       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)

@@ -610,7 +610,16 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     Cosine is computed in double precision with a sequential fold
     (zip_with + aggregate), deterministic across engines — and
     identical between both methods, so their outputs are bit-equal.
+
+    NULL contract: similarity.valid_vectors (cosine is undefined on a
+    missing vector; NULL ids can't be reported) — applied here so the
+    allpairs twin and the cells path share one plan-visible filter,
+    mirrored by ``IS NOT NULL`` in any oracle.
     """
+    from . import similarity as _sim_guard
+
+    emb = _sim_guard.valid_vectors(emb, id_col, vec_col)
+
     def norm(c):
         return F.sqrt(F.aggregate(
             F.transform(c, lambda x: x.cast("double") * x.cast("double")),

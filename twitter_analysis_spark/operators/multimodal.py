@@ -73,10 +73,15 @@ def media_table(docs: DataFrame, id_col: str = "doc_id",
     media_type cycled by id, metadata struct with fake-but-typed fields.
     """
     c = F.col(text_col)
-    mt = F.element_at(
-        F.array(*[F.lit(m) for m in MEDIA_TYPES]),
-        (F.col(id_col) % 3 + 1).cast("int"),
-    )
+    # The isNotNull guard is load-bearing: Spark's element_at over a
+    # LITERAL array with a NULL index does NOT return NULL — it
+    # resolves to the last element (probed on 4.1: both a NULL id and
+    # id=2 yield 'video') — while SQL list indexing with a NULL
+    # subscript is NULL. A NULL id has no media type.
+    mt = F.when(
+        F.col(id_col).isNotNull(),
+        F.element_at(F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+                     (F.col(id_col) % 3 + 1).cast("int")))
     return docs.select(
         F.col(id_col),
         mt.alias("media_type"),
@@ -220,19 +225,30 @@ def synthetic_media_table(docs: DataFrame,
     """Real-format media table: one deterministic PPM/WAV/PV01 blob per
     document, generated Arrow-batch-at-a-time (the generation itself is
     a mapInPandas stage, so blob bytes are born on the executors and
-    never pass through the driver)."""
+    never pass through the driver).
+
+    NULL contract (r14, null-audit class A): a blob cannot be
+    fabricated from a missing id, so NULL ids are excluded by an
+    explicit plan-visible filter (pushed to the scan) — an oracle
+    recomputing features from the id formulas must carry the same
+    ``doc_id IS NOT NULL``. The kernel itself also skips NULLs
+    (belt-and-braces: a single NULL id reaching ``int()`` would
+    otherwise kill the whole job at scale).
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            made = [encode_media(int(i)) for i in pdf[id_col]]
+            ids = [int(i) for i in pdf[id_col] if pd.notna(i)]
+            made = [encode_media(i) for i in ids]
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].values,
+                "doc_id": ids,
                 "media_type": [m for m, _ in made],
                 "content": [b for _, b in made],
             })
 
-    return docs.select(id_col).mapInPandas(
-        run, schema="doc_id long, media_type string, content binary")
+    return docs.select(id_col).where(F.col(id_col).isNotNull()) \
+        .mapInPandas(
+            run, schema="doc_id long, media_type string, content binary")
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -243,11 +259,19 @@ def extract_features(media: DataFrame) -> DataFrame:
     kernel per blob, and emits the typed feature schema. ``media_type``
     in the output is what the PARSER detected from the magic bytes —
     comparing it against the metadata column (or an oracle) catches
-    mislabeled blobs."""
+    mislabeled blobs.
+
+    Null-total (1:1 contract): a NULL blob keeps its row with every
+    feature NULL — decoding nothing yields no features, and a raising
+    kernel would let one bad row kill a 100 TB job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        null_feats = dict.fromkeys(
+            (f.name for f in FEATURE_SCHEMA.fields[1:]), None)
         for pdf in batches:
-            feats = [decode_media(blob) for blob in pdf["content"]]
+            feats = [decode_media(bytes(blob)) if blob is not None
+                     else dict(null_feats)
+                     for blob in pdf["content"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out[[f.name for f in FEATURE_SCHEMA.fields]]
@@ -276,8 +300,8 @@ def frame_sample(media: DataFrame, stride: int = 2) -> DataFrame:
                 "pixel_sum", "content")}
             for did, mt, blob in zip(pdf["doc_id"], pdf["media_type"],
                                      pdf["content"]):
-                if mt != "video":
-                    continue
+                if mt != "video" or blob is None:
+                    continue      # null-total: no container, no frames
                 blob = bytes(blob)
                 (k,) = struct.unpack_from(">I", blob, 4)
                 pos = 8
@@ -321,8 +345,8 @@ def resize(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
                 "doc_id", "width", "height", "pixel_sum", "content")}
             for did, mt, blob in zip(pdf["doc_id"], pdf["media_type"],
                                      pdf["content"]):
-                if mt != "image":
-                    continue
+                if mt != "image" or blob is None:
+                    continue      # null-total: no pixels, no resample
                 w, h, pix, _ = _parse_ppm(bytes(blob))
                 arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
                 ys = (np.arange(out_h) * h) // out_h
@@ -362,8 +386,8 @@ def resample_audio(media: DataFrame, target_rate: int = 4000) -> DataFrame:
                 "sample_sum", "content")}
             for did, mt, blob in zip(pdf["doc_id"], pdf["media_type"],
                                      pdf["content"]):
-                if mt != "audio":
-                    continue
+                if mt != "audio" or blob is None:
+                    continue      # null-total: no samples, no resample
                 rate, channels, bits, data = _parse_wav(bytes(blob))
                 n = len(data)
                 m = (n * target_rate) // rate
@@ -416,8 +440,8 @@ def ahash_bands(media: DataFrame) -> DataFrame:
                 "doc_id", "b0", "b1", "b2", "b3")}
             for did, mt, blob in zip(pdf["doc_id"], pdf["media_type"],
                                      pdf["content"]):
-                if mt != "image":
-                    continue
+                if mt != "image" or blob is None:
+                    continue      # null-total: no pixels, no hash
                 w, h, pix, _ = _parse_ppm(bytes(blob))
                 arr = np.frombuffer(pix, dtype=np.uint8) \
                     .reshape(h, w, 3).astype(np.int64)
@@ -494,8 +518,8 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 "doc_id", "n_samples", "peak_dev", "sum_sq")}
             for did, mt, blob in zip(pdf["doc_id"], pdf["media_type"],
                                      pdf["content"]):
-                if mt != "audio":
-                    continue
+                if mt != "audio" or blob is None:
+                    continue      # null-total: no payload, no stats
                 _rate, _ch, _bits, data = _parse_wav(bytes(blob))
                 d = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
                 out["doc_id"].append(did)

@@ -23,6 +23,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def valid_vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Input contract shared by every similarity entry point (r14,
+    null-audit class A): cosine/L2 geometry is undefined on a missing
+    vector and a hit without an id is unreportable, so NULL rows are
+    dropped by an explicit plan-visible filter (pushed to the scan).
+    An SQL replay must carry the same ``IS NOT NULL`` pair — DuckDB's
+    ``list_inner_product`` refuses NULL lists outright, while Spark's
+    ``aggregate``/``zip_with`` folds would silently emit NULL scores
+    and a NaN/NULL-ordered top-k. One NULL row at 100 TB must degrade
+    to "excluded", never to a job-killing kernel error."""
+    return emb.where(F.col(id_col).isNotNull()
+                     & F.col(vec_col).isNotNull())
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product of two array columns."""
     return F.aggregate(
@@ -51,7 +65,7 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     """
     q = F.array([F.lit(float(x)) for x in query_vec])
     return (
-        emb.select(
+        valid_vectors(emb, id_col, vec_col).select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
         )
@@ -75,8 +89,9 @@ def random_hyperplane_lsh(emb: DataFrame, planes: list[list[float]],
         pv = F.array([F.lit(float(x)) for x in plane])
         bucket = bucket + F.when(dot(F.col(vec_col), pv) >= 0,
                                  F.lit(1 << i)).otherwise(F.lit(0))
-    return emb.select(F.col(id_col), F.col(vec_col),
-                      bucket.cast("int").alias("bucket"))
+    return valid_vectors(emb, id_col, vec_col) \
+        .select(F.col(id_col), F.col(vec_col),
+                bucket.cast("int").alias("bucket"))
 
 
 def _hamming1_buckets(bucket: int, num_planes: int) -> list[int]:
@@ -173,7 +188,8 @@ def ivf_centroids(emb: DataFrame, nlist: int = 8,
     facing recall tests measure the quality that actually matters.
     Driver-side collect is nlist rows (bounded, tiny).
     """
-    rows = (emb.select(id_col, vec_col).orderBy(F.asc(id_col))
+    rows = (valid_vectors(emb, id_col, vec_col)
+            .select(id_col, vec_col).orderBy(F.asc(id_col))
             .limit(nlist).collect())
     return [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
 
@@ -212,7 +228,7 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
     cols = [F.col(id_col), F.col(vec_col), best["cell"].alias("cell")]
     if with_cos:
         cols.append(best["cos"].alias("cell_cos"))
-    return emb.select(*cols)
+    return valid_vectors(emb, id_col, vec_col).select(*cols)
 
 
 def ivf_topk(emb: DataFrame, centroids: list[tuple[int, list[float]]],
@@ -267,8 +283,9 @@ def cosine_topk_vectorized(emb: DataFrame, query_vec: list[float],
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "cosine": np.round(cos, 6)})
 
-    scored = emb.select(id_col, vec_col).mapInPandas(
-        kernel, schema=f"{id_col} long, cosine double")
+    scored = valid_vectors(emb, id_col, vec_col) \
+        .select(id_col, vec_col).mapInPandas(
+            kernel, schema=f"{id_col} long, cosine double")
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
@@ -305,10 +322,10 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(qid_col).alias("qid"),
-                       F.col(qvec_col).alias("_qv"))
-    c = corpus.select(F.col(cid_col).alias("cid"),
-                      F.col(cvec_col).alias("_cv"))
+    q = valid_vectors(queries, qid_col, qvec_col) \
+        .select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qv"))
+    c = valid_vectors(corpus, cid_col, cvec_col) \
+        .select(F.col(cid_col).alias("cid"), F.col(cvec_col).alias("_cv"))
     join_cond = F.col("qid") != F.col("cid") if exclude_self else F.lit(True)
     pairs = (
         c.join(F.broadcast(q), join_cond)
@@ -423,7 +440,11 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16, iters: int = 3,
     fit, PQ minimizes per-subspace *reconstruction* L2 — the quantity
     ADC error is bounded by — so updates are plain means.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    emb = valid_vectors(emb, id_col, vec_col)
+    head = emb.select(vec_col).first()
+    if head is None:
+        raise ValueError("no non-null vectors to train on")
+    dim = len(head[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -466,7 +487,8 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
     """Encode the corpus: (id, codes array<int>). Map-only projection
     (two chained selects: normalize once, then assign); at scale this
     is the stored index — m small ints per vector."""
-    return (emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("_u"))
+    return (valid_vectors(emb, id_col, vec_col)
+            .select(F.col(id_col), _unit(F.col(vec_col)).alias("_u"))
             .select(F.col(id_col),
                     _pq_codes_expr(F.col("_u"), codebooks).alias("codes")))
 
@@ -515,7 +537,8 @@ def pq_topk(emb: DataFrame, codebooks: list[list[list[float]]],
         return adc
     q = F.array([F.lit(float(x)) for x in query_vec])
     return (
-        emb.join(F.broadcast(adc.select(id_col)), id_col)
+        valid_vectors(emb, id_col, vec_col)
+        .join(F.broadcast(adc.select(id_col)), id_col)
         .select(F.col(id_col),
                 F.round(cosine(F.col(vec_col), q), 6).alias("adc_score"))
         .orderBy(F.desc("adc_score"), F.asc(id_col))
