@@ -64,6 +64,19 @@ FIXED_ROWS = [
     "text_nb_classifier",
     "text_tfidf_topk",
     "text_unit_dedup",
+    # r14 class D (hash keys / sketches over nullable inputs) + t9.
+    # t9 and the other window-pinned rows also carry the DuckDB-bug
+    # workaround: 1.0.0's window ORDER BY is NONDETERMINISTIC over a
+    # NULL-bearing sort key (even with explicit NULLS FIRST) when the
+    # window reads an INLINED aggregate CTE — oracles pin Spark's
+    # NULLS-FIRST placement with null-free `(k IS NOT NULL),
+    # COALESCE(k, const)` keys over MATERIALIZED CTEs instead.
+    "t9_cumulative_daily",
+    "corpus_shuffle_order",
+    "corpus_fixed_k_sample",
+    "corpus_domain_mix",
+    "corpus_curation",
+    "ts_robust_approx",
 ]
 
 

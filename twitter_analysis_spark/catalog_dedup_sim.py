@@ -1190,8 +1190,10 @@ def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, event_id,
            round(avg(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts NULLS FIRST,
-                                           event_id NULLS FIRST
+                                  ORDER BY (ts IS NOT NULL),
+                                           COALESCE(ts, TIMESTAMP '2000-01-01'),
+                                           (event_id IS NOT NULL),
+                                           COALESCE(event_id, 0)
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
                AS mov_avg
     FROM events WHERE user_id < 100
@@ -1202,6 +1204,14 @@ def t8_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle on the partition key, sorted frame scan within. The
     # rounding bounds double addition-order noise: both engines sum the
     # same <=3 values in frame order, so 6dp agree.
+    #
+    # Oracle NULL-ordering pin, null-free form: DuckDB 1.0.0's window
+    # ORDER BY is NONDETERMINISTIC over a NULL-bearing sort key — the
+    # NULL row's placement varies run to run even WITH an explicit
+    # NULLS FIRST (probed directly in r14, see test_null_contracts).
+    # `(k IS NOT NULL), COALESCE(k, const)` expresses the same
+    # NULLS-FIRST order with strictly non-null keys, sidestepping the
+    # bug; Spark's ASC default already sorts NULLS FIRST.
     w = (Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
          .rowsBetween(-2, Window.currentRow))
     return (

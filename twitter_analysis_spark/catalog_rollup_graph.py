@@ -760,7 +760,7 @@ def text_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_anomaly_zscore",
     """
-    WITH daily AS (
+    WITH daily AS MATERIALIZED (
       SELECT event_type, ts::DATE AS d, count(*) AS n
       FROM events GROUP BY event_type, d),
     win AS (
@@ -769,7 +769,8 @@ def text_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(n AS DECIMAL(38,0))) OVER w AS w_sum,
              sum(CAST(n AS DECIMAL(38,0)) * n) OVER w AS w_sq
       FROM daily
-      WINDOW w AS (PARTITION BY event_type ORDER BY d NULLS FIRST
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY (d IS NOT NULL), COALESCE(d, DATE '2000-01-01')
                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
     SELECT event_type, d, CAST(n AS BIGINT) AS n,
            CAST(w_sum AS DOUBLE) / CAST(w_n AS DOUBLE) AS mean7,
@@ -799,11 +800,12 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from exact integers with engine-identical float steps. The
     # z-test itself is cross-multiplied (n*w_n - w_sum vs 2*sqrt(...))
     # to avoid dividing before comparing — one sqrt, one division,
-    # identical in both engines. The oracle window pins NULLS FIRST
-    # (Spark's ASC default; ANSI defaults NULLS LAST) so a NULL day —
-    # at most one per partition, it is a group key — sits in the same
-    # trailing frame in both engines (r14, null-audit class B, the
-    # t8_moving_avg pattern).
+    # identical in both engines. The oracle window pins Spark's
+    # NULLS-FIRST placement for the one possible NULL day per
+    # partition — in the null-free `(d IS NOT NULL), COALESCE(d, ...)`
+    # form, because DuckDB 1.0.0's window ORDER BY is nondeterministic
+    # over NULL-bearing sort keys even with an explicit NULLS FIRST
+    # (probed in r14; see t8_moving_avg).
     daily = (_t(spark, sf_dir, "events")
              .groupBy("event_type", F.to_date("ts").alias("d"))
              .agg(F.count(F.lit(1)).alias("n")))
@@ -996,11 +998,12 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "layout_rank_bucketize",
     """
-    WITH vc AS (SELECT l_quantity AS v, count(*) AS c
+    WITH vc AS MATERIALIZED (SELECT l_quantity AS v, count(*) AS c
                 FROM lineitem GROUP BY v),
     tot AS (SELECT sum(c) AS n FROM vc),
     cum AS (SELECT v, c,
-                   COALESCE(sum(c) OVER (ORDER BY v NULLS FIRST
+                   COALESCE(sum(c) OVER (
+                     ORDER BY (v IS NOT NULL), COALESCE(v, 0)
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                      0) AS lt
             FROM vc)
@@ -1019,9 +1022,11 @@ def layout_rank_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded by the domain, not the corpus), and rows map back through
     # a broadcast join. The row reports per-bucket occupancy + value
     # ranges; the oracle replays rank_lt * B DIV n exactly, pinning
-    # NULLS FIRST on the cumsum window (the operator's documented NULL
-    # contract: NULL is a value group that ranks first, landing in
-    # bucket 0; the map-back join is null-safe so no row drops).
+    # the operator's documented NULL contract (NULL is a value group
+    # that ranks FIRST, landing in bucket 0; the map-back join is
+    # null-safe so no row drops) via the null-free
+    # `(v IS NOT NULL), COALESCE(v, 0)` sort — DuckDB 1.0.0's window
+    # ORDER BY is nondeterministic on NULL-bearing keys (r14 probe).
     from .operators.layout import rank_bucketize
 
     li = _t(spark, sf_dir, "lineitem")

@@ -353,7 +353,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(row_number() OVER (
                PARTITION BY source
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
-      FROM documents)
+      FROM documents WHERE doc_id IS NOT NULL)
     WHERE rk <= 10
     """,
 )
@@ -368,7 +368,11 @@ def corpus_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded — for huge strata, pre-filter to the hash frontier
     # (bucket < ~k/|stratum| * 256 via stratified_sample_hash) before
     # ranking to keep the sort input small.
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    # NULL contract (r14, class D): rank is a pure function of the
+    # id hash — a NULL id has none (and would rank at opposite ends
+    # per engine), so it is excluded explicitly on both sides.
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "source")
+            .where(F.col("doc_id").isNotNull()))
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
     return (docs.withColumn("rk", F.row_number().over(w))
@@ -898,7 +902,7 @@ def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_changepoint_cusum",
     """
-    WITH daily AS (
+    WITH daily AS MATERIALIZED (
       SELECT event_type, CAST(ts AS DATE) AS d,
              sum(CAST(FLOOR(value * 1e6) AS DECIMAL(38,0))) AS v
       FROM events GROUP BY 1, 2),
@@ -908,13 +912,15 @@ def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     cus AS (
       SELECT daily.event_type, d,
              sum(CAST(tot.nd AS DECIMAL(38,0)) * daily.v - tot.t) OVER (
-               PARTITION BY daily.event_type ORDER BY d NULLS FIRST
+               PARTITION BY daily.event_type
+               ORDER BY (d IS NOT NULL), COALESCE(d, DATE '2000-01-01')
                ROWS UNBOUNDED PRECEDING) AS s
       FROM daily JOIN tot ON daily.event_type = tot.event_type),
     ranked AS (
       SELECT event_type, d, s,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY abs(s) DESC, d NULLS FIRST) AS rk
+                                ORDER BY abs(s) DESC, (d IS NOT NULL),
+                                         COALESCE(d, DATE '2000-01-01')) AS rk
       FROM cus)
     SELECT event_type, d AS changepoint_day,
            CAST(s AS BIGINT) AS s_scaled
@@ -932,11 +938,13 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window pass — the same agg-first discipline as t9/anomaly.
     # Daily totals accumulate in decimal(38,0) (same rationale as
     # ts_trend_slope: one day's micro-unit sum can pass long range).
-    # The oracle pins NULLS FIRST on the cumsum order and the argmax
-    # tiebreak (Spark's ASC default; ANSI defaults NULLS LAST) so the
-    # one possible NULL day per type — it is a group key — takes the
-    # same position in the CUSUM trajectory in both engines (r14,
-    # null-audit class B, the t8 pattern).
+    # The oracle pins Spark's NULLS-FIRST placement on the cumsum
+    # order and the argmax tiebreak so the one possible NULL day per
+    # type — a group key — takes the same CUSUM position in both
+    # engines (r14, class B) — in the null-free
+    # `(d IS NOT NULL), COALESCE(d, ...)` form, because DuckDB
+    # 1.0.0's window ORDER BY is nondeterministic on NULL-bearing
+    # sort keys even with explicit NULLS FIRST (r14 probe).
     daily = (_t(spark, sf_dir, "events")
              .groupBy("event_type", F.to_date("ts").alias("d"))
              .agg(F.sum(F.floor(F.col("value") * 1e6)
@@ -1173,8 +1181,11 @@ def ts_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_robust_approx",
     """
     WITH per_type AS (
-      SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
-    ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      SELECT event_type, count(*) AS n FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type),
+    ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
     days AS (SELECT DISTINCT d FROM ud),
     member AS (
       SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS wend
@@ -1226,10 +1237,20 @@ def ts_robust_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # harness, dropped at 100 TB. 1e-9-relative float slack on the
     # envelope comparisons (different clip columns sum in different
     # orders).
+    #
+    # NULL contracts (r14, class D), mirrored in the oracle: the
+    # per-type branch needs a grain key AND a measurable value —
+    # the join-based two-pass plan drops a NULL event_type at the
+    # equi-join while a GROUP BY keeps it, and an all-NULL value
+    # group has no percentile for the tolerance check to assert.
+    # The rolling branch counts DISTINCT USERS per day window:
+    # anonymous or timeless rows have no place in either.
     ev = _t(spark, sf_dir, "events")
+    ev_t = ev.where(F.col("event_type").isNotNull()
+                    & F.col("value").isNotNull())
     eps = lambda c: F.lit(1e-9) * (F.lit(1.0) + F.abs(c))  # noqa: E731
 
-    q = (ev.groupBy("event_type").agg(
+    q = (ev_t.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("percentile_approx(value, 0.05, 10000)").alias("lo_a"),
         F.expr("percentile_approx(value, 0.95, 10000)").alias("hi_a"),
@@ -1250,7 +1271,7 @@ def ts_robust_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scan and holistic percentile pass per branch — the plan
     # audit caught exactly that).
     clip = lambda lo, hi: F.least(F.greatest(F.col("value"), lo), hi)  # noqa: E731
-    stats = (ev.join(F.broadcast(q), "event_type")
+    stats = (ev_t.join(F.broadcast(q), "event_type")
              .groupBy("event_type")
              .agg(F.avg(clip(F.col("lo_a"), F.col("hi_a"))).alias("mean_a"),
                   F.avg(clip(F.col("q04"), F.col("q94"))).alias("mean_lo"),
@@ -1294,7 +1315,9 @@ def ts_robust_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # rolling distinct: exact (dedup + count, the certification twin)
     # and HLL over the NON-deduped membership in one grouped agg
-    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    ud = (ev.where(F.col("user_id").isNotNull()
+                   & F.col("ts").isNotNull())
+          .select("user_id", F.to_date("ts").alias("d")).distinct())
     days = ud.select("d").distinct()
     member = (ud.select("user_id",
                         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),

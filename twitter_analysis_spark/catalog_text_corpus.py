@@ -40,7 +40,8 @@ def _build_curate_oracle() -> str:
     return f"""
     SELECT f.doc_id, f.n_tokens, f.quality_score
     FROM ({feat}) f
-    WHERE f.quality_score >= 0.4 AND f.n_tokens >= 5
+    WHERE f.doc_id IS NOT NULL
+      AND f.quality_score >= 0.4 AND f.n_tokens >= 5
       AND f.doc_id NOT IN (SELECT id2 FROM ({pairs}) p)
     """
 
@@ -54,7 +55,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup set is the exact Jaccard operator; swapping in
     # dedup_minhash_lsh turns this into the sub-quadratic 100 TB plan
     # with identical survivor semantics on the verified pairs.
-    docs = _t(spark, sf_dir, "documents")
+    # NULL contract (r14, class D): a curated document needs an
+    # identity — the oracle's NOT IN goes three-valued on a NULL
+    # doc_id (dropping it) while the left-anti join keeps it; the
+    # exclusion is explicit on both sides.
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id").isNotNull()))
     feat = _ts.quality_features(docs.select("doc_id", "text")).drop("text")
     # Deliberately NO cleanup list: this row is one of the three the
     # shingle-cap plan pin greps (tests/test_plans.py — the cap must
@@ -637,14 +643,16 @@ def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t9_cumulative_daily",
     """
-    WITH daily AS (
+    WITH daily AS MATERIALIZED (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(18,2))) AS dv
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, day,
            CAST(dv AS DOUBLE) AS daily_value,
-           CAST(SUM(dv) OVER (PARTITION BY event_type ORDER BY day
+           CAST(SUM(dv) OVER (PARTITION BY event_type
+                              ORDER BY (day IS NOT NULL),
+                                       COALESCE(day, DATE '2000-01-01')
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS cum_value
     FROM daily
@@ -655,7 +663,12 @@ def t9_cumulative_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (event_type, day) FIRST, then window over the tiny aggregate —
     # the unbounded-preceding frame never sees the raw events, and the
     # window is partitioned by event_type so it parallelizes (no
-    # single-partition global-window trap).
+    # single-partition global-window trap). The oracle window pins
+    # Spark's NULLS-FIRST placement for the one possible NULL day per
+    # type (a group key) via the null-free
+    # `(day IS NOT NULL), COALESCE(day, ...)` sort — DuckDB 1.0.0's
+    # window ORDER BY is nondeterministic on NULL-bearing keys even
+    # with explicit NULLS FIRST (r14 probe, see t8_moving_avg).
     daily = (
         _t(spark, sf_dir, "events")
         .groupBy(

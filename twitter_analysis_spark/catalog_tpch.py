@@ -376,7 +376,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY source
                ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)),
                         doc_id) AS rn
-      FROM documents)
+      FROM documents WHERE doc_id IS NOT NULL)
     WHERE rn <= CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
                      THEN 10 ELSE 5 END
     """,
@@ -1320,7 +1320,7 @@ from .operators import rollup as _roll          # noqa: E402
              row_number() OVER (
                ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':42')),
                         doc_id) - 1 AS pos
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT doc_id,
            CAST(pos % 8 AS BIGINT) AS shard,

@@ -182,9 +182,16 @@ def global_shuffle_order(df: DataFrame, id_col: str, seed: int = 42,
 
     The DuckDB oracle states the same thing declaratively:
     ``row_number() OVER (ORDER BY md5(...), id) - 1``.
+
+    NULL contract (r14, null-audit class D): a shuffle placement is a
+    pure function of the row's id, so a NULL id has none — excluded by
+    an explicit filter, mirrored by ``id IS NOT NULL`` in any replay.
+    (Left in, the engines even hash DIFFERENT keys: ``concat_ws``
+    skips the NULL while ``||`` nulls the whole key.)
     """
     from pyspark.sql import Window
 
+    df = df.where(F.col(id_col).isNotNull())
     key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
                             F.lit(str(seed))))
     spark = df.sparkSession
@@ -241,9 +248,18 @@ def deterministic_mix(df: DataFrame, key_col: str, id_col: str,
     bounded by the domain granularity the caller picks (source,
     shard, crawl); for a single mega-domain, pre-aggregate to
     per-shard sub-keys first.
+
+    NULL contract (r14, null-audit class D): quota membership is a
+    pure function of (key, id), so a NULL id has no hash position —
+    its NULL sort key would rank FIRST under Spark and LAST under
+    ANSI, shifting every other row's rank in the group. NULL ids are
+    excluded, mirrored in any replay; a NULL ``key_col`` stays (one
+    more domain, grouped identically in both engines — its rows all
+    share a NULL hash, so the id tiebreak alone orders them).
     """
     from pyspark.sql import Window
 
+    df = df.where(F.col(id_col).isNotNull())
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|"),
                        F.col(id_col).cast("string")))
     w = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
