@@ -370,3 +370,36 @@ def test_cut_duplicated_spans_semantics(spark):
            cur.cut_duplicated_spans(dup, "doc_id", "text",
                                     window=8).collect()}
     assert got[5] == span + " x y z a b" and got[9] == ""
+
+
+def test_pack_sequences_null_order_keys_excluded(spark):
+    """r14 NULL contract: a NULL order key has no deterministic slot
+    in the packed stream — excluded, and every surviving doc's offset
+    is computed as if it never existed."""
+    df = spark.createDataFrame(
+        [(1, "s", "a b c"), (None, "s", "x y"), (2, "s", "d e")],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: (r["seq_id"], r["tok_offset"])
+           for r in cur.pack_sequences(df, "doc_id", "source", "doc_id",
+                                       budget=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 3)      # offsets unshifted by the NULL-key doc
+
+
+def test_deterministic_mix_null_ids_excluded(spark):
+    """r14 NULL contract: quota membership is a pure function of
+    (key, id) — NULL-id rows are excluded and do not displace any
+    hash-ranked survivor."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(f"s{i % 2}", i) for i in range(12)], "source string, doc_id long")
+    with_nulls = base.unionByName(spark.createDataFrame(
+        [("s0", None), ("s1", None)], "source string, doc_id long"))
+    pick = lambda df: sorted(  # noqa: E731
+        (r["source"], r["doc_id"])
+        for r in deterministic_mix(df, "source", "doc_id",
+                                   F.lit(3)).collect())
+    assert pick(base) == pick(with_nulls)
+    assert all(d is not None for _, d in pick(with_nulls))

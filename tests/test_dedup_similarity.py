@@ -698,3 +698,31 @@ def test_ivf_append_equals_fresh_build(spark, sf_dir, tmp_path):
             S.ivf_probe(spark, fresh_path, cents, qvec, k=10,
                         nprobe=2).collect()]
     assert got == want and len(got) == 10
+
+
+def test_similarity_null_vector_contract(spark):
+    """r14 NULL contract (similarity.valid_vectors): NULL ids/vectors
+    are excluded at every entry point — never NULL scores in a top-k,
+    never a raising kernel."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (None, [1.0, 0.0]),
+         (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    top = similarity.cosine_topk(emb, [1.0, 0.0], k=10).collect()
+    ids = [r["vec_id"] for r in top]
+    assert None not in ids and 2 not in ids
+    assert all(r["cosine"] is not None for r in top)
+    assert ids[0] == 0
+
+    cents = similarity.ivf_centroids(emb, nlist=2)
+    assert all(c is not None for _, c in cents)
+    assigned = similarity.ivf_assign(emb, cents)
+    assert assigned.where(F.col("vec_id").isNull()
+                          | F.col("embedding").isNull()).count() == 0
+
+    knn = similarity.knn_join(emb, emb, k=2,
+                              qid_col="vec_id", qvec_col="embedding",
+                              cid_col="vec_id", cvec_col="embedding")
+    pairs = [(r["qid"], r["cid"]) for r in knn.collect()]
+    assert pairs and all(q not in (None, 2) and c not in (None, 2)
+                         for q, c in pairs)

@@ -289,3 +289,40 @@ def test_ranked_cumsum_auto_gate_never_changes_results(
     monkeypatch.undo()
     assert sorted(map(tuple, catalog.QUERIES["a18_abc_classification"](
         spark, sf_dir).collect())) == abc
+
+
+def test_rank_bucketize_null_contract(spark):
+    """r14 NULL contract: NULL is one more value group that ranks
+    FIRST (bucket 0) and the map-back join is null-safe — no input
+    row is ever dropped."""
+    from twitter_analysis_spark.operators.layout import rank_bucketize
+
+    rows = [(i, v) for i, v in enumerate([None, 5, 5, 1, None, 9, 1, 3])]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = rank_bucketize(df, "v", 4).collect()
+    assert len(out) == len(rows)                 # null-safe map-back
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r["v"], set()).add(r["bucket"])
+    assert by_v[None] == {0}                     # NULLs rank first
+    assert all(len(b) == 1 for b in by_v.values())
+    # rank_lt spec: NULL lt=0 -> 0; 1 lt=2 -> 1; 3 lt=4 -> 2;
+    # 5 lt=5 -> 2; 9 lt=7 -> 3 (bucket = lt*4 DIV 8)
+    got = {v: next(iter(b)) for v, b in by_v.items()}
+    assert got == {None: 0, 1: 1, 3: 2, 5: 2, 9: 3}
+
+
+def test_skyline_excludes_null_coordinates(spark):
+    """r14 NULL contract: dominance is undefined on a missing
+    group/coordinate — such points are excluded, never silently
+    dominated or spuriously surviving."""
+    from twitter_analysis_spark.operators.layout import skyline_2d
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 10), ("a", 2.0, 5),      # (2.0, 5) dominated
+         ("a", None, 99), ("a", 3.0, None),  # NULL coords: excluded
+         (None, 1.0, 1)],                    # NULL group: excluded
+        "g string, price double, size long")
+    out = [(r["g"], r["price"], r["size"])
+           for r in skyline_2d(df, "g", "price", "size").collect()]
+    assert out == [("a", 1.0, 10)]

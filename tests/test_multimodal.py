@@ -245,3 +245,38 @@ def test_audio_stats_python_replay(spark, sf_dir):
         dev = [abs(b - 128) for b in data]
         assert (n, peak, ssq) == (len(data), max(dev),
                                   sum((b - 128) ** 2 for b in data))
+
+
+def test_kernels_are_null_total(spark):
+    """r14 NULL contract: NULL ids never reach the blob generator,
+    NULL blobs never reach a parser — extract_features keeps the row
+    with NULL features (1:1), the explode-shaped kernels skip it, and
+    nothing raises."""
+    media = M.synthetic_media_table(
+        spark.createDataFrame([(0,), (None,), (1,), (2,)], "doc_id long"))
+    assert media.where(F.col("doc_id").isNull()).count() == 0
+
+    # hand-plant NULL blobs/types next to real rows
+    planted = media.unionByName(spark.createDataFrame(
+        [(99, "image", None), (98, None, None)],
+        "doc_id long, media_type string, content binary"))
+    feats = {r["doc_id"]: r["n_bytes"]
+             for r in M.extract_features(planted).collect()}
+    assert set(feats) == {0, 1, 2, 98, 99}       # 1:1, no rows lost
+    assert feats[99] is None and feats[98] is None
+    assert feats[0] is not None
+    for fn in (M.resize, M.resample_audio, M.frame_sample,
+               M.ahash_bands, M.audio_stats):
+        out = fn(planted).collect()              # must not raise
+        assert all(r["doc_id"] not in (98, 99) for r in out)
+
+
+def test_media_table_null_id_has_no_media_type(spark):
+    """Spark's element_at over a literal array resolves a NULL index
+    to the LAST element (probed on 4.1) — media_table must guard it."""
+    docs = spark.createDataFrame([(None, "t"), (2, "t")],
+                                 "doc_id long, text string")
+    rows = {r["doc_id"]: r["media_type"]
+            for r in M.media_table(docs).collect()}
+    assert rows[None] is None
+    assert rows[2] == "video"

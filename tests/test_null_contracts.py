@@ -89,8 +89,12 @@ def null_sf_dir(spark, tmp_path_factory) -> str:
 
 @pytest.mark.parametrize("name", FIXED_ROWS)
 def test_row_is_null_total(spark, null_sf_dir, name):
-    import __spark_entry__ as E
+    # catalog.QUERIES directly, NOT __spark_entry__.queries(): the
+    # driver-contract wrapper mutates session conf (shuffle.partitions
+    # -> 32) as the real driver needs, which would silently defeat the
+    # 8-bucket zero-exchange plan pins that run later in this suite.
+    from twitter_analysis_spark import catalog
 
     problems = compare(spark, null_sf_dir, name,
-                       E.queries()[name], E.oracle_sql()[name])
+                       catalog.QUERIES[name], catalog.ORACLES[name])
     assert not problems, problems

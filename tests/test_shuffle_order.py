@@ -64,3 +64,21 @@ def test_seed_changes_order(spark, sf_dir):
     a = _placements(global_shuffle_order(docs, "doc_id", seed=1))
     b = _placements(global_shuffle_order(docs, "doc_id", seed=2))
     assert a != b
+
+
+def test_null_ids_have_no_placement(spark):
+    """r14 NULL contract: a shuffle placement is a pure function of
+    the id, so NULL-id rows are excluded and the surviving order is
+    exactly the order of the same frame without them."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(20).select(F.col("id").alias("doc_id"))
+    with_nulls = base.unionByName(
+        spark.createDataFrame([(None,), (None,)], "doc_id long"))
+    a = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in global_shuffle_order(base, "doc_id", seed=7).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in global_shuffle_order(with_nulls, "doc_id",
+                                       seed=7).collect()}
+    assert a == b                    # NULLs excluded, placements stable
+    assert None not in b

@@ -123,3 +123,37 @@ def test_peak_concurrency_planted(spark, tmp_path):
     got = {r.l_suppkey: r.peak_concurrency for r in
            catalog.QUERIES["ts_peak_concurrency"](spark, sf).collect()}
     assert got == {1: 3, 2: 1}
+
+
+def test_asof_null_contract(spark):
+    """The r14 NULL contract (asof.py docstring): un-matchable right
+    rows (NULL key/time) are invisible; left rows always survive with
+    NULL payload when unmatched; and a matched right row whose payload
+    IS NULL overrides an older non-null payload — the struct-wrapped
+    propagation, where a bare per-column last(ignorenulls) would skip
+    back to the stale value."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "e1"),
+         (1, "2024-01-01 12:00:00", "e2"),   # after the NULL-payload row
+         (1, None, "enull_t"),               # NULL left time
+         (None, "2024-01-01 10:30:00", "enull_k"),  # NULL left key
+         (3, "2024-01-01 10:30:00", "e3")],  # only un-matchable right rows
+        "k long, t string, ev string",
+    ).withColumn("t", F.to_timestamp("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 100),
+         (1, "2024-01-01 11:00:00", None),   # payload IS NULL: must win
+         (None, "2024-01-01 08:00:00", 777),  # NULL key: un-matchable
+         (3, None, 888)],                    # NULL time: un-matchable
+        "k long, t string, state long",
+    ).withColumn("t", F.to_timestamp("t"))
+
+    rows = asof_join(left, right, key="k", left_ts="t",
+                     right_ts="t", payload=["state"]).collect()
+    out = {r["ev"]: r["state"] for r in rows}
+    assert len(rows) == 5                    # every left row survives
+    assert out["e1"] == 100
+    assert out["e2"] is None                 # NULL payload overrides 100
+    assert out["enull_t"] is None            # NULL time matches nothing
+    assert out["enull_k"] is None            # NULL key matches nothing
+    assert out["e3"] is None                 # right rows were un-matchable
