@@ -74,7 +74,10 @@ _FRESH_HEAD = {
     # COUNT(l_quantity) inside the avg replica — identical without
     # NULLs) can't be distinguished by the driver's null-free sweep
     # at all; their validation is tests/test_null_contracts.py, which
-    # runs full parity on a NULL-injected copy. The same applies to
+    # runs full parity on a NULL-injected copy. t10_window_suite is
+    # the same class (an o_orderkey IS NOT NULL guard that never
+    # fires on the driver testdata, surfaced by the 1/10-rate stress
+    # audit after the cap was spent). The same applies to
     # the r14 class-A/B rows already inside the age head (scd2,
     # funnel, ts_anomaly, dq_constraint, layout_rank_bucketize, a15,
     # j12, sim_*/mm_image_ahash, ...) — the r14 sweep records them

@@ -77,6 +77,10 @@ FIXED_ROWS = [
     "corpus_domain_mix",
     "corpus_curation",
     "ts_robust_approx",
+    # r14 stress pass (1/10 null rate) — two latent rows the 1/50
+    # rate had passed by luck
+    "corpus_weighted_sample",
+    "t10_window_suite",
 ]
 
 

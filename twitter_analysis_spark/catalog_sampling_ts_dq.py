@@ -72,7 +72,8 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_weighted_sample",
     """
-    WITH w AS (SELECT doc_id, 1 + n_chars // 100 AS w FROM documents),
+    WITH w AS (SELECT doc_id, 1 + n_chars // 100 AS w FROM documents
+               WHERE doc_id IS NOT NULL),
     draws AS (
       SELECT doc_id, unnest(generate_series(1, w)) AS i FROM w),
     keyed AS (

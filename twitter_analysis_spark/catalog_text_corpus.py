@@ -918,9 +918,10 @@ def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            lag(o_orderkey) OVER w AS prev_key,
            lead(o_orderkey) OVER w AS next_key
     FROM orders
-    WHERE o_custkey < 100
+    WHERE o_custkey < 100 AND o_orderkey IS NOT NULL
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice DESC, o_orderkey)
+                 ORDER BY (o_totalprice IS NULL),
+                          COALESCE(o_totalprice, 0) DESC, o_orderkey)
     """,
 )
 def t10_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,11 +930,21 @@ def t10_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and evaluates every function in the same Window operator. The
     # ORDER BY ends with the unique key -> rank/ntile/lag assignments
     # are total-order deterministic across engines.
+    #
+    # NULL contract (r14, class B — surfaced by the 1/10-rate stress
+    # audit): the tie-break IS the unique key, so a NULL o_orderkey
+    # breaks the total order (and sorts at opposite ends per engine);
+    # rows missing it are excluded both sides. NULL o_totalprice stays
+    # (DESC places NULLs last in both engines); the oracle spells that
+    # placement with null-free keys ((price IS NULL), COALESCE DESC)
+    # because DuckDB 1.0.0's window sort is nondeterministic over
+    # NULL-bearing keys (SCALE.md hazard 21).
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         _t(spark, sf_dir, "orders")
-        .where(F.col("o_custkey") < 100)
+        .where((F.col("o_custkey") < 100)
+               & F.col("o_orderkey").isNotNull())
         .select(
             "o_orderkey", "o_orderpriority", "o_totalprice",
             F.rank().over(w).cast("bigint").alias("rnk"),

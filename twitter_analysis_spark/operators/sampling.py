@@ -101,7 +101,14 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col,
     aggregate is optional work: hash(id, i) could feed top-k directly,
     but per-id max collapses the explode before the exchange, which is
     the difference between shuffling sum(w) rows and |df| rows.
+
+    NULL contract (r14, null-audit class D — found by the 1/10-rate
+    stress pass): a draw is a pure function of the id, so NULL ids
+    are excluded (concat_ws would silently hash a DIFFERENT key than
+    ANSI ||, letting anonymous rows compete); a NULL weight yields no
+    draws, identically to w < 1.
     """
+    df = df.where(F.col(id_col).isNotNull())
     key = F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
