@@ -67,8 +67,15 @@ def main() -> None:
         for name in qs:
             if name not in osql:
                 # rows-only queries have no DuckDB twin to diverge
-                # from — report them apart, not as errors
-                no_oracle.append(name)
+                # from, but they must still SURVIVE null injection —
+                # execute the Spark side and report crash-vs-ok so a
+                # NULL-induced crash stays visible to the audit
+                try:
+                    qs[name](spark, dst).collect()
+                except Exception as exc:  # noqa: BLE001
+                    errored.append((name, str(exc).splitlines()[0][:160]))
+                else:
+                    no_oracle.append(name)
                 continue
             try:
                 probs = compare(spark, dst, name, qs[name], osql[name])
@@ -87,7 +94,7 @@ def main() -> None:
         for n, e in errored:
             print("  ERROR  ", n, "--", e)
         for n in no_oracle:
-            print("  NO-ORACLE (skipped)", n)
+            print("  NO-ORACLE (spark-only run ok)", n)
     finally:
         shutil.rmtree(dst, ignore_errors=True)
 
