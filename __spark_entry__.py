@@ -49,25 +49,19 @@ from twitter_analysis_spark import catalog  # noqa: E402
 #: retires to age-based ordering. Kept deliberately tiny (each slot
 #: here displaces an age-rotation slot).
 _FRESH_HEAD = {
-    # round 14, null-audit class-B fixes whose SPARK plan changed and
-    # whose evidence is too fresh (r11-r13) to re-enter the age head
-    # on its own. Results are unchanged on the null-free driver
-    # testdata (the guards/rewrites only fire on NULL inputs), but the
-    # plans changed, so the driver re-validates:
-    # - j6_asof_join: asof_join payload now travels as ONE struct
-    #   (NULL payload != no-match) and un-matchable right rows
-    #   (NULL key/time) are dropped up front;
-    # - s9_sessionization / ts_peak_concurrency: structural NOT-NULL
-    #   contracts (ts; interval endpoints), mirrored in the oracles;
-    # - corpus_pack_sequences: pack_sequences excludes NULL order
-    #   keys (no deterministic stream slot), oracle mirrored;
-    # - ts_changepoint_cusum: oracle-only NULLS FIRST pins on the
-    #   CUSUM trajectory and argmax tiebreak (the t8 pattern).
-    "j6_asof_join": 14,
-    "s9_sessionization": 14,
-    "corpus_pack_sequences": 14,
-    "ts_peak_concurrency": 14,
-    "ts_changepoint_cusum": 14,
+    # round 15: j9 upgraded from full-replication salted_join to the
+    # hot-key SPLIT join (operators/skew.py:skew_split_join —
+    # replicated dim volume shrinks from |dim| x 16 to |hot slice| x
+    # 16; detection is a declarative count agg + broadcast mean).
+    # Result identical (plain-join oracle unchanged, parity verified
+    # at sf0.001/sf0.01 + null audit in-session), but the plan
+    # changed, so the driver re-validates:
+    "j9_salted_skew_join": 15,
+    # (r14 entries — j6_asof_join, s9_sessionization,
+    # corpus_pack_sequences, ts_peak_concurrency, ts_changepoint_cusum,
+    # the null-audit class-B plan changes — auto-retired once the r14
+    # sweep recorded all five green, pruned here to free slots under
+    # the cap, same as the r13 cohort before them.)
     # Not staged under the 5-slot cap, with the validation argument
     # made explicit: rows whose ONLY change is an oracle edit that is
     # a provable no-op on null-free input (q17's COUNT(*) ->

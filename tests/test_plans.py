@@ -453,8 +453,13 @@ def test_salted_join_is_shuffle_not_broadcast(spark, sf_dir):
     # Salting matters exactly when the dimension CANNOT broadcast (a
     # broadcast join has no reducer skew to begin with). Simulate the
     # big-dim regime by disabling auto-broadcast, as the
-    # maybe_broadcast tests simulate 100x scale: the join must become
-    # a shuffle join keyed on (key, salt).
+    # maybe_broadcast tests simulate 100x scale. Since the r15 upgrade
+    # to skew_split_join the pinned shape is the SPLIT: semi/anti
+    # branches on an explicitly-broadcast hot-KEY set (bounded by
+    # |facts|/threshold — always broadcastable, that broadcast is the
+    # point), the hot branch a shuffle join keyed on (key, salt), the
+    # cold branch a plain shuffle join; the DIMENSION itself must ride
+    # a shuffle join in both branches, never a broadcast.
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -462,8 +467,20 @@ def test_salted_join_is_shuffle_not_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "_salt" in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    assert "BroadcastHashJoin" not in plan
+    # two shuffle joins survive: hot (key, salt) + cold (key)
+    n_shuffle_joins = plan.count("SortMergeJoin") + \
+        plan.count("ShuffledHashJoin")
+    assert n_shuffle_joins >= 2
+    # the split machinery: hot-membership semi + anti on the facts
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # broadcast appears ONLY as the hot-key-set build side (semi/anti/
+    # slice pruning) — never as the dimension join itself: every
+    # BroadcastHashJoin in the plan must be a semi/anti membership
+    # probe, not the c_mktsegment-producing inner join
+    import re
+    for m in re.finditer(r"BroadcastHashJoin \[[^\]]*\], \[[^\]]*\], "
+                         r"(\w+)", plan):
+        assert m.group(1) in ("LeftSemi", "LeftAnti"), plan[:2000]
 
 
 def test_cms_probe_broadcasts_config_sized_sketch(spark, sf_dir):

@@ -99,3 +99,85 @@ def test_salted_join_replicates_small_side(spark):
         facts, dim, on="k", row_cols=["rid"], n_salts=8
     )._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan  # join condition carries the salt key
+
+
+def test_skew_split_join_identical_to_plain(spark):
+    """skew_split_join == plain join on the pathological distribution,
+    for both detection modes (threshold scan / precomputed hot set)."""
+    from twitter_analysis_spark.operators.skew import skew_split_join
+
+    facts = _skewed(spark).withColumn("rid", F.monotonically_increasing_id())
+    dim = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), F.col("id")).alias("name"))
+    cols = sorted(facts.join(dim, "k").columns)
+    want = sorted(map(repr, facts.join(dim, "k").select(*cols).collect()))
+    by_threshold = skew_split_join(facts, dim, on="k", row_cols=["rid"],
+                                   n_salts=8, hot_threshold=10_000)
+    hot = spark.createDataFrame([(0,)], "k long")
+    by_hotset = skew_split_join(facts, dim, on="k", row_cols=["rid"],
+                                n_salts=8, hot_keys=hot)
+    for got in (by_threshold, by_hotset):
+        assert sorted(got.columns) == cols
+        assert sorted(map(repr, got.select(*cols).collect())) == want
+
+
+def test_skew_split_join_left_preserves_unmatched(spark):
+    """LEFT semantics survive the split on both branches: a hot key
+    missing from the dimension and a cold key missing from it."""
+    from twitter_analysis_spark.operators.skew import skew_split_join
+
+    facts = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, 3.0), (7, 4.0), (99, 5.0)],
+        "k long, v double")
+    dim = spark.createDataFrame([(7, "seven")], "k long, name string")
+    got = skew_split_join(facts, dim, on="k", row_cols=["v"], n_salts=4,
+                          hot_threshold=2, how="left")
+    rows = {(r["k"], r["v"], r["name"]) for r in got.collect()}
+    assert rows == {(0, 1.0, None), (0, 2.0, None), (0, 3.0, None),
+                    (7, 4.0, "seven"), (99, 5.0, None)}
+    assert got.count() == 5
+
+
+def test_skew_split_join_null_keys_fall_cold(spark):
+    """NULL join keys take the cold branch where the join's own NULL
+    semantics apply: dropped by inner, preserved by left."""
+    from twitter_analysis_spark.operators.skew import skew_split_join
+
+    facts = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, 3.0), (None, 9.0)], "k long, v double")
+    dim = spark.createDataFrame([(0, "zero")], "k long, name string")
+    inner = skew_split_join(facts, dim, on="k", row_cols=["v"],
+                            n_salts=4, hot_threshold=2)
+    assert inner.where(F.col("k").isNull()).count() == 0
+    assert inner.count() == 3
+    left = skew_split_join(facts, dim, on="k", row_cols=["v"],
+                           n_salts=4, hot_threshold=2, how="left")
+    assert left.where(F.col("k").isNull()).count() == 1
+    assert left.count() == 4
+
+
+def test_skew_split_join_replicates_only_the_hot_slice(spark):
+    """The point of the split: the replicated small side is the HOT
+    slice only — the cold branch joins the dimension unreplicated."""
+    from twitter_analysis_spark.operators.skew import skew_split_join
+
+    facts = _skewed(spark).withColumn("rid", F.monotonically_increasing_id())
+    dim = spark.range(40).select(F.col("id").alias("k"),
+                                 F.lit("x").alias("name"))
+    plan = skew_split_join(
+        facts, dim, on="k", row_cols=["rid"], n_salts=8,
+        hot_threshold=10_000,
+    )._jdf.queryExecution().executedPlan().toString()
+    # exactly one explode (the hot-slice replication) and the salt key
+    # confined to that branch
+    assert plan.count("explode") == 1
+    assert "_salt" in plan
+    # detection mis-use fails loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skew_split_join(facts, dim, on="k", row_cols=["rid"])
+    with _pytest.raises(ValueError):
+        skew_split_join(facts, dim, on="k", row_cols=["rid"],
+                        hot_threshold=1,
+                        hot_keys=spark.createDataFrame([(0,)], "k long"))

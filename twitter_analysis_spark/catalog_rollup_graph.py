@@ -282,22 +282,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The join half of the skew story (a8 covers aggregation): fact
-    # events scattered over 16 salts meet a 16x-replicated customer
-    # slice, so a power-law-hot user key occupies 16 reducers instead
-    # of one (operators/skew.py — when to prefer AQE's runtime skew
-    # split is documented there). The oracle is the PLAIN join: a hash
-    # match proves the salted rewrite is result-identical, counts and
-    # decimal sums included. The dimension side is deliberately NOT
-    # broadcast here — salting exists precisely for dimension sides
-    # too big to broadcast; the test pins the shuffle-join shape.
-    from .operators.skew import salted_join
+    # The join half of the skew story (a8 covers aggregation). Round
+    # 15 upgraded this row from full-replication salted_join to the
+    # hot-key SPLIT join (operators/skew.py:skew_split_join): only
+    # keys above 1.1x the mean fact count take the salted path, so the
+    # replicated dimension volume is |hot slice| x 16 instead of
+    # |dimension| x 16 — at 100 TB that's the difference between
+    # 16x-ing a billion-row dimension and 16x-ing a handful of
+    # celebrity keys (measured: artifacts/BENCH_SKEW_r15.json). The
+    # detection is fully declarative (map-side-combined count agg +
+    # broadcast mean), so the threshold is scale-invariant and both
+    # branches carry rows at every sf. The oracle is the PLAIN join: a
+    # hash match proves the whole split+salt rewrite result-identical,
+    # counts and decimal sums included. The dimension side is
+    # deliberately NOT broadcast in either branch — salting exists
+    # precisely for dimension sides too big to broadcast; the test
+    # pins the shuffle-join shape.
+    from .operators.skew import skew_split_join
 
     ev = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "join_uid")
     cust = (_t(spark, sf_dir, "customer")
             .select(F.col("c_custkey").alias("join_uid"), "c_mktsegment"))
-    joined = salted_join(ev, cust, on="join_uid",
-                         row_cols=["event_id"], n_salts=16)
+    counts = ev.groupBy("join_uid").agg(F.count(F.lit(1)).alias("_n"))
+    hot = (counts.crossJoin(F.broadcast(counts.agg(
+               F.avg("_n").alias("_avg"))))
+           .where(F.col("_n") > 1.1 * F.col("_avg"))
+           .select("join_uid"))
+    joined = skew_split_join(ev, cust, on="join_uid",
+                             row_cols=["event_id"], n_salts=16,
+                             hot_keys=hot)
     return (
         joined.groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_events"),

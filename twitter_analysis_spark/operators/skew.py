@@ -66,3 +66,60 @@ def salted_join(big: DataFrame, small: DataFrame,
     small_r = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return big_s.join(small_r, on_cols + [_SALT], how).drop(_SALT)
+
+
+def skew_split_join(big: DataFrame, small: DataFrame,
+                    on: str | Sequence[str],
+                    row_cols: Sequence[str],
+                    n_salts: int = 16,
+                    hot_threshold: int | None = None,
+                    hot_keys: DataFrame | None = None,
+                    how: str = "inner") -> DataFrame:
+    """Hot-key split join: salt ONLY the keys that need it.
+
+    ``salted_join`` replicates the WHOLE small side ``n_salts`` times —
+    the right trade when most keys are hot, but at 100 TB a power-law
+    distribution usually has a handful of hot keys atop a long cold
+    tail, and 16x-ing a billion-row dimension to fix three celebrity
+    keys pays 16x the dimension shuffle for nothing. The production
+    split (what AQE's skew-join approximates at runtime, made explicit
+    and plan-stable here):
+
+    1. detect hot keys — one aggregate over ``big`` (map-side partial
+       combine collapses it to one row per key per partition, so the
+       detection never itself suffers the skew it measures), keeping
+       keys with more than ``hot_threshold`` rows. Pass precomputed
+       ``hot_keys`` (any DataFrame with the join columns) to skip the
+       scan — at deploy scale these come from table statistics;
+    2. big rows with a hot key take the salted path against ONLY the
+       matching slice of ``small`` (replicated ``n_salts`` times —
+       a few rows, broadcast-cheap);
+    3. everything else joins plain, unsalted and unreplicated;
+    4. union. Result == ``big.join(small, on, how)`` exactly: the two
+       branches partition ``big`` by hot-key membership, and NULL-key
+       rows fall to the cold branch where the join's own NULL
+       semantics apply unchanged.
+
+    Measured (artifacts/BENCH_SKEW_r15.json, planted 30%/90% hot key):
+    the full-replication salted join ties or wins plain locally; the
+    split keeps that win while shrinking the replicated volume from
+    |small| x n_salts to |hot slice| x n_salts.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_split_join supports inner/left, got {how!r}")
+    if (hot_threshold is None) == (hot_keys is None):
+        raise ValueError("pass exactly one of hot_threshold / hot_keys")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if hot_keys is None:
+        hot_keys = (big.groupBy(*on_cols)
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .where(F.col("_n") > hot_threshold)
+                    .select(*on_cols))
+    hot = F.broadcast(hot_keys.select(*on_cols))
+    big_hot = big.join(hot, on_cols, "left_semi")
+    big_cold = big.join(hot, on_cols, "left_anti")
+    small_hot = small.join(hot, on_cols, "left_semi")
+    salted = salted_join(big_hot, small_hot, on=on_cols,
+                         row_cols=row_cols, n_salts=n_salts, how=how)
+    plain = big_cold.join(small, on_cols, how)
+    return salted.unionByName(plain)
