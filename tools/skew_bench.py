@@ -181,9 +181,21 @@ def bench_join(spark, dst: str, sub: str, report: dict) -> None:
                      F.sum(F.col("value").cast("decimal(18,2)"))
                      .cast("double").alias("s")))
 
+    def split():
+        from twitter_analysis_spark.operators.skew import skew_split_join
+        j = skew_split_join(facts, cust, on="user_id",
+                            row_cols=["event_id"], n_salts=N_SALTS,
+                            hot_threshold=500_000)
+        return (j.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("s")))
+
     _conf(spark, aqe=False, skew_join=False)
     assert _hash_all(plain()) == _hash_all(salted()), \
         "salted join result differs from plain"
+    assert _hash_all(plain()) == _hash_all(split()), \
+        "split join result differs from plain"
     tiers = {}
     # the straggler predictor: how the fact side's rows land on the
     # join-shuffle reducers, unsalted vs salted
@@ -200,6 +212,10 @@ def bench_join(spark, dst: str, sub: str, report: dict) -> None:
     tiers[f"salted_join_{N_SALTS}"] = _timed(spark, salted)
     _conf(spark, aqe=True, skew_join=True)
     tiers[f"salted_join_{N_SALTS}_aqe"] = _timed(spark, salted)
+    _conf(spark, aqe=False, skew_join=False)
+    tiers[f"split_join_{N_SALTS}"] = _timed(spark, split)
+    _conf(spark, aqe=True, skew_join=True)
+    tiers[f"split_join_{N_SALTS}_aqe"] = _timed(spark, split)
     report["join"] = tiers
 
 
