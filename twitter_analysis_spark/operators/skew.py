@@ -74,7 +74,8 @@ def skew_split_join(big: DataFrame, small: DataFrame,
                     n_salts: int = 16,
                     hot_threshold: int | None = None,
                     hot_keys: DataFrame | None = None,
-                    how: str = "inner") -> DataFrame:
+                    how: str = "inner",
+                    cleanup: list | None = None) -> DataFrame:
     """Hot-key split join: salt ONLY the keys that need it.
 
     ``salted_join`` replicates the WHOLE small side ``n_salts`` times —
@@ -100,6 +101,17 @@ def skew_split_join(big: DataFrame, small: DataFrame,
        rows fall to the cold branch where the join's own NULL
        semantics apply unchanged.
 
+    The hot-key frame feeds THREE consumers (big's semi and anti
+    probes, small's slice pruning), and Spark plans a tree — without
+    a persist the detection lineage (a full fact-table scan at deploy
+    scale) would execute once PER consumer (observed: j9's pre-fix
+    plan scanned events 8x). It is therefore persisted here; pass
+    ``cleanup`` (the dedup.py pattern) to ``unpersist()`` it after the
+    result materializes — without it, repeated calls in a long-lived
+    session accumulate cached storage (bench clears via
+    ``spark.catalog.clearCache()``). The hot SET itself is tiny by
+    construction (≤ |big|/threshold keys).
+
     Measured (artifacts/BENCH_SKEW_r15.json, planted 30%/90% hot key):
     the full-replication salted join ties or wins plain locally; the
     split keeps that win while shrinking the replicated volume from
@@ -115,7 +127,10 @@ def skew_split_join(big: DataFrame, small: DataFrame,
                     .agg(F.count(F.lit(1)).alias("_n"))
                     .where(F.col("_n") > hot_threshold)
                     .select(*on_cols))
-    hot = F.broadcast(hot_keys.select(*on_cols))
+    hot_set = hot_keys.select(*on_cols).persist()
+    if cleanup is not None:
+        cleanup.append(hot_set)
+    hot = F.broadcast(hot_set)
     big_hot = big.join(hot, on_cols, "left_semi")
     big_cold = big.join(hot, on_cols, "left_anti")
     small_hot = small.join(hot, on_cols, "left_semi")
