@@ -157,6 +157,31 @@ def test_skew_split_join_null_keys_fall_cold(spark):
     assert left.count() == 4
 
 
+def test_skew_split_join_persists_hot_set_for_cleanup(spark):
+    """The hot-key set feeds three consumers (semi probe, anti probe,
+    small-slice pruning); it is persisted so the detection scan runs
+    once, and the caller-supplied cleanup list receives exactly that
+    one frame for release (the dedup.py protocol)."""
+    from twitter_analysis_spark.operators.skew import skew_split_join
+
+    facts = _skewed(spark, n_hot=5_000, n_cold=500).withColumn(
+        "rid", F.monotonically_increasing_id())
+    dim = spark.range(40).select(F.col("id").alias("k"),
+                                 F.lit("x").alias("name"))
+    cleanup: list = []
+    got = skew_split_join(facts, dim, on="k", row_cols=["rid"],
+                          n_salts=4, hot_threshold=1_000, cleanup=cleanup)
+    assert got.count() == facts.join(dim, "k").count()
+    assert len(cleanup) == 1
+    assert cleanup[0].is_cached
+    # the cached frame must be in the final plan (InMemory scan), or
+    # the persist is decorative and the detection lineage re-executes
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "InMemory" in plan
+    cleanup[0].unpersist()
+    assert not cleanup[0].is_cached
+
+
 def test_skew_split_join_replicates_only_the_hot_slice(spark):
     """The point of the split: the replicated small side is the HOT
     slice only — the cold branch joins the dimension unreplicated."""
