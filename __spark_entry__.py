@@ -57,6 +57,17 @@ _FRESH_HEAD = {
     # at sf0.001/sf0.01 + null audit in-session), but the plan
     # changed, so the driver re-validates:
     "j9_salted_skew_join": 15,
+    # round 15: the first FULL-catalog null audit at sf0.1
+    # (artifacts/NULL_AUDIT_SF01_r15.json) surfaced four rows whose
+    # NULL contracts every sf0.001 audit had passed by luck; all
+    # four Spark plans changed (mirrored NOT-NULL guards; winsorized
+    # additionally swaps builtin percentiles for a rank-selected
+    # interpolation spelled identically in both engines), so the
+    # driver re-validates on its null-free data too:
+    "q16_supplier_count": 15,
+    "s10_event_paths": 15,
+    "ts_longest_streak": 15,
+    "ts_winsorized_mean": 15,
     # (r14 entries — j6_asof_join, s9_sessionization,
     # corpus_pack_sequences, ts_peak_concurrency, ts_changepoint_cusum,
     # the null-audit class-B plan changes — auto-retired once the r14

@@ -81,6 +81,19 @@ FIXED_ROWS = [
     # rate had passed by luck
     "corpus_weighted_sample",
     "t10_window_suite",
+    # r15 10x-scale pass (full-catalog audit at sf0.1, rate 50 —
+    # artifacts/NULL_AUDIT_SF01_r15.json): four rows every sf0.001
+    # audit had passed by luck. ANSI NOT-IN three-valued logic
+    # (q16), ordered-sequence element contracts (s10), leaderboard
+    # identity + NULLS FIRST/LAST tiebreak (streak), and the
+    # engines' ULP-divergent percentile interpolations surfacing
+    # through FLOOR(x*1e6) once injected NULLs shifted n
+    # (winsorized — both sides now spell the interpolation
+    # identically from rank-selected elements).
+    "q16_supplier_count",
+    "s10_event_paths",
+    "ts_longest_streak",
+    "ts_winsorized_mean",
 ]
 
 

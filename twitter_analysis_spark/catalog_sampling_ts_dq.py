@@ -437,6 +437,8 @@ def ts_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
+      WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        AND event_type IS NOT NULL
     ), sess AS (
       SELECT user_id, event_id, event_type, ts,
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -467,7 +469,19 @@ def s10_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (partial-agg + TakeOrderedAndProject). Per-session arrays are
     # bounded by session length (minutes of activity), not corpus
     # size.
-    ev = _t(spark, sf_dir, "events")
+    #
+    # NULL contract (r15, sf0.1 null audit): an ordered sequence
+    # element needs a position (ts), a deterministic tiebreak
+    # (event_id — unlike s9, tie ORDER changes the collected path
+    # string), and a label (event_type — concat_ws would silently
+    # skip a NULL, collapsing a trigram to a bigram); rows missing
+    # any of the three are excluded BOTH sides. The guard also keeps
+    # every oracle window sort key null-free (the hazard-21 DuckDB
+    # nondeterminism class). NULL user_id stays: one anonymous actor
+    # partition, identical in both engines (s9's contract).
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+                 & F.col("event_type").isNotNull()))
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
@@ -731,16 +745,44 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_winsorized_mean",
     """
-    WITH b AS (
-      SELECT event_type,
-             quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
-      FROM events GROUP BY event_type),
+    WITH vals AS MATERIALIZED (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    ranked AS MATERIALIZED (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn
+      FROM vals),
+    np AS (SELECT event_type, max(rn) AS n FROM ranked GROUP BY event_type),
+    kk AS (SELECT event_type,
+                  CAST(FLOOR(CAST(0.05 AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                       AS BIGINT) AS k_lo,
+                  CAST(0.05 AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                    - FLOOR(CAST(0.05 AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                    AS frac_lo,
+                  CAST(FLOOR(CAST(0.95 AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                       AS BIGINT) AS k_hi,
+                  CAST(0.95 AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                    - FLOOR(CAST(0.95 AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                    AS frac_hi
+           FROM np),
+    sel AS (
+      SELECT r.event_type,
+             max(CASE WHEN r.rn = k.k_lo + 1 THEN r.value END) AS lo_a,
+             max(CASE WHEN r.rn = k.k_lo + 2 THEN r.value END) AS lo_b,
+             max(CASE WHEN r.rn = k.k_hi + 1 THEN r.value END) AS hi_a,
+             max(CASE WHEN r.rn = k.k_hi + 2 THEN r.value END) AS hi_b,
+             max(k.frac_lo) AS frac_lo, max(k.frac_hi) AS frac_hi
+      FROM ranked r JOIN kk k ON r.event_type = k.event_type
+      GROUP BY r.event_type),
+    b AS (SELECT event_type,
+                 lo_a + (COALESCE(lo_b, lo_a) - lo_a) * frac_lo AS lo,
+                 hi_a + (COALESCE(hi_b, hi_a) - hi_a) * frac_hi AS hi
+          FROM sel),
     clipped AS (
-      SELECT e.event_type,
-             CAST(FLOOR(least(greatest(e.value, b.lo), b.hi) * 1e6)
+      SELECT v.event_type,
+             CAST(FLOOR(least(greatest(v.value, b.lo), b.hi) * 1e6)
                   AS BIGINT) AS v
-      FROM events e JOIN b ON e.event_type = b.event_type)
+      FROM vals v JOIN b ON v.event_type = b.event_type)
     SELECT event_type, count(*) AS n,
            CAST(sum(v) AS BIGINT) AS sum_micro,
            CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
@@ -750,18 +792,63 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Robust-stats preprocessing: per-type 5/95 winsorization (clip to
-    # the exact interpolated percentiles — a7 machinery) followed by
-    # an EXACT mean: clip, floor to integer micro-units per row
-    # (bit-identical IEEE ops), integer-sum — so the "mean" survives
-    # repartitioning and engine changes where a double sum does not.
-    # Two passes by necessity (percentiles are holistic), but the
-    # bounds frame is type-cardinality-sized and broadcasts; at 100 TB
-    # swap pass one for approx_percentile and keep pass two exact.
+    # the interpolated percentiles) followed by an EXACT mean: clip,
+    # floor to integer micro-units per row (bit-identical IEEE ops),
+    # integer-sum — so the "mean" survives repartitioning and engine
+    # changes where a double sum does not.
+    #
+    # NULL/precision contract (r15, sf0.1 null audit): the engines'
+    # builtin interpolations disagree by ULPs (Spark's percentile is
+    # lower + frac*(upper-lower); DuckDB's quantile_cont is the
+    # symmetric lower*(1-frac) + upper*frac) — invisible until a
+    # bound lands where FLOOR(x*1e6) splits the two, which the NULL
+    # injection triggered by shifting n. Both sides therefore SPELL
+    # the interpolation identically from rank-selected elements:
+    # rn = row_number ordered by value (ties pick the same VALUE
+    # whatever their order), pos = 0.05*(n-1) in double, bound =
+    # v[k+1] + (COALESCE(v[k+2], v[k+1]) - v[k+1]) * frac — every
+    # IEEE op mirrored, so the result is bit-identical by
+    # construction. NULL values are excluded (a mean over values
+    # counts values, not rows). The rank window partitions by
+    # event_type — the same type-at-a-time holistic cost class as
+    # the exact percentile it replaces; at 100 TB swap this pass for
+    # approx_percentile and keep the integer pass exact.
     ev = _t(spark, sf_dir, "events")
-    b = ev.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.05)).alias("lo"),
-        F.percentile(F.col("value"), F.lit(0.95)).alias("hi"))
-    clipped = (ev.join(F.broadcast(b), "event_type")
+    vals = ev.where(F.col("value").isNotNull()).select("event_type", "value")
+    wv = Window.partitionBy("event_type").orderBy(F.asc("value"))
+    ranked = vals.withColumn("rn", F.row_number().over(wv))
+    nper = ranked.groupBy("event_type").agg(F.max("rn").alias("n"))
+
+    def _pos(p: float):
+        return F.lit(p) * (F.col("n") - 1).cast("double")
+
+    kk = (nper
+          .withColumn("k_lo", F.floor(_pos(0.05)))
+          .withColumn("frac_lo",
+                      _pos(0.05) - F.floor(_pos(0.05)).cast("double"))
+          .withColumn("k_hi", F.floor(_pos(0.95)))
+          .withColumn("frac_hi",
+                      _pos(0.95) - F.floor(_pos(0.95)).cast("double"))
+          .drop("n"))
+    sel = (ranked.join(F.broadcast(kk), "event_type")
+           .groupBy("event_type")
+           .agg(F.max(F.when(F.col("rn") == F.col("k_lo") + 1,
+                             F.col("value"))).alias("lo_a"),
+                F.max(F.when(F.col("rn") == F.col("k_lo") + 2,
+                             F.col("value"))).alias("lo_b"),
+                F.max(F.when(F.col("rn") == F.col("k_hi") + 1,
+                             F.col("value"))).alias("hi_a"),
+                F.max(F.when(F.col("rn") == F.col("k_hi") + 2,
+                             F.col("value"))).alias("hi_b"),
+                F.max("frac_lo").alias("frac_lo"),
+                F.max("frac_hi").alias("frac_hi")))
+    b = sel.select(
+        "event_type",
+        (F.col("lo_a") + (F.coalesce(F.col("lo_b"), F.col("lo_a"))
+                          - F.col("lo_a")) * F.col("frac_lo")).alias("lo"),
+        (F.col("hi_a") + (F.coalesce(F.col("hi_b"), F.col("hi_a"))
+                          - F.col("hi_a")) * F.col("frac_hi")).alias("hi"))
+    clipped = (vals.join(F.broadcast(b), "event_type")
                .select("event_type",
                        F.floor(F.least(F.greatest(F.col("value"),
                                                   F.col("lo")),
@@ -1101,7 +1188,8 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_longest_streak",
     """
     WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
-                FROM events),
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     isl AS (
       SELECT user_id, d,
              d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
@@ -1129,7 +1217,15 @@ def ts_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     # active-day rows (one exchange, reused) and a top-20
     # TakeOrderedAndProject. Ties on streak length pick the earliest
     # streak; the leaderboard ties break by user_id.
+    #
+    # NULL contract (r15, sf0.1 null audit): a streak day needs a
+    # date, and the leaderboard needs an identity — pooling NULL
+    # user_ids would rank one cross-person pseudo-user, and its NULL
+    # id diverges at the final tiebreak (Spark ASC = NULLS FIRST put
+    # it in the top-20; ANSI NULLS LAST picked a real user). Both
+    # sides exclude NULL ts / NULL user_id; no-op on null-free input.
     ud = (_t(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
           .select("user_id", F.to_date("ts").alias("d")).distinct())
     wrn = Window.partitionBy("user_id").orderBy("d")
     isl = ud.withColumn(

@@ -1074,8 +1074,10 @@ def q11_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT l.l_suppkey) AS supplier_cnt
     FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
     WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13)
+      AND l.l_suppkey IS NOT NULL
       AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                              WHERE s_acctbal < 0)
+                              WHERE s_acctbal < 0
+                                AND s_suppkey IS NOT NULL)
     GROUP BY p.p_brand, p.p_size
     ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
     """,
@@ -1089,10 +1091,19 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocklist, then a count-distinct grouped by part attributes —
     # the distinct is a two-phase aggregate (partial dedup map-side),
     # never a corpus re-shuffle per group.
-    li = _t(spark, sf_dir, "lineitem")
+    #
+    # NULL contract (r15, sf0.1 null audit): ANSI NOT IN is three-
+    # valued — one NULL in the blocklist turns EVERY row's predicate
+    # UNKNOWN (the oracle returned 0 rows), and a NULL probe key is
+    # UNKNOWN too, where a left-anti join keeps it. Both sides pin
+    # the NOT-EXISTS reading: non-null probe keys against a non-null
+    # blocklist (a supplier exclusion needs a supplier id). No-op on
+    # null-free input; pinned in tests/test_null_contracts.py.
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey").isNotNull())
     prt = _t(spark, sf_dir, "part")
     sup = _t(spark, sf_dir, "supplier")
-    bad = sup.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    bad = sup.where((F.col("s_acctbal") < 0)
+                    & F.col("s_suppkey").isNotNull()).select("s_suppkey")
     return (
         li.join(maybe_broadcast(prt.where((F.col("p_brand") != "Brand#1")
                                       & F.col("p_size").isin(1, 5, 9, 13))),
