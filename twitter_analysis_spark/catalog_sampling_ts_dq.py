@@ -809,20 +809,37 @@ def ts_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v[k+1] + (COALESCE(v[k+2], v[k+1]) - v[k+1]) * frac — every
     # IEEE op mirrored, so the result is bit-identical by
     # construction. NULL values are excluded (a mean over values
-    # counts values, not rows). The rank window partitions by
-    # event_type — the same type-at-a-time holistic cost class as
-    # the exact percentile it replaces; at 100 TB swap this pass for
-    # approx_percentile and keep the integer pass exact.
+    # counts values, not rows).
+    #
+    # Scale shape — the rank selection rides operators/layout.py:
+    # ranked_cumsum over the TOTAL order (event_type, value,
+    # event_id): per-type rank = global rank − the type's cumulative
+    # offset (a type-cardinality cumsum, broadcast back). Under the
+    # operator's size gate that is one plain window (no extra jobs —
+    # this row's whole input is a 2-column pruned scan); above it the
+    # two-phase range-partition form takes over automatically, so no
+    # one-task sort wall at deploy scale (the machinery t11/a18/a20
+    # already pin). A per-type row_number would wall on the biggest
+    # type; a GK-sketch band prune was measured 5x slower than the
+    # exact sort at local scale (percentile_approx's per-row insert
+    # dominates) — the gated global rank beats both.
+    from .operators.layout import ranked_cumsum
+
     ev = _t(spark, sf_dir, "events")
-    vals = ev.where(F.col("value").isNotNull()).select("event_type", "value")
-    wv = Window.partitionBy("event_type").orderBy(F.asc("value"))
-    ranked = vals.withColumn("rn", F.row_number().over(wv))
-    nper = ranked.groupBy("event_type").agg(F.max("rn").alias("n"))
+    vals = (ev.where(F.col("value").isNotNull())
+            .select("event_type", "value", "event_id"))
+    r = ranked_cumsum(vals, [F.asc("event_type"), F.asc("value"),
+                             F.asc("event_id")], rank_col="grk")
+    tc = vals.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    wtc = (Window.orderBy("event_type")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    off = tc.withColumn(
+        "off", F.coalesce(F.sum("n").over(wtc), F.lit(0)))
 
     def _pos(p: float):
         return F.lit(p) * (F.col("n") - 1).cast("double")
 
-    kk = (nper
+    kk = (off
           .withColumn("k_lo", F.floor(_pos(0.05)))
           .withColumn("frac_lo",
                       _pos(0.05) - F.floor(_pos(0.05)).cast("double"))
@@ -830,15 +847,16 @@ def ts_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("frac_hi",
                       _pos(0.95) - F.floor(_pos(0.95)).cast("double"))
           .drop("n"))
-    sel = (ranked.join(F.broadcast(kk), "event_type")
+    sel = (r.join(F.broadcast(kk), "event_type")
+           .withColumn("lrk", F.col("grk") - F.col("off"))
            .groupBy("event_type")
-           .agg(F.max(F.when(F.col("rn") == F.col("k_lo") + 1,
+           .agg(F.max(F.when(F.col("lrk") == F.col("k_lo") + 1,
                              F.col("value"))).alias("lo_a"),
-                F.max(F.when(F.col("rn") == F.col("k_lo") + 2,
+                F.max(F.when(F.col("lrk") == F.col("k_lo") + 2,
                              F.col("value"))).alias("lo_b"),
-                F.max(F.when(F.col("rn") == F.col("k_hi") + 1,
+                F.max(F.when(F.col("lrk") == F.col("k_hi") + 1,
                              F.col("value"))).alias("hi_a"),
-                F.max(F.when(F.col("rn") == F.col("k_hi") + 2,
+                F.max(F.when(F.col("lrk") == F.col("k_hi") + 2,
                              F.col("value"))).alias("hi_b"),
                 F.max("frac_lo").alias("frac_lo"),
                 F.max("frac_hi").alias("frac_hi")))
