@@ -68,6 +68,14 @@ _FRESH_HEAD = {
     "s10_event_paths": 15,
     "ts_longest_streak": 15,
     "ts_winsorized_mean": 15,
+    # NOT staged (cap spent — the r14 t10_window_suite precedent):
+    # text_dup_spans / text_cut_dup_spans, surfaced by the r15 sf0.1
+    # STRESS audit after the five slots above were taken. Their
+    # changes (NULL-id exclusion + null-safe flag predicate) are
+    # provable no-ops on null-free input; their validation is the
+    # planted-NULL pins in tests/test_null_contracts.py, and their
+    # r12 evidence age puts them at the front of the age rotation
+    # anyway.
     # (r14 entries — j6_asof_join, s9_sessionization,
     # corpus_pack_sequences, ts_peak_concurrency, ts_changepoint_cusum,
     # the null-audit class-B plan changes — auto-retired once the r14

@@ -165,7 +165,8 @@ def text_unit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_dup_spans",
     f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+               WHERE doc_id IS NOT NULL),
     wins AS (
       SELECT doc_id,
              unnest(CASE WHEN len(tk) >= 8 THEN
@@ -205,15 +206,21 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is flag-equivalent to min(struct) and fine at oracle scale); the
     # engine default hashes keys to xxhash64 — 8-byte shuffle keys
     # instead of 8-word strings — benched as text_dup_spans_xxhash64.
+    # NULL contract (r15, sf0.1 stress audit — the text_unit_dedup
+    # r14 class these sibling rows missed): first-occurrence order is
+    # keyed by (doc_id, pos), so a NULL id has no position in it
+    # (Spark's min(struct) ranks it smallest, ANSI row_number NULLS
+    # LAST ranks it last — opposite winners); excluded both sides.
     return _cur.duplicated_spans(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        window=8, use_hash_key=False)
+        _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull()),
+        "doc_id", "text", window=8, use_hash_key=False)
 
 
 @register(
     "text_cut_dup_spans",
     f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+               WHERE doc_id IS NOT NULL),
     wins AS (
       SELECT doc_id,
              unnest(CASE WHEN len(tk) >= 8 THEN
@@ -251,9 +258,11 @@ def text_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle replays window flagging AND the mask-reconstruction of
     # clean_text token-for-token. Raw-string keys here (oracle twin);
     # engine default is xxhash64 as for text_dup_spans.
+    # NULL contract (r15): same (doc_id, pos) first-occurrence order
+    # as text_dup_spans — NULL ids excluded both sides.
     return _cur.cut_duplicated_spans(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        window=8, use_hash_key=False)
+        _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull()),
+        "doc_id", "text", window=8, use_hash_key=False)
 
 
 @register(

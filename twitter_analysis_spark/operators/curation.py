@@ -419,10 +419,16 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str = "text",
     wins = wins.select("_doc", "_pos", key.alias("_key"))
     firsts = wins.groupBy("_key").agg(
         F.min(F.struct(F.col("_doc"), F.col("_pos"))).alias("_first"))
+    # NULL contract (r15, sf0.1 stress audit): the flag predicate must
+    # be null-SAFE — with a NULL id in the corpus, min(struct) ranks
+    # it smallest, and a plain != against the NULL winner goes
+    # three-valued, silently UNFLAGGING every true duplicate of that
+    # window. eqNullSafe keeps the flagging total whatever ids hold.
+    is_first = (F.col("_first._doc").eqNullSafe(F.col("_doc"))
+                & F.col("_first._pos").eqNullSafe(F.col("_pos")))
     flagged = (
         wins.join(firsts, "_key")
-        .where((F.col("_first._doc") != F.col("_doc"))
-               | (F.col("_first._pos") != F.col("_pos")))
+        .where(~is_first)
         .select("_doc", F.col("_pos").alias("_s"))
     )
     nxt = F.lead("_s").over(Window.partitionBy("_doc").orderBy("_s"))
@@ -480,10 +486,13 @@ def cut_duplicated_spans(df: DataFrame, id_col: str, text_col: str = "text",
     wins = wins.select("_doc", "_pos", key.alias("_key"))
     firsts = wins.groupBy("_key").agg(
         F.min(F.struct(F.col("_doc"), F.col("_pos"))).alias("_first"))
+    # null-SAFE first-occurrence test — see duplicated_spans (a plain
+    # != against a NULL-id min(struct) winner silently unflags).
+    is_first = (F.col("_first._doc").eqNullSafe(F.col("_doc"))
+                & F.col("_first._pos").eqNullSafe(F.col("_pos")))
     starts = (
         wins.join(firsts, "_key")
-        .where((F.col("_first._doc") != F.col("_doc"))
-               | (F.col("_first._pos") != F.col("_pos")))
+        .where(~is_first)
         .groupBy("_doc")
         .agg(F.sort_array(F.collect_list("_pos")).alias("_ss"))
     )
