@@ -624,8 +624,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     with _dedup.released() as cleanup:
+        # dedup=False: triangle_counts canonicalizes to (least,
+        # greatest) + distinct itself; the operator-level directed
+        # distinct would be a redundant second |E| exchange before it
+        # (r15 optimization round).
         return _graph.triangle_counts(
-            _graph.interaction_edges(events),
+            _graph.interaction_edges(events, dedup=False),
             cleanup=cleanup).localCheckpoint()
 
 

@@ -680,7 +680,10 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side is the one that scales.
     from .operators.graph import bfs_khop, interaction_edges
 
-    edges = interaction_edges(_t(spark, sf_dir, "events"))
+    # dedup=False: bfs_khop symmetrizes + distincts the edge view
+    # itself, so the operator-level distinct would be a redundant
+    # second |E| exchange (r15 optimization round).
+    edges = interaction_edges(_t(spark, sf_dir, "events"), dedup=False)
     return bfs_khop(edges, source=0, max_hops=3)
 
 
@@ -1677,19 +1680,29 @@ def a20_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a21_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Market-basket mining: top-20 co-purchased part pairs by order
-    # support. Baskets dedup to distinct (order, part) first, the
-    # upper-triangle pair build joins WITHIN the order key (pair count
-    # per order is quadratic only in basket size — single digits
-    # here; cap baskets before the join for pathological orders, the
-    # LSH hot-bucket precedent), and support partial-aggregates before
-    # one pair-keyed exchange; TakeOrderedAndProject for the top-20.
-    li = _t(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    a, c = b.alias("a"), b.alias("c")
-    pairs = a.join(c, (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-                   & (F.col("a.l_partkey") < F.col("c.l_partkey"))) \
-        .select(F.col("a.l_partkey").alias("p1"),
-                F.col("c.l_partkey").alias("p2"))
+    # support. One groupBy(order) builds each basket as a SORTED
+    # DISTINCT part array (collect_set dedups, so the separate
+    # distinct + self-join of the pre-r15 shape — two exchanges and a
+    # quadratic join — collapses into one exchange + a map-side
+    # upper-triangle explode over the array; A/B at sf0.1: 2.1 ->
+    # 1.7 s, 4 -> 3 jobs, identical rows). Pair count per order stays
+    # quadratic only in basket size — single digits here, and the
+    # basket array is bounded by the order's own width (cap baskets
+    # before the explode for pathological orders, the LSH hot-bucket
+    # precedent); support partial-aggregates before one pair-keyed
+    # exchange; TakeOrderedAndProject for the top-20.
+    # NULL contract: the pre-r15 self-join dropped NULL order keys
+    # implicitly (equi-join on NULL never matches) and NULL part keys
+    # via the three-valued p1 < p2; groupBy would instead build a
+    # basket for the NULL order, so exclude it explicitly.
+    # collect_set drops NULL parts, preserving the old pair set.
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey").isNotNull())
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pairs = (baskets
+             .select(F.posexplode("ps").alias("_i", "p1"), "ps")
+             .select("p1", F.explode(F.expr(
+                 "slice(ps, _i + 2, size(ps) - _i - 1)")).alias("p2")))
     return (pairs.groupBy("p1", "p2")
             .agg(F.count(F.lit(1)).alias("support"))
             .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
@@ -1745,7 +1758,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two degree joins (vertex-keyed), one scalar moments row.
     from .operators.graph import interaction_edges
 
-    e = interaction_edges(_t(spark, sf_dir, "events"))
+    # dedup=False: und's canonical distinct below is the dedup — the
+    # operator-level (src, dst) distinct would only add a second
+    # |E|-keyed exchange before it (r15 optimization round).
+    e = interaction_edges(_t(spark, sf_dir, "events"), dedup=False)
     und = (e.select(F.least("src", "dst").alias("a"),
                     F.greatest("src", "dst").alias("b")).distinct())
     deg = (und.select(F.col("a").alias("v"))
@@ -1754,20 +1770,25 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("xa"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("xb"))
     j = und.join(da, "a").join(db, "b")
-    ends = (j.select(F.col("xa").alias("x"), F.col("xb").alias("y"))
-            .unionByName(j.select(F.col("xb").alias("x"),
-                                  F.col("xa").alias("y"))))
     # Moment sums accumulate in decimal(38,0): power-law hub degrees
     # make x*y (and the n*s cross terms) overflow a silent LongType
     # at 100 TB while DuckDB rides HUGEINT — cast operands BEFORE the
     # multiply/sum (the ts_trend_slope discipline, judge-advice class).
     dec = "decimal(38,0)"
-    m = ends.agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.col("x").cast(dec)).alias("sx"),
-                 F.sum(F.col("y").cast(dec)).alias("sy"),
-                 F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
-                 F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
-                 F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"))
+    # Symmetrized moments in ONE pass over the joined edges (r15
+    # optimization round): ends = {(xa,xb)} ∪ {(xb,xa)}, so n doubles,
+    # sx = sy = Σ(xa+xb), sxy = Σ(xa·xb + xb·xa), sxx = syy =
+    # Σ(xa²+xb²) — exact integer/decimal sums commute, so every
+    # moment (and the final doubles) is bit-identical to the
+    # two-branch union this replaces, without duplicating the
+    # dedup+degree+join subtree into a second plan branch.
+    xa, xb = F.col("xa").cast(dec), F.col("xb").cast(dec)
+    m = (j.agg((F.count(F.lit(1)) * 2).alias("n"),
+               F.sum(xa + xb).alias("sx"),
+               F.sum(xa * F.col("xb") + xb * F.col("xa")).alias("sxy"),
+               F.sum(xa * F.col("xa") + xb * F.col("xb")).alias("sxx"))
+         .select("n", "sx", F.col("sx").alias("sy"), "sxy", "sxx",
+                 F.col("sxx").alias("syy")))
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
         .cast("double")
     den = F.sqrt((F.col("n") * F.col("sxx")

@@ -30,7 +30,7 @@ from __future__ import annotations
 import warnings
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 #: Default document-frequency cap for the shingle inverted index. A
@@ -1073,18 +1073,30 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
                                        F.col("u").alias("v")))
                 .distinct())
 
+    # Per-star neighborhood minimum as a WINDOW over the edge rows
+    # rather than groupBy(u).min + join-back (the r15 optimization
+    # A/B: full dedup_clusters_star 10.4 -> 7.0 s, 98 -> 54 jobs at
+    # sf0.1, hash-identical). Cost argument at any scale: the window
+    # needs exactly one exchange + one sort on u; the join
+    # formulation needs the same exchange for its aggregate and then
+    # a join whose sort-merge path re-sorts the SAME edge rows on the
+    # SAME key (and whose broadcast path only exists while |V| fits).
+    # Skew is a wash: a hot node's partition is one sorted run in
+    # both plans, and min is O(1) window state.
+    _w = Window.partitionBy("u")
+
     def _star(d: DataFrame, large: bool) -> DataFrame:
-        mins = (d.groupBy("u").agg(F.min("v").alias("_mn"))
-                .select("u", F.least("_mn", F.col("u")).alias("m")))
-        joined = d.join(mins, "u")
+        d2 = d.withColumn("m", F.least(F.min("v").over(_w), F.col("u")))
         if large:
-            moved = joined.where(F.col("v") > F.col("u"))
+            moved = d2.where(F.col("v") > F.col("u"))
         else:
-            moved = joined.where(F.col("v") <= F.col("u"))
+            moved = d2.where(F.col("v") <= F.col("u"))
         out = moved.select(F.col("v").alias("u"), F.col("m").alias("v"))
         if not large:
-            out = out.unionByName(
-                joined.select("u", F.col("m").alias("v")))
+            # one (u, m) row per input edge; the round's closing
+            # distinct collapses them to one per node, identical to
+            # the per-distinct-u emission of the join formulation
+            out = out.unionByName(d2.select("u", F.col("m").alias("v")))
         return out
 
     # Convergence signature: (count, xor of per-edge hashes) — an

@@ -47,7 +47,8 @@ SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
 
 
-def interaction_edges(events: DataFrame, n_buckets: int = 150) -> DataFrame:
+def interaction_edges(events: DataFrame, n_buckets: int = 150,
+                      dedup: bool = True) -> DataFrame:
     """Distinct (src, dst) interaction edges derived from the event log.
 
     ``src`` is the acting user; ``dst`` is the interaction target
@@ -55,15 +56,24 @@ def interaction_edges(events: DataFrame, n_buckets: int = 150) -> DataFrame:
     user-id space by ``% n_buckets``). Self-loops are dropped, parallel
     edges collapse to one (unweighted PageRank). Map-side JSON
     extraction + one distinct shuffle; nothing touches the driver.
+
+    ``dedup=False`` skips the distinct: for consumers that immediately
+    re-key and dedup the edges themselves (triangle counting and
+    assortativity canonicalize to (least, greatest) + distinct; BFS
+    symmetrizes + distinct), the operator-level distinct is a second
+    |E|-keyed exchange that buys nothing — the consumer's own distinct
+    performs the identical map-side partial dedup in one shuffle (r15
+    optimization round). Consumers that rely on distinct directed
+    edges (PageRank's out-degree counts) keep the default.
     """
-    return (
+    e = (
         events.select(
             F.col("user_id").alias("src"),
             (F.get_json_object(F.col("props"), "$.k").cast("long")
              % F.lit(n_buckets)).alias("dst"))
         .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
     )
+    return e.distinct() if dedup else e
 
 
 def pagerank_exact(edges: DataFrame, iters: int = 6) -> DataFrame:

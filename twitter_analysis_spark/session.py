@@ -65,4 +65,15 @@ def get_spark(app_name: str = "twitter_analysis_spark",
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Deployment-specific overrides (cluster shuffle parallelism,
+    # compression codec, memory sizing) without code edits: a JSON
+    # object of conf key -> value. Applied LAST so an operator can
+    # A/B scale-dependent settings and a cluster submitter can set
+    # production values — the local defaults above stay the bench
+    # contract.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     return builder.getOrCreate()
