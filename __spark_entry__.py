@@ -68,6 +68,19 @@ _FRESH_HEAD = {
     "s10_event_paths": 15,
     "ts_longest_streak": 15,
     "ts_winsorized_mean": 15,
+    # NOT staged (cap spent; r15 optimization round): the rows whose
+    # PHYSICAL plans changed in the r15 optimization pass —
+    # dedup_clusters_star (window-based star rounds),
+    # dedup_minhash_lsh (checkpointed banded/candidate tables),
+    # a21_copurchase_pairs (basket-array pair build),
+    # graph_assortativity (one-pass moments), graph_bfs_khop
+    # (dedup=False edge view) — all have r11/r12 evidence ages that
+    # put them inside the age rotation head anyway (a21/assort/bfs
+    # are the r11 cohort, clusters_star r12), every one was verified
+    # result-identical in-session (full-catalog oracle sweep at
+    # sf0.01 + sf0.1 hash A/Bs + both-rate null audits, see
+    # OPTIMIZATION_r15.md), and minhash's md5 row (r14 evidence)
+    # rides the same full-catalog verification.
     # NOT staged (cap spent — the r14 t10_window_suite precedent):
     # text_dup_spans / text_cut_dup_spans, surfaced by the r15 sf0.1
     # STRESS audit after the five slots above were taken. Their
