@@ -349,7 +349,11 @@ def main() -> None:
                        .alias("h")).agg(F.expr("bit_xor(h)")).collect())
         # Operators that persist() intermediates (LSH candidate sets)
         # would otherwise accumulate storage across the session and
-        # skew later timings by 2-3x.
+        # skew later timings by 2-3x. NOTE (r15 ADVICE): clearCache()
+        # does NOT release localCheckpoint blocks (minhash banded/cand
+        # barriers) — those free when the ContextCleaner GCs the result
+        # frame, which the per-query System.gc() below plus
+        # spark.cleaner.periodicGC.interval=30s keep bounded.
         spark.catalog.clearCache()
 
     # Untimed warmup pass: loads classes + whole-stage codegen compiles
@@ -393,11 +397,20 @@ def main() -> None:
                     "factor": round(timings[n] / rec, 3)}
                 for n, rec in CONTROL_RECORDS.items() if n in timings}
     control_factor = None
+    control_spread = None
     if controls:
         import math
         control_factor = round(math.exp(
             sum(math.log(c["factor"]) for c in controls.values())
             / len(controls)), 3)
+        # Per-class drift agreement (r15 VERDICT directive 8): max/min
+        # over the three cost-class control factors. ~1.0 means the
+        # classes drifted together and control_factor normalizes every
+        # row fairly; >> BASELINE.md's ~1.1x same-class rule means
+        # per-row normalized ratios carry class-sized error bars and
+        # cross-round comparisons should lean on within-session A/Bs.
+        fs = [c["factor"] for c in controls.values()]
+        control_spread = round(max(fs) / min(fs), 3)
 
     # Automated regression flags against the machine-readable record
     # map (BASELINE_RECORDS.json, extracted from BASELINE.md prose):
@@ -448,6 +461,7 @@ def main() -> None:
         "queries": timings,
         "controls": controls,
         "control_factor": control_factor,
+        "control_spread": control_spread,
         "regressions": regressions,
         "sf": sf_val,
     }

@@ -63,17 +63,30 @@ def get_spark(app_name: str = "twitter_analysis_spark",
         builder = builder.master(master)
     elif not os.environ.get("SPARK_GRAFT_ATTACH_EXISTING"):
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
-    for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, v)
     # Deployment-specific overrides (cluster shuffle parallelism,
     # compression codec, memory sizing) without code edits: a JSON
-    # object of conf key -> value. Applied LAST so an operator can
-    # A/B scale-dependent settings and a cluster submitter can set
-    # production values — the local defaults above stay the bench
-    # contract.
+    # object of conf key -> value. Overrides the defaults ABOVE but
+    # not the caller's explicit ``extra_conf`` (r15 ADVICE: an
+    # ambient/stale env var must never silently defeat programmatic
+    # config — the bench harness and test fixtures set contract knobs
+    # through ``extra_conf``, and those win).
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
     if env_conf:
         import json
-        for k, v in json.loads(env_conf).items():
+        try:
+            parsed = json.loads(env_conf)
+        except ValueError as e:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF is not valid JSON: {e}") from e
+        shadowed = sorted(k for k in parsed if k in (extra_conf or {}))
+        if shadowed:
+            import warnings
+            warnings.warn(
+                "SPARK_GRAFT_EXTRA_CONF keys overridden by the caller's "
+                f"explicit extra_conf (caller wins): {shadowed}",
+                stacklevel=2)
+        for k, v in parsed.items():
             builder = builder.config(k, str(v))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
