@@ -99,7 +99,27 @@ def pagerank_exact(edges: DataFrame, iters: int = 6) -> DataFrame:
     scale. The edge list is persisted pre-partitioned on ``src`` so
     the contribution join re-shuffles only the (|V|-sized) rank table
     every round, never the |E|-sized edges.
+
+    The dangling pool itself rides each round's CHECKPOINT action as
+    an ``observe`` metric (r16): materializing round i's ranks also
+    emits Σ rank_q over dangling nodes — an exact integer sum, order-
+    independent — so round i+1 inlines ``dang_q`` as a plan literal
+    instead of re-scanning the rank leaf through an aggregate +
+    broadcast-exchange subplan. Two stages + one broadcast build
+    fewer per round, zero extra jobs (the metric is computed by the
+    checkpoint job itself — unlike the rejected r15 variant, which
+    paid a separate action for it and lost). Arithmetic unchanged:
+    the same BIGINT sum lands in the same ``DIV`` expression, so
+    every rank table is bit-identical to the oracle's replay.
     """
+    from pyspark.sql import Observation
+
+    # dangling pool = Σ rank_q over out_deg IS NULL — observed during
+    # the checkpoint materialization (exact integer sum; empty/no-
+    # dangling graphs coalesce to 0 exactly like the old aggregate).
+    _DANG = F.coalesce(
+        F.sum(F.when(F.col("out_deg").isNull(), F.col("rank_q"))),
+        F.lit(0)).alias("dang_q")
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())
@@ -119,9 +139,11 @@ def pagerank_exact(edges: DataFrame, iters: int = 6) -> DataFrame:
     try:
         n = nd.count()  # bounded driver scalar (a single long)
         teleport = (15 * SCALE) // (100 * n)
+        obs = Observation()
         ranks = nd.select("node", "out_deg",
                           F.lit(SCALE // n).alias("rank_q")) \
-            .localCheckpoint()
+            .observe(obs, _DANG).localCheckpoint()
+        dang_q = obs.get["dang_q"]
         for _ in range(iters):
             contrib = (
                 ranks.where(F.col("out_deg").isNotNull())
@@ -129,19 +151,18 @@ def pagerank_exact(edges: DataFrame, iters: int = 6) -> DataFrame:
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.expr("rank_q DIV out_deg"))
                      .alias("contrib_q")))
-            dang = (ranks.where(F.col("out_deg").isNull())
-                    .agg(F.coalesce(F.sum("rank_q"), F.lit(0))
-                         .alias("dang_q")))
+            obs = Observation()
             ranks = (
                 nd.join(contrib, "node", "left")
-                .crossJoin(F.broadcast(dang))  # one-row frame: safe
                 .select(
                     "node", "out_deg",
                     (F.lit(teleport)
                      + F.expr(f"({DAMP_NUM} * (coalesce(contrib_q, 0L)"
-                              f" + dang_q DIV {n})) DIV {DAMP_DEN}"))
+                              f" + {int(dang_q)} DIV {n})) DIV {DAMP_DEN}"))
                     .alias("rank_q"))
+                .observe(obs, _DANG)
                 .localCheckpoint())
+            dang_q = obs.get["dang_q"]
         return ranks.select("node", "rank_q")
     finally:
         # also on a failed iteration — a raising checkpoint must not
