@@ -98,6 +98,31 @@ def tokens(col):
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
+def eager_barrier(df: DataFrame) -> DataFrame:
+    """Eager lineage-truncating materialization for mid-pipeline
+    multi-consumer barriers (the minhash banded/candidate tables).
+
+    Default: ``localCheckpoint()`` — executor-local blocks, the right
+    local/bench shape but NON-REPLAYABLE on executor loss. With
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` set, a RELIABLE ``checkpoint()``
+    into that directory instead (the deploy-scale durability story the
+    r15 docstrings promised): blocks survive executor loss at the cost
+    of a filesystem round-trip, so it is opt-in per deployment rather
+    than a local default — the bench contract is unchanged when the
+    variable is unset. The session's checkpoint dir is set on first
+    use; an explicit prior ``setCheckpointDir`` wins.
+    """
+    import os as _os
+
+    ckdir = _os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if not ckdir:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(ckdir)
+    return df.checkpoint()
+
+
 def word_shingles(col, n: int):
     """n-word shingles as strings: transform over a sequence of offsets
     (pure Catalyst expression — no UDF, codegen-friendly).
@@ -419,15 +444,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # jobs at sf0.1, hash-identical). Narrow (docs × bands rows) —
     # cheap to hold; at deploy scale this is the banded index a
     # production run would write between the signature and bucketing
-    # jobs (non-replayable executor-local blocks — swap for a
-    # reliable checkpoint dir where executor loss matters).
+    # jobs. eager_barrier: executor-local blocks by default,
+    # SPARK_GRAFT_CHECKPOINT_DIR flips both barriers to a reliable
+    # checkpoint() where executor loss matters (r16).
     banded = sigs.select(
         "doc",
         F.explode(F.array([
             F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
             for b in range(bands)
         ])).alias("bk"),
-    ).select("doc", "bk.band", "bk.bh").localCheckpoint()
+    ).select("doc", "bk.band", "bk.bh")
+    banded = eager_barrier(banded)
 
     if max_bucket_size is not None:
         # Hot-bucket guard: count per (band, bh) — map-side partial
@@ -448,13 +475,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # banded note above). At deploy scale this is where the candidate
     # table would be checkpointed to storage between the bucketing
     # and verification jobs.
-    cand = (
+    cand = eager_barrier(
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bh"])
         .where(F.col("l.doc") < F.col("r.doc"))
         .select(F.col("l.doc").alias("id1"), F.col("r.doc").alias("id2"))
         .distinct()
-        .localCheckpoint()
     )
     # Exact-Jaccard verification restricted to candidate DOCUMENTS: the
     # shingle inverted index is pruned to docs that appear in some
@@ -628,15 +654,9 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
 
     emb = _sim_guard.valid_vectors(emb, id_col, vec_col)
 
-    def norm(c):
-        return F.sqrt(F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda a, x: a + x))
-
-    dot = F.aggregate(
-        F.zip_with("v1", "v2", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda a, x: a + x)
-    cos_expr = dot / (norm(F.col("v1")) * norm(F.col("v2")))
+    # similarity's shared kernels (unrolled codegen'd add-chains at the
+    # standard width, bit-identical to the HOF folds — sim.UNROLL_DIM).
+    cos_expr = _sim_guard.cosine(F.col("v1"), F.col("v2"))
 
     if method == "allpairs":
         left = emb.select(F.col(id_col).alias("id1"),
@@ -1084,13 +1104,25 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
     # Per-star neighborhood minimum as a WINDOW over the edge rows
     # rather than groupBy(u).min + join-back (the r15 optimization
     # A/B: full dedup_clusters_star 10.4 -> 7.0 s, 98 -> 54 jobs at
-    # sf0.1, hash-identical). Cost argument at any scale: the window
-    # needs exactly one exchange + one sort on u; the join
-    # formulation needs the same exchange for its aggregate and then
-    # a join whose sort-merge path re-sorts the SAME edge rows on the
-    # SAME key (and whose broadcast path only exists while |V| fits).
-    # Skew is a wash: a hot node's partition is one sorted run in
-    # both plans, and min is O(1) window state.
+    # sf0.1, hash-identical). Cost argument: the window needs exactly
+    # one exchange + one sort on u; the join formulation needs the
+    # same exchange for its aggregate and then a join whose
+    # sort-merge path re-sorts the SAME edge rows on the SAME key
+    # (and whose broadcast path only exists while |V| fits).
+    # Skew tradeoff (r15 ADVICE, honest version): a giant component
+    # converges toward a star whose center u holds ~|component| edges,
+    # and ALL of them land in one window partition = one task — AQE
+    # can split a skewed JOIN partition but never a window partition,
+    # so in the adversarial-graph regime the window trades the join's
+    # splittable skew for a straggler. Mitigations at that scale: the
+    # window state is O(1) (min) so the straggler is one sequential
+    # sorted-run scan, not a blowup; and the alternating-star rounds
+    # themselves shrink hot stars geometrically. A skew-triggered
+    # fallback to the groupBy+join form (signaled by, e.g., max
+    # per-u count from a round's aggregate) is the escape hatch if a
+    # deploy corpus ever hits it; not wired here because the signal
+    # isn't free (the convergence signature is a flat agg, no per-u
+    # max) and bench-scale evidence can't justify the extra pass.
     _w = Window.partitionBy("u")
 
     def _star(d: DataFrame, large: bool) -> DataFrame:
@@ -1192,20 +1224,18 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     cents = sim.kmeans_fit_exact(emb, nlist=nlist, iters=1,
                                  id_col=id_col, vec_col=vec_col)
 
-    def norm(c):
-        return F.sqrt(F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda a, x: a + x))
-
     # assigned feeds three consumers (two join sides + the output
     # spine); persist so the scan + nlist-wide argmax runs once. The
     # L2 norm is materialized per VECTOR here, so the in-cell pair
     # test below is one dot fold + a scalar divide instead of three
     # folds — same sqrt(dot(v,v)) arithmetic, bit-identical cosines.
+    # (norm/dot are similarity's shared kernels, which unroll to
+    # codegen'd add-chains at the standard width — bit-identical to
+    # the interpreted HOF folds they started as; see sim.UNROLL_DIM.)
     asg = (sim.ivf_assign(emb, cents, id_col, vec_col, with_cos=True)
            .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
                    "cell", F.col("cell_cos").alias("cc"),
-                   norm(F.col(vec_col)).alias("nrm"))
+                   sim.l2norm(F.col(vec_col)).alias("nrm"))
            .persist())
     if cleanup is not None:
         cleanup.append(asg)
@@ -1218,10 +1248,7 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
                           F.col("nrm").alias(f"{tag}_nrm"))
 
     i, j = side("i"), side("j")
-    dot = F.aggregate(
-        F.zip_with("i_v", "j_v",
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda a, x: a + x)
+    dot = sim.dot(F.col("i_v"), F.col("j_v"))
 
     ranked_before = (F.col("i_cc") < F.col("j_cc")) | (
         (F.col("i_cc") == F.col("j_cc")) & (F.col("i_id") < F.col("j_id")))

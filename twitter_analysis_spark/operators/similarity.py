@@ -37,17 +37,64 @@ def valid_vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
                      & F.col(vec_col).isNotNull())
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold double dot product of two array columns."""
+#: Embedding width of the engine's corpus schema (sources/io.py
+#: generates fixed 64-dim vectors). When an operand array has exactly
+#: this length, ``dot``/``l2norm`` evaluate an UNROLLED add-chain of
+#: ``element_at`` terms — plain codegen'd expressions — instead of the
+#: interpreted ``zip_with``/``aggregate`` fold (higher-order functions
+#: are CodegenFallback, ~10x slower per element; guide §4.1 "prefer
+#: built-ins with codegen"). The chain starts at ``lit(0.0)`` and adds
+#: terms left-to-right, i.e. EXACTLY the fold's IEEE operation
+#: sequence, so the result is bit-identical — no oracle or tolerance
+#: change anywhere. Arrays of any other length (or NULL) fall through
+#: to the original fold via the size guard, so behavior off the
+#: standard width is byte-for-byte what it was. Set to None to disable.
+UNROLL_DIM: int | None = 64
+
+
+def _add_chain(terms: list[Column]) -> Column:
+    """((0.0 + t1) + t2) + ... — the left fold, spelled out."""
+    s: Column = F.lit(0.0)
+    for t in terms:
+        s = s + t
+    return s
+
+
+def _dot_fold(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
 
 
-def l2norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(
+def _sumsq_fold(a: Column) -> Column:
+    return F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two array columns
+    (unrolled to a codegen'd add-chain at the standard width — see
+    UNROLL_DIM; bit-identical either path)."""
+    if UNROLL_DIM is None:
+        return _dot_fold(a, b)
+    d = UNROLL_DIM
+    unrolled = _add_chain([
+        F.element_at(a, i + 1).cast("double")
+        * F.element_at(b, i + 1).cast("double") for i in range(d)])
+    return F.when((F.size(a) == d) & (F.size(b) == d), unrolled) \
+        .otherwise(_dot_fold(a, b))
+
+
+def l2norm(a: Column) -> Column:
+    if UNROLL_DIM is None:
+        return F.sqrt(_sumsq_fold(a))
+    d = UNROLL_DIM
+    unrolled = _add_chain([
+        F.element_at(a, i + 1).cast("double")
+        * F.element_at(a, i + 1).cast("double") for i in range(d)])
+    return F.sqrt(F.when(F.size(a) == d, unrolled)
+                  .otherwise(_sumsq_fold(a)))
 
 
 def cosine(a: Column, b: Column) -> Column:
