@@ -49,25 +49,20 @@ from twitter_analysis_spark import catalog  # noqa: E402
 #: retires to age-based ordering. Kept deliberately tiny (each slot
 #: here displaces an age-rotation slot).
 _FRESH_HEAD = {
-    # round 15: j9 upgraded from full-replication salted_join to the
-    # hot-key SPLIT join (operators/skew.py:skew_split_join —
-    # replicated dim volume shrinks from |dim| x 16 to |hot slice| x
-    # 16; detection is a declarative count agg + broadcast mean).
-    # Result identical (plain-join oracle unchanged, parity verified
-    # at sf0.001/sf0.01 + null audit in-session), but the plan
-    # changed, so the driver re-validates:
-    "j9_salted_skew_join": 15,
-    # round 15: the first FULL-catalog null audit at sf0.1
-    # (artifacts/NULL_AUDIT_SF01_r15.json) surfaced four rows whose
-    # NULL contracts every sf0.001 audit had passed by luck; all
-    # four Spark plans changed (mirrored NOT-NULL guards; winsorized
-    # additionally swaps builtin percentiles for a rank-selected
-    # interpolation spelled identically in both engines), so the
-    # driver re-validates on its null-free data too:
-    "q16_supplier_count": 15,
-    "s10_event_paths": 15,
-    "ts_longest_streak": 15,
-    "ts_winsorized_mean": 15,
+    # round 16: the two ExactSubstr span rows switched their window
+    # join/aggregate keys from RAW ~8-word strings to 8-byte
+    # md5-derived hashes (unhex(substr(md5(win),1,16))) spelled
+    # IDENTICALLY in both the Spark operator and the DuckDB oracle
+    # (guide §2.3 — shuffle 8-byte keys, not string payloads).
+    # Outputs verified byte-identical to the raw-key formulation at
+    # sf0.001/0.01/0.1 in-session, but implementation AND oracle
+    # changed, so the driver re-validates the new contract:
+    "text_dup_spans": 16,
+    "text_cut_dup_spans": 16,
+    # (r15 entries — j9_salted_skew_join, q16_supplier_count,
+    # s10_event_paths, ts_longest_streak, ts_winsorized_mean —
+    # auto-retired: the r15 sweep recorded all five green; pruned to
+    # free slots under the cap, same as the r13/r14 cohorts.)
     # NOT staged (cap spent; r15 optimization round): the rows whose
     # PHYSICAL plans changed in the r15 optimization pass —
     # dedup_clusters_star (window-based star rounds),

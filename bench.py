@@ -284,11 +284,13 @@ def _extra_queries():
 
     def dup_spans_xxhash64(spark, sf_dir):
         # same pipeline/parameters as catalog text_dup_spans, but the
-        # xxhash64 production join keys (8 bytes vs 8-word strings)
+        # xxhash64 production join keys (8 bytes; r16 renamed the
+        # operator's use_hash_key=True param to key_mode="xxhash64" —
+        # the measured computation is unchanged)
         from twitter_analysis_spark.operators import curation as _cur
         return _cur.duplicated_spans(
             load_table(spark, sf_dir, "documents"), "doc_id", "text",
-            window=8, use_hash_key=True)
+            window=8, key_mode="xxhash64")
 
     return {"dedup_minhash_lsh_xxhash64": minhash_xxhash64,
             "text_dup_spans_xxhash64": dup_spans_xxhash64}

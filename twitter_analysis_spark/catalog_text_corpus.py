@@ -170,14 +170,15 @@ def text_unit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins AS (
       SELECT doc_id,
              unnest(CASE WHEN len(tk) >= 8 THEN
-               [{{'pos': i-1, 'win': array_to_string(tk[i:i+7], ' ')}}
+               [{{'pos': i-1, 'k': unhex(substr(md5(
+                      array_to_string(tk[i:i+7], ' ')), 1, 16))}}
                 for i in generate_series(1, len(tk) - 7)] ELSE [] END,
                recursive := true)
       FROM t),
     fl AS (
       SELECT doc_id, pos
       FROM (SELECT doc_id, pos,
-                   row_number() OVER (PARTITION BY win
+                   row_number() OVER (PARTITION BY k
                                       ORDER BY doc_id, pos) AS rn
             FROM wins)
       WHERE rn > 1),
@@ -200,12 +201,16 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ExactSubstr-style duplicated-span statistics (Lee et al. 2021;
     # curation.duplicated_spans): stride-1 8-token windows, global
     # first-occurrence flagging via the skew-safe min(struct)
-    # aggregate, merged-coverage token counts per document. The
-    # catalog variant joins on RAW window strings so the oracle
-    # replays the whole pipeline (the oracle's row_number formulation
-    # is flag-equivalent to min(struct) and fine at oracle scale); the
-    # engine default hashes keys to xxhash64 — 8-byte shuffle keys
-    # instead of 8-word strings — benched as text_dup_spans_xxhash64.
+    # aggregate, merged-coverage token counts per document. Keys are
+    # 8-byte md5-derived hashes (r16: unhex(substr(md5(win),1,16)),
+    # spelled IDENTICALLY in the oracle so DuckDB still replays the
+    # whole pipeline including the keying — previously raw window
+    # strings, i.e. ~8x-the-corpus shuffle keys; outputs verified
+    # byte-identical to the raw-key formulation at sf0.001/0.01/0.1,
+    # and engine/oracle agree even under a hash collision because
+    # both compute the same key). The oracle's row_number formulation
+    # is flag-equivalent to min(struct) and fine at oracle scale; the
+    # xxhash64 engine default is benched as text_dup_spans_xxhash64.
     # NULL contract (r15, sf0.1 stress audit — the text_unit_dedup
     # r14 class these sibling rows missed): first-occurrence order is
     # keyed by (doc_id, pos), so a NULL id has no position in it
@@ -213,7 +218,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LAST ranks it last — opposite winners); excluded both sides.
     return _cur.duplicated_spans(
         _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull()),
-        "doc_id", "text", window=8, use_hash_key=False)
+        "doc_id", "text", window=8, key_mode="md5")
 
 
 @register(
@@ -224,14 +229,15 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins AS (
       SELECT doc_id,
              unnest(CASE WHEN len(tk) >= 8 THEN
-               [{{'pos': i-1, 'win': array_to_string(tk[i:i+7], ' ')}}
+               [{{'pos': i-1, 'k': unhex(substr(md5(
+                      array_to_string(tk[i:i+7], ' ')), 1, 16))}}
                 for i in generate_series(1, len(tk) - 7)] ELSE [] END,
                recursive := true)
       FROM t),
     fl AS (
       SELECT doc_id, pos
       FROM (SELECT doc_id, pos,
-                   row_number() OVER (PARTITION BY win
+                   row_number() OVER (PARTITION BY k
                                       ORDER BY doc_id, pos) AS rn
             FROM wins)
       WHERE rn > 1),
@@ -256,13 +262,14 @@ def text_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8-token window occurrences are removed from the text (global
     # first occurrences survive), re-emitting the cleaned corpus. The
     # oracle replays window flagging AND the mask-reconstruction of
-    # clean_text token-for-token. Raw-string keys here (oracle twin);
-    # engine default is xxhash64 as for text_dup_spans.
+    # clean_text token-for-token. 8-byte md5-derived keys spelled
+    # identically in the oracle (r16 — see text_dup_spans; previously
+    # raw window strings); engine default is xxhash64 as there.
     # NULL contract (r15): same (doc_id, pos) first-occurrence order
     # as text_dup_spans — NULL ids excluded both sides.
     return _cur.cut_duplicated_spans(
         _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull()),
-        "doc_id", "text", window=8, use_hash_key=False)
+        "doc_id", "text", window=8, key_mode="md5")
 
 
 @register(

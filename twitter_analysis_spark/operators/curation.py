@@ -361,8 +361,39 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str = "text",
     )
 
 
+def _win_key(win_col, key_mode: str):
+    """Join/aggregate key for one window's text (both span operators).
+
+    - ``xxhash64``: the engine default — fixed 8-byte keys, cheapest
+      hash in the JVM, not replayable outside Spark.
+    - ``md5``: ``unhex(substr(md5(win), 1, 16))`` — ALSO a fixed
+      8-byte key, but spelled from primitives DuckDB shares
+      byte-for-byte (md5 hex + unhex), so the cross-engine oracle can
+      replay the exact keying (r16; previously the oracle twin joined
+      on the RAW ~window-word strings — guide §2.3 "shuffle keys, not
+      payloads": at stride 1 the window column is ~8x the corpus, so
+      raw-string keys shuffle an order of magnitude more bytes than
+      the documents themselves).
+    - ``raw``: the window text itself (pre-r16 oracle-twin shape,
+      kept for A/B reference).
+
+    Any hash key changes the result only on a 64-bit collision
+    between DISTINCT window texts (~n^2/2^65; zero observed across
+    sf0.001/0.01/0.1 — outputs byte-identical to raw), and the oracle
+    computes the SAME key, so engine and oracle stay in lockstep even
+    then.
+    """
+    if key_mode == "xxhash64":
+        return F.xxhash64(win_col)
+    if key_mode == "md5":
+        return F.unhex(F.substring(F.md5(win_col), 1, 16))
+    if key_mode == "raw":
+        return win_col
+    raise ValueError(f"unknown key_mode: {key_mode!r}")
+
+
 def duplicated_spans(df: DataFrame, id_col: str, text_col: str = "text",
-                     window: int = 8, use_hash_key: bool = True) -> DataFrame:
+                     window: int = 8, key_mode: str = "xxhash64") -> DataFrame:
     """ExactSubstr-style duplicated-span statistics (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): flag
     every fixed-length token window whose exact text occurs earlier in
@@ -397,12 +428,12 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str = "text",
       covers window). One lead() window partitioned BY DOC — the
       natural parallel key, no skew.
 
-    ``use_hash_key=True`` (production) joins on xxhash64 of the window
-    text — fixed 8-byte shuffle keys instead of ~window-word strings,
-    the difference between shuffling 2x the corpus and ~1/8 of it at
-    100 TB. False keeps raw-string keys (what the cross-engine DuckDB
-    oracle replays; a 64-bit collision could at worst overcount one
-    window as duplicated).
+    ``key_mode`` picks the join/aggregate key — always a fixed 8-byte
+    hash in production ("xxhash64" engine default, "md5" when the
+    DuckDB oracle must replay the keying byte-for-byte); see
+    ``_win_key``. Either way the shuffle carries 8-byte keys instead
+    of ~window-word strings — the difference between shuffling ~8x
+    the corpus and ~1/8 of it at 100 TB.
     """
     toked = df.select(F.col(id_col).alias("_doc"),
                       tokens(F.col(text_col)).alias("_tk"))
@@ -415,8 +446,8 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str = "text",
                 lambda s: F.array_join(
                     F.slice("_tk", s + 1, window), " "))).alias("_pos", "_win"))
     )
-    key = F.xxhash64("_win") if use_hash_key else F.col("_win")
-    wins = wins.select("_doc", "_pos", key.alias("_key"))
+    wins = wins.select("_doc", "_pos",
+                       _win_key(F.col("_win"), key_mode).alias("_key"))
     firsts = wins.groupBy("_key").agg(
         F.min(F.struct(F.col("_doc"), F.col("_pos"))).alias("_first"))
     # NULL contract (r15, sf0.1 stress audit): the flag predicate must
@@ -454,7 +485,7 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str = "text",
 
 def cut_duplicated_spans(df: DataFrame, id_col: str, text_col: str = "text",
                          window: int = 8,
-                         use_hash_key: bool = True) -> DataFrame:
+                         key_mode: str = "xxhash64") -> DataFrame:
     """The ACTIONABLE form of ``duplicated_spans``: actually remove
     every token covered by a duplicated window occurrence (global
     first occurrences stay — one copy of each substring survives, the
@@ -482,8 +513,8 @@ def cut_duplicated_spans(df: DataFrame, id_col: str, text_col: str = "text",
                 lambda s: F.array_join(
                     F.slice("_tk", s + 1, window), " "))).alias("_pos", "_win"))
     )
-    key = F.xxhash64("_win") if use_hash_key else F.col("_win")
-    wins = wins.select("_doc", "_pos", key.alias("_key"))
+    wins = wins.select("_doc", "_pos",
+                       _win_key(F.col("_win"), key_mode).alias("_key"))
     firsts = wins.groupBy("_key").agg(
         F.min(F.struct(F.col("_doc"), F.col("_pos"))).alias("_first"))
     # null-SAFE first-occurrence test — see duplicated_spans (a plain
