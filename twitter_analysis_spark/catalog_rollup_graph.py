@@ -623,14 +623,15 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as _graph
 
     events = _t(spark, sf_dir, "events")
-    with _dedup.released() as cleanup:
-        # dedup=False: triangle_counts canonicalizes to (least,
-        # greatest) + distinct itself; the operator-level directed
-        # distinct would be a redundant second |E| exchange before it
-        # (r15 optimization round).
-        return _graph.triangle_counts(
-            _graph.interaction_edges(events, dedup=False),
-            cleanup=cleanup).localCheckpoint()
+    # dedup=False: triangle_counts canonicalizes to (least, greatest)
+    # + distinct itself; the operator-level directed distinct would be
+    # a redundant second |E| exchange before it (r15 optimization
+    # round). Fully lazy since r16 — the operator no longer persists
+    # internals (exchange reuse covers the multi-consumer subtrees),
+    # so the released()/localCheckpoint dance and its eager job storm
+    # are gone; the bench action executes ONE optimized plan.
+    return _graph.triangle_counts(
+        _graph.interaction_edges(events, dedup=False))
 
 
 ORACLE_CMS = f"""

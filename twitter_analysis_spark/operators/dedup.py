@@ -77,7 +77,7 @@ def km_constants(num_hashes: int) -> list[tuple[int, int]]:
 def released():
     """Exception-safe release for the ``cleanup``-list persist
     contract (``ngram_jaccard_pairs``, ``minhash_lsh_pairs``,
-    ``set_similarity_join``, ``triangle_counts``, ...): yields a
+    ``set_similarity_join``, ...): yields a
     fresh list to pass as ``cleanup=`` and unpersists everything in
     it on exit, including when the consumer raises (e.g. a CC
     non-convergence RuntimeError) — a bare post-hoc unpersist loop
@@ -241,8 +241,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     result stays LAZY — an eager checkpoint here would collapse every
     downstream plan to an opaque RDD leaf, hiding the DF-cap filter
     the plan pins assert on the deployed catalog rows. Release
-    contract is therefore ``minhash_lsh_pairs``', not
-    ``triangle_counts``': pass ``cleanup`` to receive the persisted
+    contract is ``minhash_lsh_pairs``': pass ``cleanup`` to receive the persisted
     index for unpersisting after your action; without it, repeated
     calls in a long-lived session accumulate cached storage (bench
     clears via ``spark.catalog.clearCache()``).
@@ -1175,10 +1174,10 @@ def connected_components_star(pairs: DataFrame, id1: str = "id1",
                 "too low)")
         # Materialize the (|V|-sized) result inside the protected
         # region — the lazy form left the FINAL round's |E|-sized
-        # cache registered for the session on every bare call
-        # (triangle_counts' no-cleanup contract; the labels table
-        # min-label returns is already a checkpoint leaf), and a
-        # failure of THIS checkpoint job must release it too.
+        # cache registered for the session on every bare call (the
+        # labels table min-label returns is already a checkpoint
+        # leaf), and a failure of THIS checkpoint job must release it
+        # too.
         return (e.groupBy("u").agg(F.min("v").alias("_mn"))
                 .select(F.col("u").alias("node"),
                         F.least("_mn", F.col("u")).alias("cluster"))

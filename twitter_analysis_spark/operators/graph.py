@@ -171,8 +171,7 @@ def pagerank_exact(edges: DataFrame, iters: int = 6) -> DataFrame:
         nd.unpersist()
 
 
-def triangle_counts(edges: DataFrame,
-                    cleanup: list | None = None) -> DataFrame:
+def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation over an UNDIRECTED simple graph.
 
     Input: directed (src, dst) pairs; they are first symmetrized and
@@ -192,6 +191,25 @@ def triangle_counts(edges: DataFrame,
 
     Returns (node, n_triangles) covering every node of the graph
     (zero rows included), each triangle credited to all 3 corners.
+
+    Fully LAZY since r16 — no internal persists, no eager
+    materialization, no cleanup contract. The multi-consumer
+    intermediates rely on Spark's exchange reuse instead of caching:
+    the wedge self-join's two sides canonicalize to the SAME oriented
+    subplan, so one ReusedExchange serves both — a RUNTIME (AQE)
+    effect, so it shows in the executed final plan
+    (plans/r16/graph_triangles_after_final.txt: 18 ReusedExchange,
+    22 materialized stages), not in the static explain, whose 50
+    Exchange nodes are the pre-reuse duplicated subtrees — and the
+    corner credit is a single explode over
+    the triangle rows rather than a 3-way union, so the triangle join
+    has exactly one consumer and needs no barrier at all. The r15
+    eager shape (persist oriented + tri, localCheckpoint the result,
+    release via a cleanup list) paid ~20 AQE jobs and a full
+    materialization per call to avoid re-executing subtrees that
+    exchange reuse already dedups; one lazy plan is both fewer jobs
+    at bench scale and the right 100 TB shape (shared shuffle output
+    instead of |E|-sized executor cache pressure).
     """
     # canonical undirected edges (a < b), loops dropped
     und = (edges.select(F.least("src", "dst").alias("a"),
@@ -214,9 +232,7 @@ def triangle_counts(edges: DataFrame,
                     .otherwise(F.struct(F.col("b").alias("u"),
                                         F.col("a").alias("v")))
                     .alias("e"))
-                .select("e.u", "e.v").persist())
-    if cleanup is not None:
-        cleanup.append(oriented)
+                .select("e.u", "e.v"))
     # wedges at the low-degree apex u: (v, w) with v < w to count once
     w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
@@ -225,27 +241,16 @@ def triangle_counts(edges: DataFrame,
     closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     tri = wedges.join(closing, ["x", "y"], "inner") \
         .select(F.col("apex").alias("c1"), F.col("x").alias("c2"),
-                F.col("y").alias("c3")).persist()
-    if cleanup is not None:
-        cleanup.append(tri)
-    corners = (tri.select(F.col("c1").alias("node"))
-               .union(tri.select(F.col("c2")))
-               .union(tri.select(F.col("c3")))
+                F.col("y").alias("c3"))
+    # each triangle credits all three corners: one explode, one
+    # consumer of the triangle join (a 3-way union would re-evaluate
+    # the join subtree per branch — the reason tri used to be persisted)
+    corners = (tri.select(F.explode(F.array("c1", "c2", "c3")).alias("node"))
                .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
-    out = (deg.select("node")
-           .join(corners, "node", "left")
-           .select("node", F.coalesce("n_triangles", F.lit(0))
-                   .cast("bigint").alias("n_triangles")))
-    if cleanup is None:
-        # No caller-managed release: materialize the (per-node, small
-        # relative to |E|) result eagerly and drop the two internal
-        # persists now — otherwise `oriented` and `tri` stay cached
-        # for the life of the session on every bare call. Callers who
-        # want a lazy result pass `cleanup` and release it themselves.
-        out = out.localCheckpoint()
-        oriented.unpersist()
-        tri.unpersist()
-    return out
+    return (deg.select("node")
+            .join(corners, "node", "left")
+            .select("node", F.coalesce("n_triangles", F.lit(0))
+                    .cast("bigint").alias("n_triangles")))
 
 
 def bfs_khop(edges: DataFrame, source: int, max_hops: int) -> DataFrame:
