@@ -653,8 +653,8 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
 
     emb = _sim_guard.valid_vectors(emb, id_col, vec_col)
 
-    # similarity's shared kernels (unrolled codegen'd add-chains at the
-    # standard width, bit-identical to the HOF folds — sim.UNROLL_DIM).
+    # similarity's shared fold kernels (see sim.UNROLL_DIM for why the
+    # unrolled variant is disabled).
     cos_expr = _sim_guard.cosine(F.col("v1"), F.col("v2"))
 
     if method == "allpairs":
@@ -1228,9 +1228,8 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     # L2 norm is materialized per VECTOR here, so the in-cell pair
     # test below is one dot fold + a scalar divide instead of three
     # folds — same sqrt(dot(v,v)) arithmetic, bit-identical cosines.
-    # (norm/dot are similarity's shared kernels, which unroll to
-    # codegen'd add-chains at the standard width — bit-identical to
-    # the interpreted HOF folds they started as; see sim.UNROLL_DIM.)
+    # (norm/dot are similarity's shared fold kernels; see
+    # sim.UNROLL_DIM for why the unrolled variant is disabled.)
     asg = (sim.ivf_assign(emb, cents, id_col, vec_col, with_cos=True)
            .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
                    "cell", F.col("cell_cos").alias("cc"),

@@ -37,19 +37,20 @@ def valid_vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
                      & F.col(vec_col).isNotNull())
 
 
-#: Embedding width of the engine's corpus schema (sources/io.py
-#: generates fixed 64-dim vectors). When an operand array has exactly
-#: this length, ``dot``/``l2norm`` evaluate an UNROLLED add-chain of
-#: ``element_at`` terms — plain codegen'd expressions — instead of the
-#: interpreted ``zip_with``/``aggregate`` fold (higher-order functions
-#: are CodegenFallback, ~10x slower per element; guide §4.1 "prefer
-#: built-ins with codegen"). The chain starts at ``lit(0.0)`` and adds
-#: terms left-to-right, i.e. EXACTLY the fold's IEEE operation
-#: sequence, so the result is bit-identical — no oracle or tolerance
-#: change anywhere. Arrays of any other length (or NULL) fall through
-#: to the original fold via the size guard, so behavior off the
-#: standard width is byte-for-byte what it was. Set to None to disable.
-UNROLL_DIM: int | None = 64
+#: DISABLED (r16, measured): unrolling ``dot``/``l2norm`` into 64-term
+#: ``element_at`` add-chains (to escape the interpreted HOF fold,
+#: guide §4.1) is bit-identical and ~2x faster in a single-column
+#: micro-bench, but a 5-12x REGRESSION on every real similarity query
+#: (interleaved A/B at sf0.1: sim_kmeans_ivf 2.4->33.5 s,
+#: dedup_semantic 4.5->56 s, dedup_embedding_cosine 44->106 s,
+#: sim_cosine_topk 0.31->2.1 s, sim_knn_join 0.87->3.0 s; both passes
+#: agree). Those operators instantiate the kernel per centroid / per
+#: candidate pair, so the ~130-node chain multiplies into
+#: thousands-of-node projections: Catalyst analysis/codegen blows up
+#: and generated methods spill past JIT limits. The fold is one
+#: O(dim) interpreted loop per value and stays the default. Do not
+#: re-enable without an interleaved A/B on the five queries above.
+UNROLL_DIM: int | None = None
 
 
 def _add_chain(terms: list[Column]) -> Column:
