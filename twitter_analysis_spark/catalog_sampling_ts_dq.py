@@ -982,30 +982,30 @@ def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             " *\xa7+ *"),
         lambda p: p != "")
     occ = docs.select(F.explode(phrases_col).alias("phrase"))
-    occ = occ.persist()
-    # exception-safe release: the 20-row result materializes inside
-    # the try, the persisted phrase-occurrence frame drops either way
-    try:
-        occw = occ.select(
-        "phrase", F.size(F.split("phrase", " ")).alias("plen"),
-            F.explode(F.split("phrase", " ")).alias("w"))
-        ws = occw.groupBy("w").agg(F.count(F.lit(1)).alias("freq"),
-                                   F.sum("plen").alias("deg"))
-        ptypes = occ.groupBy("phrase").agg(
-            F.count(F.lit(1)).alias("n_occ"))
-        pw = ptypes.select("phrase", "n_occ",
-                           F.explode(F.split("phrase", " ")).alias("w"))
-        return (pw.join(maybe_broadcast(ws), "w")
-                .groupBy("phrase")
-                .agg(F.any_value("n_occ").alias("n_occ"),
-                     F.sum("deg").cast("bigint").alias("deg_sum"),
-                     F.sum("freq").cast("bigint").alias("freq_sum"))
-                .orderBy(F.desc("deg_sum"), F.desc("freq_sum"),
-                         F.asc("phrase"))
-                .limit(20)
-                .localCheckpoint())
-    finally:
-        occ.unpersist()
+    # ONE consumer of the map-heavy phrase extraction (r16): word
+    # stats are exact integer algebra over the phrase-TYPE table —
+    # freq(w) = sum n_occ over phrase types containing w (per word
+    # position, multiplicity preserved by the same explode), deg(w) =
+    # sum n_occ*plen — so the occurrence frame no longer needs a
+    # second aggregate, a persist, the release dance, or the eager
+    # checkpoint. Identical values by construction (counts regrouped,
+    # all integers); 9 -> ~4 jobs, construction-time execution gone.
+    ptypes = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occ"))
+    pw = ptypes.select("phrase", "n_occ",
+                       F.size(F.split("phrase", " ")).alias("plen"),
+                       F.explode(F.split("phrase", " ")).alias("w"))
+    ws = pw.groupBy("w").agg(
+        F.sum("n_occ").alias("freq"),
+        F.sum(F.col("n_occ") * F.col("plen")).alias("deg"))
+    return (pw.join(maybe_broadcast(ws), "w")
+            .groupBy("phrase")
+            .agg(F.any_value("n_occ").alias("n_occ"),
+                 F.sum("deg").cast("bigint").alias("deg_sum"),
+                 F.sum("freq").cast("bigint").alias("freq_sum"))
+            .orderBy(F.desc("deg_sum"), F.desc("freq_sum"),
+                     F.asc("phrase"))
+            .limit(20))
 
 
 @register(
