@@ -654,14 +654,24 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     emb = _sim_guard.valid_vectors(emb, id_col, vec_col)
 
     # similarity's shared fold kernels (see sim.UNROLL_DIM for why the
-    # unrolled variant is disabled).
-    cos_expr = _sim_guard.cosine(F.col("v1"), F.col("v2"))
+    # unrolled variant is disabled). Norms are hoisted to per-VECTOR
+    # columns on each join side (r16, guide §4): the per-pair cosine
+    # used to re-run both sumsq folds for every candidate pair — 3
+    # interpreted 64-element folds per pair, the dominant cost of this
+    # operator (~2M pairs at sf0.1). dot / (n1 * n2) is the identical
+    # IEEE op order, so every cosine (and the threshold decision) is
+    # bit-identical; both methods share the expression, so they remain
+    # bit-equal to each other and to the all-pairs oracle.
+    cos_expr = (_sim_guard.dot(F.col("v1"), F.col("v2"))
+                / (F.col("_n1") * F.col("_n2")))
 
     if method == "allpairs":
         left = emb.select(F.col(id_col).alias("id1"),
-                          F.col(vec_col).alias("v1"))
+                          F.col(vec_col).alias("v1"),
+                          _sim_guard.l2norm(F.col(vec_col)).alias("_n1"))
         right = emb.select(F.col(id_col).alias("id2"),
-                           F.col(vec_col).alias("v2"))
+                           F.col(vec_col).alias("v2"),
+                           _sim_guard.l2norm(F.col(vec_col)).alias("_n2"))
         return (
             left.crossJoin(right)
             .where(F.col("id1") < F.col("id2"))
@@ -682,8 +692,11 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     # Same cleanup-list convention as minhash_lsh_pairs; bench clears
     # via clearCache(). At deploy scale this is the partitioned-BY-cell
     # stored table a real index build would materialize.
-    assigned = sim.ivf_assign(emb, cents, id_col, vec_col,
-                              with_cos=True).persist()
+    # the hoisted per-vector norm rides the persisted assignment, so
+    # it is computed once per vector, not once per candidate pair
+    assigned = (sim.ivf_assign(emb, cents, id_col, vec_col, with_cos=True)
+                .withColumn("_nrm", sim.l2norm(F.col(vec_col)))
+                .persist())
     if cleanup is not None:
         cleanup.append(assigned)
 
@@ -721,9 +734,11 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
 
     left = assigned.select(F.col(id_col).alias("id1"),
                            F.col(vec_col).alias("v1"),
+                           F.col("_nrm").alias("_n1"),
                            F.col("cell").alias("ca"))
     right = assigned.select(F.col(id_col).alias("id2"),
                             F.col(vec_col).alias("v2"),
+                            F.col("_nrm").alias("_n2"),
                             F.col("cell").alias("cb"))
     # cellpairs is ≤ nlist² rows -> broadcast; the right side shuffles
     # on its cell key (at deploy scale the corpus is stored partitioned

@@ -102,6 +102,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def pynorm(vec: list[float]) -> float:
+    """Driver-side twin of ``l2norm`` for a CONSTANT vector: the same
+    sequential left fold over IEEE doubles (0.0 + x0*x0 + x1*x1 + ...,
+    then sqrt), so inlining the result as a literal is bit-identical
+    to evaluating the fold per row — it just stops the interpreted
+    HOF from re-running on every row for a plan constant (guide §4)."""
+    import math
+    s = 0.0
+    for x in vec:
+        s = s + float(x) * float(x)
+    return math.sqrt(s)
+
+
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine against a constant query vector.
@@ -263,20 +276,37 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
     radius past the pruning slack and (exactness-breaking) drop a true
     pair. Round only user-facing outputs, never pruning inputs.
     """
+    # Hoisted norms (r16, guide §4): the naive per-struct
+    # cosine(v, c) re-evaluates the interpreted sumsq fold of v once
+    # per CENTROID and folds each constant centroid's norm once per
+    # ROW — 2*nlist redundant 64-element HOF folds per row. The row
+    # norm is computed once in a separate projection (multi-referenced
+    # non-cheap aliases survive CollapseProject, verified in the plan)
+    # and each centroid norm once on the driver (pynorm — the same
+    # IEEE fold sequence, so cos values are bit-identical and every
+    # downstream assignment/prune/dedup decision is unchanged).
     scored = F.array(*[
         F.struct(
-            cosine(F.col(vec_col), F.array([F.lit(x) for x in cvec]))
-            .alias("cos"),
+            (dot(F.col(vec_col), F.array([F.lit(x) for x in cvec]))
+             / (F.col("_nv") * F.lit(pynorm(cvec)))).alias("cos"),
             F.lit(cid).alias("cell"),
         )
         for cid, cvec in centroids
     ])
     # sort_array on structs orders by first field; last element = max.
+    # `_best` is its own multi-referenced projection column for the
+    # same reason as `_nv`: referencing best["cell"] and best["cos"]
+    # directly would paste the whole nlist-fold array into the
+    # projection twice.
     best = F.sort_array(scored)[len(centroids) - 1]
-    cols = [F.col(id_col), F.col(vec_col), best["cell"].alias("cell")]
+    cols = [F.col(id_col), F.col(vec_col),
+            F.col("_best")["cell"].alias("cell")]
     if with_cos:
-        cols.append(best["cos"].alias("cell_cos"))
-    return valid_vectors(emb, id_col, vec_col).select(*cols)
+        cols.append(F.col("_best")["cos"].alias("cell_cos"))
+    return (valid_vectors(emb, id_col, vec_col)
+            .withColumn("_nv", l2norm(F.col(vec_col)))
+            .withColumn("_best", best)
+            .select(*cols))
 
 
 def ivf_topk(emb: DataFrame, centroids: list[tuple[int, list[float]]],
@@ -370,15 +400,23 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """
     from pyspark.sql import Window
 
+    # Norms hoisted to the per-SIDE projections (r16, guide §4): the
+    # per-pair cosine used to re-run both sumsq folds for every (q, c)
+    # pair; computing them once per vector on each side of the join is
+    # the same IEEE arithmetic (dot / (qn * cn), identical op order),
+    # so every cosine — and the top-k it ranks — is bit-identical.
     q = valid_vectors(queries, qid_col, qvec_col) \
-        .select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qv"))
+        .select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qv"),
+                l2norm(F.col(qvec_col)).alias("_qn"))
     c = valid_vectors(corpus, cid_col, cvec_col) \
-        .select(F.col(cid_col).alias("cid"), F.col(cvec_col).alias("_cv"))
+        .select(F.col(cid_col).alias("cid"), F.col(cvec_col).alias("_cv"),
+                l2norm(F.col(cvec_col)).alias("_cn"))
     join_cond = F.col("qid") != F.col("cid") if exclude_self else F.lit(True)
     pairs = (
         c.join(F.broadcast(q), join_cond)
         .select("qid", "cid",
-                F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"))
+                F.round(dot(F.col("_qv"), F.col("_cv"))
+                        / (F.col("_qn") * F.col("_cn")), 6).alias("cosine"))
     )
 
     import heapq
