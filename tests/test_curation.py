@@ -251,15 +251,19 @@ def test_duplicated_spans_identical_docs(spark):
 
 
 def test_duplicated_spans_hash_key_equivalent(spark, sf_dir):
-    """The xxhash64 production keying must produce identical stats to
-    raw-string keying on the real corpus (collisions are the only
-    divergence mode and must not occur here)."""
+    """All three keyings (xxhash64 production, md5 oracle-replayable,
+    raw string) must produce identical stats on the real corpus —
+    collisions are the only divergence mode and must not occur here."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     a = cur.duplicated_spans(docs, "doc_id", "text", window=8,
-                             use_hash_key=True)
+                             key_mode="xxhash64")
     b = cur.duplicated_spans(docs, "doc_id", "text", window=8,
-                             use_hash_key=False)
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+                             key_mode="raw")
+    c = cur.duplicated_spans(docs, "doc_id", "text", window=8,
+                             key_mode="md5")
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    assert ra == sorted(map(tuple, c.collect()))
 
 
 def test_weighted_repeat_multiplicity(spark):

@@ -42,8 +42,10 @@ REPLICAS = 10
 PASSES = int(os.environ.get("PROBE_PASSES", "2"))
 QUERIES = ["graph_pagerank", "graph_triangles",
            "dedup_minhash_lsh", "dedup_clusters_star"]
-ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "artifacts", "SCALE_PROBE_r16.json")
+ART = os.environ.get(
+    "SCALE_PROBE_ART",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "artifacts", "SCALE_PROBE_r16.json"))
 
 
 def gen(replicas: int) -> None:
