@@ -111,6 +111,14 @@ def eager_barrier(df: DataFrame) -> DataFrame:
     than a local default — the bench contract is unchanged when the
     variable is unset. The session's checkpoint dir is set on first
     use; an explicit prior ``setCheckpointDir`` wins.
+
+    Release semantics (r15 ADVICE): checkpoint blocks are NOT in the
+    cache registry, so ``spark.catalog.clearCache()`` does not free
+    them — they release when the ContextCleaner GCs the result frame
+    (localCheckpoint) or when the checkpoint dir is cleaned
+    (reliable). Long-lived sessions that build these frames without
+    consuming them hold executor-local blocks until GC; the bench is
+    unaffected (each timed pass rebuilds and drops the frame).
     """
     import os as _os
 
