@@ -204,13 +204,31 @@ def containment_join(df: DataFrame, id_col: str, text_col: str = "text",
         cleanup.append(sets)
 
     posting, prefix = _prefix_postings(sets, threshold)
-    a, b = prefix.alias("a"), posting.alias("b")
+    # Candidate join keyed on xxhash64(sh), not the shingle STRING
+    # (r16, guide §2.3): the exchange then shuffles an 8-byte key and
+    # the n-word string never leaves the map side. Output-invariant by
+    # construction — unlike the Jaccard count-join (whose n_common
+    # would be corrupted by a collision), every candidate here is
+    # re-verified below with an exact array_intersect over the TRUE
+    # shingle sets, so a hash collision can only ADD a candidate that
+    # verification rejects; it can never add, drop, or change an
+    # output row. (The prefix SELECTION stays on the exact (df, sh)
+    # order — only the equi-join key is hashed.) j10's symmetric join
+    # keeps the string key: it is a pinned bench control, and its
+    # kept-pair semantics flow through the same exact-verify argument
+    # only via a separate code path — left untouched deliberately.
+    a = prefix.select(F.col("doc").alias("inner_doc"),
+                      F.col("n_sh").alias("inner_n"),
+                      F.xxhash64("sh").alias("shh"))
+    b = posting.select(F.col("doc").alias("outer_doc"),
+                       F.col("n_sh").alias("outer_n"),
+                       F.xxhash64("sh").alias("shh"))
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc") != F.col("b.doc"))
-               & (F.col("b.n_sh") >= F.col("a.n_sh") * threshold))
-        .select(F.col("a.doc").alias("inner_id"),
-                F.col("b.doc").alias("outer_id"))
+        a.join(b, "shh")
+        .where((F.col("inner_doc") != F.col("outer_doc"))
+               & (F.col("outer_n") >= F.col("inner_n") * threshold))
+        .select(F.col("inner_doc").alias("inner_id"),
+                F.col("outer_doc").alias("outer_id"))
         .distinct()
     )
 
